@@ -1,0 +1,228 @@
+"""Typed configuration for the whole stack.
+
+Replaces the reference's single mutable argparse namespace
+(``NeighborRetr/config/args_parser.py:12-146``) with immutable dataclasses that
+are threaded explicitly.  Dead reference flags (``--ot_temperature``,
+``--memory_size`` — parsed but never read, see args_parser.py:32-33,105-106)
+are intentionally dropped; memory-bank capacity is the honest quantity
+``mb_batch * batch_size`` (utils/memory_bank.py:124-211 semantics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ClipConfig:
+    """CLIP dual-encoder architecture (shape-compatible with OpenAI ViT-B/32|16).
+
+    Defaults mirror the shape-sniffing result of the reference for ViT-B/32
+    (modeling.py:88-101).
+    """
+
+    embed_dim: int = 512
+    # vision tower
+    image_resolution: int = 224
+    vision_layers: int = 12
+    vision_width: int = 768
+    vision_patch_size: int = 32
+    # text tower
+    context_length: int = 77
+    vocab_size: int = 49408
+    transformer_width: int = 512
+    transformer_layers: int = 12
+
+    @property
+    def transformer_heads(self) -> int:
+        return self.transformer_width // 64
+
+    @property
+    def vision_heads(self) -> int:
+        return self.vision_width // 64
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_resolution // self.vision_patch_size
+
+    @staticmethod
+    def vit_b_32() -> "ClipConfig":
+        return ClipConfig()
+
+    @staticmethod
+    def vit_b_16() -> "ClipConfig":
+        return ClipConfig(vision_patch_size=16)
+
+    @staticmethod
+    def tiny() -> "ClipConfig":
+        """A tiny config for CPU tests."""
+        return ClipConfig(
+            embed_dim=32,
+            image_resolution=32,
+            vision_layers=2,
+            vision_width=64,
+            vision_patch_size=16,
+            context_length=77,
+            vocab_size=512,
+            transformer_width=64,
+            transformer_layers=2,
+        )
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Full NeighborRetr model architecture."""
+
+    clip: ClipConfig = field(default_factory=ClipConfig)
+    max_words: int = 24          # text tokens per caption (args_parser.py:112)
+    max_frames: int = 12         # video frames per clip (args_parser.py:115)
+    temporal_layers: int = 4     # --num_hidden_layers (args_parser.py:137)
+    # CTM token-merging stacks (modeling.py:186-197): per-modality
+    # (sample_ratio0, sample_ratio1) with k-NN density k=3, 8 heads.
+    text_merge_ratios: Tuple[float, float] = (1.0 / 6.0, 1.0 / 4.0)
+    video_merge_ratios: Tuple[float, float] = (1.0 / 4.0, 1.0 / 3.0)
+    ctm_k: int = 3
+    ctm_heads: int = 8
+    # dtype policy: params fp32; matmul-heavy compute in bf16 with fp32
+    # LayerNorm/softmax islands (module_clip.py LayerNorm fp32 behavior).
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def width(self) -> int:
+        return self.clip.transformer_width
+
+    def merge_sizes(self, n_tokens: int, ratios: Tuple[float, float]) -> Tuple[int, int]:
+        """Static cluster counts per CTM stage (cluster.py:707: ceil(N*ratio), min 1)."""
+        n0 = max(math.ceil(n_tokens * ratios[0]), 1)
+        n1 = max(math.ceil(n0 * ratios[1]), 1)
+        return n0, n1
+
+    @property
+    def text_merge_sizes(self) -> Tuple[int, int]:
+        return self.merge_sizes(self.max_words, self.text_merge_ratios)
+
+    @property
+    def video_merge_sizes(self) -> Tuple[int, int]:
+        return self.merge_sizes(self.max_frames, self.video_merge_ratios)
+
+    @staticmethod
+    def tiny(max_words: int = 8, max_frames: int = 4) -> "ModelConfig":
+        return ModelConfig(
+            clip=ClipConfig.tiny(),
+            max_words=max_words,
+            max_frames=max_frames,
+            temporal_layers=2,
+            compute_dtype="float32",
+        )
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Hubness-aware loss hyperparameters (args_parser.py:26-41 defaults)."""
+
+    centrality_scale: float = 0.3
+    kl_weight: float = 1.0
+    uniform_weight: float = 1.0
+    neighbor_weight: float = 1.0
+    beta: float = 0.7            # Sinkhorn target interpolation
+    num_neighbors: int = 20
+    temperature: float = 3.0     # NOTE: the reference passes --temperature both as
+    # the neighbor-loss softmax temperature AND as the uniform-loss logit scale
+    # (modeling.py:440-441 argument aliasing). We replicate that behavior.
+    sinkhorn_iterations: int = 50
+    max_logit_scale: float = 100.0  # exp(logit_scale) clamp (trainer.py:112-119)
+
+
+@dataclass(frozen=True)
+class OptimizerConfig:
+    """BertAdam-style optimizer (optimizer.py:64-75, optimization.py:76-210)."""
+
+    lr: float = 1e-4
+    coef_lr: float = 1e-3        # CLIP-branch lr multiplier → 1e-7
+    weight_decay: float = 0.2
+    warmup_proportion: float = 0.1
+    schedule: str = "warmup_cosine"
+    b1: float = 0.9
+    b2: float = 0.98
+    eps: float = 1e-6
+    max_grad_norm: float = 1.0   # both the outer global clip and per-param clip
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    datatype: str = "msrvtt"
+    data_path: str = ""
+    video_path: str = ""
+    max_words: int = 24
+    max_frames: int = 12
+    video_framerate: int = 1
+    image_resolution: int = 224
+    workers: int = 8
+    train_augment: bool = True
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    epochs: int = 5
+    batch_size: int = 128        # global batch
+    batch_size_val: int = 128
+    mb_batch: int = 15           # memory-bank fill batches per epoch
+    seed: int = 42
+    n_display: int = 50
+    output_dir: str = "outputs"
+    init_checkpoint: Optional[str] = None
+    clip_checkpoint: Optional[str] = None  # OpenAI .pt; None → random init
+    save_checkpoints: bool = True
+    mid_epoch_eval: bool = True  # eval every n_display*3 steps (trainer.py:169)
+    # parallelism
+    data_axis: str = "data"
+    num_devices: Optional[int] = None  # None → all
+
+    @property
+    def memory_bank_capacity(self) -> int:
+        return self.mb_batch * self.batch_size
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    optim: OptimizerConfig = field(default_factory=OptimizerConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(text: str) -> "Config":
+        raw = json.loads(text)
+        clip = ClipConfig(**raw["model"].pop("clip"))
+        model = ModelConfig(clip=clip, **{
+            k: tuple(v) if isinstance(v, list) else v for k, v in raw["model"].items()
+        })
+        return Config(
+            model=model,
+            loss=LossConfig(**raw["loss"]),
+            optim=OptimizerConfig(**raw["optim"]),
+            data=DataConfig(**raw["data"]),
+            train=TrainConfig(**raw["train"]),
+        )
+
+
+def validate(cfg: Config, num_devices: int) -> None:
+    """Cross-field validation (mirrors args_parser.py:149-165 divisibility checks)."""
+    if cfg.train.batch_size % num_devices != 0:
+        raise ValueError(
+            f"batch_size {cfg.train.batch_size} not divisible by device count {num_devices}"
+        )
+    if cfg.train.batch_size_val % num_devices != 0:
+        raise ValueError(
+            f"batch_size_val {cfg.train.batch_size_val} not divisible by device count {num_devices}"
+        )
+    if cfg.model.max_words != cfg.data.max_words or cfg.model.max_frames != cfg.data.max_frames:
+        raise ValueError("model and data max_words/max_frames must agree")

@@ -1,0 +1,214 @@
+"""Pure-functional neural net layers over parameter pytrees.
+
+TPU-first design notes:
+  * Parameters live in plain nested dicts (pytrees); every apply function is
+    ``f(params, inputs) -> outputs`` so it composes with jit/grad/shard_map.
+  * Transformer stacks store per-layer parameters stacked on a leading axis and
+    run under ``jax.lax.scan`` — one traced block, O(1) compile time in depth.
+  * Matmul-heavy compute runs in a configurable dtype (bf16 on TPU) while
+    LayerNorm and softmax stay in fp32, mirroring the reference's fp16-with-
+    fp32-LayerNorm-islands policy (module_clip.py:241-247).
+  * Attention masks are additive fp32 biases with static shapes.
+
+Behavioral contract with the reference:
+  * QuickGELU: x * sigmoid(1.702 x)           (module_clip.py:256)
+  * Pre-LN residual attention blocks           (module_clip.py:258-287)
+  * torch.nn.MultiheadAttention packed qkv layout (in_proj is [3D, D])
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# initializers
+# ---------------------------------------------------------------------------
+
+def normal_init(key, shape, std: float = 0.02, dtype=jnp.float32):
+    return std * jax.random.normal(key, shape, dtype=dtype)
+
+
+def trunc_normal_init(key, shape, std: float = 0.02, dtype=jnp.float32):
+    """Truncated normal on [-2std, 2std] (cluster.py:21-84 trunc_normal_)."""
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def gelu_erf(x):
+    """Exact-erf GELU (until_module.py:20-25)."""
+    return x * 0.5 * (1.0 + jax.lax.erf(x / math.sqrt(2.0)))
+
+
+def layer_norm(p: Params, x, eps: float = 1e-5):
+    """LayerNorm computed in fp32 regardless of input dtype (fp32 island)."""
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(orig_dtype)
+
+
+def layer_norm_init(dim: int) -> Params:
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def linear(p: Params, x, dtype=None):
+    w = p["w"]
+    if dtype is not None:
+        x = x.astype(dtype)
+        w = w.astype(dtype)
+    y = x @ w
+    if "b" in p and p["b"] is not None:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+def linear_init(key, d_in: int, d_out: int, std: Optional[float] = None,
+                bias: bool = True) -> Params:
+    if std is None:
+        std = d_in ** -0.5
+    p: Params = {"w": normal_init(key, (d_in, d_out), std=std)}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), jnp.float32)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# multi-head attention (packed qkv, torch.nn.MultiheadAttention layout)
+# ---------------------------------------------------------------------------
+
+def mha_init(key, d_model: int, attn_std: Optional[float] = None,
+             proj_std: Optional[float] = None) -> Params:
+    k1, k2 = jax.random.split(key)
+    attn_std = attn_std if attn_std is not None else d_model ** -0.5
+    proj_std = proj_std if proj_std is not None else d_model ** -0.5
+    return {
+        # packed [D, 3D] so a single matmul produces q,k,v (kept input-major —
+        # the torch checkpoint's [3D, D] in_proj_weight transposes into this)
+        "in_proj": {"w": normal_init(k1, (d_model, 3 * d_model), std=attn_std),
+                    "b": jnp.zeros((3 * d_model,), jnp.float32)},
+        "out_proj": {"w": normal_init(k2, (d_model, d_model), std=proj_std),
+                     "b": jnp.zeros((d_model,), jnp.float32)},
+    }
+
+
+def mha(p: Params, x, n_head: int, attn_bias=None, dtype=jnp.float32):
+    """Self-attention over [B, L, D].
+
+    attn_bias: optional additive fp32 bias broadcastable to [B, 1, L, L]
+    (e.g. causal and/or padding masks with -inf at disallowed positions).
+    """
+    B, L, D = x.shape
+    head_dim = D // n_head
+    qkv = linear(p["in_proj"], x, dtype=dtype)          # [B, L, 3D]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(B, L, n_head, head_dim).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q), heads(k), heads(v)
+    scale = head_dim ** -0.5
+    # logits in fp32 for a stable softmax island
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+                        preferred_element_type=jnp.float32)
+    if attn_bias is not None:
+        logits = logits + attn_bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(dtype))
+    out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+    return linear(p["out_proj"], out, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# residual attention block + stacked transformer
+# ---------------------------------------------------------------------------
+
+def block_init(key, d_model: int, layers_for_std: int = 12) -> Params:
+    """One pre-LN residual attention block (CLIP init scales,
+    module_clip.py:431-440)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    proj_std = (d_model ** -0.5) * ((2 * layers_for_std) ** -0.5)
+    fc_std = (2 * d_model) ** -0.5
+    return {
+        "ln_1": layer_norm_init(d_model),
+        "attn": mha_init(k1, d_model, attn_std=d_model ** -0.5, proj_std=proj_std),
+        "ln_2": layer_norm_init(d_model),
+        "mlp": {
+            "c_fc": linear_init(k2, d_model, 4 * d_model, std=fc_std),
+            "c_proj": linear_init(k3, 4 * d_model, d_model, std=proj_std),
+        },
+    }
+
+
+def block_apply(p: Params, x, n_head: int, attn_bias=None, dtype=jnp.float32):
+    x = x + mha(p["attn"], layer_norm(p["ln_1"], x), n_head, attn_bias, dtype)
+    h = linear(p["mlp"]["c_fc"], layer_norm(p["ln_2"], x), dtype=dtype)
+    h = quick_gelu(h)
+    x = x + linear(p["mlp"]["c_proj"], h, dtype=dtype)
+    return x
+
+
+def transformer_init(key, d_model: int, layers: int) -> Params:
+    """Stack of blocks with parameters stacked on a leading `layers` axis."""
+    keys = jax.random.split(key, layers)
+    blocks = [block_init(k, d_model, layers_for_std=layers) for k in keys]
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
+
+
+def transformer_apply(p: Params, x, n_head: int, attn_bias=None,
+                      dtype=jnp.float32, remat: bool = False):
+    """Run stacked blocks with lax.scan (one compiled block, depth-many steps)."""
+
+    def body(carry, layer_p):
+        y = block_apply(layer_p, carry, n_head, attn_bias, dtype)
+        return y, None
+
+    if remat:
+        body = jax.checkpoint(body)
+    y, _ = jax.lax.scan(body, x, p)
+    return y
+
+
+def num_layers(p: Params) -> int:
+    return jax.tree.leaves(p)[0].shape[0]
+
+
+def slice_layers(p: Params, n: int) -> Params:
+    """First n layers of a stacked transformer pytree."""
+    return jax.tree.map(lambda a: a[:n], p)
+
+
+# ---------------------------------------------------------------------------
+# masks
+# ---------------------------------------------------------------------------
+
+NEG_INF = -1e9
+
+
+def causal_bias(L: int) -> jnp.ndarray:
+    """[1, 1, L, L] additive causal mask (module_clip.py:build_attention_mask)."""
+    i = jnp.arange(L)[:, None]
+    j = jnp.arange(L)[None, :]
+    m = jnp.where(j > i, NEG_INF, 0.0).astype(jnp.float32)
+    return m[None, None]
+
+
+def padding_bias(mask: jnp.ndarray) -> jnp.ndarray:
+    """[B, L] {0,1} key-padding mask → [B, 1, 1, L] additive bias."""
+    return jnp.where(mask[:, None, None, :] > 0, 0.0, NEG_INF).astype(jnp.float32)

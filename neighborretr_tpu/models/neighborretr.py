@@ -1,0 +1,172 @@
+"""NeighborRetr model: CLIP dual encoder + temporal transformer + token
+weighting + hierarchical token merging, as pure functions over one pytree.
+
+Parameter tree layout (all fp32 leaves):
+
+    {"clip": {"text", "visual", "logit_scale"},
+     "temporal": {...},
+     "text_weight_fc"/"video_weight_fc":   token-weight MLPs for local_level,
+     "text_weight_fc1"/"video_weight_fc1": global-level weight MLPs — applied to
+         single merged tokens where softmax(1)=1, so they are forward no-ops;
+         kept for parameter-set parity with the reference (modeling.py:518-522).
+         The reference's *_fc0/*_intra nets are dead code and are dropped.
+     "text_merge"/"video_merge": CTM+TCBlock stacks}
+
+Reference parity anchors: modeling.py:46-220 (init), 483-539 (similarity
+levels), 541-623 (feature extraction).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import ModelConfig
+from ..ops.similarity import interaction_similarity, global_similarity
+from . import clip as clip_mod
+from . import ctm
+from . import layers as L
+from . import temporal as temporal_mod
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _init_weight_mlp(key, dim: int) -> Params:
+    """Linear(d→2d) → ReLU → Linear(2d→1), normal(0.02) init (modeling.py:148-153
+    + the model-wide _init_weights normal(0,0.02) at modeling.py:648-659)."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "fc1": {"w": L.normal_init(k1, (dim, 2 * dim), std=0.02),
+                "b": jnp.zeros((2 * dim,), jnp.float32)},
+        "fc2": {"w": L.normal_init(k2, (2 * dim, 1), std=0.02),
+                "b": jnp.zeros((1,), jnp.float32)},
+    }
+
+
+def init_params(key, cfg: ModelConfig) -> Params:
+    keys = jax.random.split(key, 9)
+    width = cfg.width
+    params = {
+        "clip": clip_mod.init_clip(keys[0], cfg.clip),
+        "temporal": temporal_mod.init_temporal(keys[1], cfg),
+        "text_weight_fc": _init_weight_mlp(keys[2], width),
+        "video_weight_fc": _init_weight_mlp(keys[3], width),
+        "text_weight_fc1": _init_weight_mlp(keys[4], width),
+        "video_weight_fc1": _init_weight_mlp(keys[5], width),
+        "text_merge": ctm.init_merge_stack(keys[6], width),
+        "video_merge": ctm.init_merge_stack(keys[7], width),
+    }
+    # seed frame position embeddings / temporal layers from the CLIP text tower
+    # (modeling.py:199-220)
+    params = seed_temporal_from_clip(params, cfg)
+    return params
+
+
+def seed_temporal_from_clip(params: Params, cfg: ModelConfig) -> Params:
+    """Copy CLIP text positional embedding → frame position embeddings, and the
+    first `temporal_layers` text resblocks → temporal transformer."""
+    text = params["clip"]["text"]
+    params["temporal"]["frame_position_embeddings"] = (
+        text["positional_embedding"].copy())
+    params["temporal"]["transformer"] = L.slice_layers(
+        text["transformer"], cfg.temporal_layers)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# feature extraction
+# ---------------------------------------------------------------------------
+
+def get_text_feat(params: Params, cfg: ModelConfig, text_ids, text_mask,
+                  dtype=None, remat: bool = False) -> jnp.ndarray:
+    """[B, W] ids/mask → [B, W, E] full projected token hidden (fp32)."""
+    dtype = dtype or jnp.dtype(cfg.compute_dtype)
+    _, hidden = clip_mod.encode_text(params["clip"]["text"], cfg.clip,
+                                     text_ids, text_mask, dtype=dtype,
+                                     remat=remat)
+    return hidden.astype(jnp.float32)
+
+
+def get_video_feat(params: Params, cfg: ModelConfig, video, video_mask,
+                   dtype=None, remat: bool = False) -> jnp.ndarray:
+    """[B, F, H, W, 3] frames + [B, F] mask → [B, F, E] temporal features."""
+    dtype = dtype or jnp.dtype(cfg.compute_dtype)
+    B, F = video_mask.shape
+    frames = video.reshape((B * F,) + video.shape[2:])
+    cls_feat, _ = clip_mod.encode_image(params["clip"]["visual"], cfg.clip,
+                                        frames, dtype=dtype, remat=remat)
+    frame_feat = cls_feat.reshape(B, F, -1).astype(jnp.float32)
+    return temporal_mod.aggregate_video_features(
+        params["temporal"], cfg, frame_feat, video_mask, dtype=dtype)
+
+
+def get_text_video_feat(params: Params, cfg: ModelConfig, text_ids, text_mask,
+                        video, video_mask, dtype=None, remat: bool = False):
+    return (get_text_feat(params, cfg, text_ids, text_mask, dtype, remat),
+            get_video_feat(params, cfg, video, video_mask, dtype, remat))
+
+
+# ---------------------------------------------------------------------------
+# similarity levels
+# ---------------------------------------------------------------------------
+
+def token_weights(p_mlp: Params, feat: jnp.ndarray,
+                  mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Masked softmax token weights (modeling.py:485-492)."""
+    h = jax.nn.relu(L.linear(p_mlp["fc1"], feat.astype(jnp.float32)))
+    w = L.linear(p_mlp["fc2"], h).squeeze(-1)
+    if mask is not None:
+        w = jnp.where(mask > 0, w, -9e15)
+    return jax.nn.softmax(w, axis=-1)
+
+
+def local_similarity(params: Params, t_feat, v_feat, t_mask, v_mask) -> jnp.ndarray:
+    """The reference's local_level; returns S with v2t = S.T."""
+    tw = token_weights(params["text_weight_fc"], t_feat, t_mask)
+    vw = token_weights(params["video_weight_fc"], v_feat, v_mask)
+    return interaction_similarity(t_feat, v_feat, t_mask, v_mask, tw, vw)
+
+
+def merge_global_features(params: Params, cfg: ModelConfig, t_feat, v_feat,
+                          t_mask, v_mask, key: jax.Array
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-stage CTM merge per modality → [B, 1, E] global tokens."""
+    k_t, k_v = jax.random.split(key)
+    g_t = ctm.merge_to_global(params["text_merge"], t_feat, t_mask,
+                              cfg.text_merge_sizes, cfg.ctm_k, cfg.ctm_heads, k_t)
+    g_v = ctm.merge_to_global(params["video_merge"], v_feat, v_mask,
+                              cfg.video_merge_sizes, cfg.ctm_k, cfg.ctm_heads, k_v)
+    return g_t, g_v
+
+
+def global_level(t_global: jnp.ndarray, v_global: jnp.ndarray) -> jnp.ndarray:
+    """Global similarity (weight nets are forward no-ops on 1 token)."""
+    return global_similarity(t_global, v_global)
+
+
+def get_similarity_logits(params: Params, t_feat, v_feat, t_mask, v_mask):
+    """Eval-time API (modeling.py:625-632): local similarity and its transpose."""
+    s = local_similarity(params, t_feat, v_feat, t_mask, v_mask)
+    return s, s.T
+
+
+def logit_scale(params: Params) -> jnp.ndarray:
+    """exp(logit_scale).  The parameter itself is clamped to ln(max_scale)
+    after each optimizer step (trainer.py:112-119), not in the forward."""
+    return jnp.exp(params["clip"]["logit_scale"])
+
+
+def clamp_logit_scale(params: Params, max_scale: float = 100.0) -> Params:
+    """Post-step parameter clamp (trainer.py:112-119)."""
+    clamped = jnp.minimum(params["clip"]["logit_scale"],
+                          jnp.log(jnp.asarray(max_scale, jnp.float32)))
+    params = dict(params)
+    params["clip"] = dict(params["clip"])
+    params["clip"]["logit_scale"] = clamped
+    return params

@@ -1,0 +1,177 @@
+"""BertAdam optimizer as an optax-style gradient transformation.
+
+Faithful rebuild of the reference's optimizer stack
+(models/optimization.py:76-210 + training/optimizer.py:12-86 + trainer.py:104):
+
+  1. global grad-norm clip to 1.0 over ALL parameters (trainer.py:104),
+  2. per-parameter grad-norm clip to 1.0 inside the step (optimization.py:181),
+  3. Adam moments WITHOUT bias correction,
+  4. update = m / (sqrt(v) + eps) + weight_decay * p (decoupled),
+  5. lr = base_lr(param group) * schedule(step / t_total, warmup) where `step`
+     is the count of COMPLETED steps — the first update runs at multiplier
+     schedule(0) (0 for warmup schedules), a faithful reference quirk,
+  6. parameter groups: {decay, no-decay} × {clip, non-clip}; CLIP-branch lr is
+     base_lr * coef_lr; no-decay = any param named bias / LayerNorm scale+bias,
+  7. frozen leaves (the vision patch embed, module_clip.py:324-326) get zero
+     updates.
+
+Verified against hand-computed traces in tests/test_bertadam.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import OptimizerConfig
+
+Params = Dict[str, Any]
+
+# LayerNorm containers across the model tree: their scale/bias leaves are
+# no-decay, mirroring torch's name match on 'LayerNorm.weight/bias'.
+_LN_KEYS = {"ln_1", "ln_2", "ln_pre", "ln_post", "ln_final", "norm", "norm1"}
+
+
+def _path_keys(path) -> Tuple[str, ...]:
+    return tuple(getattr(k, "key", str(k)) for k in path)
+
+
+def is_frozen(path_keys: Tuple[str, ...]) -> bool:
+    """visual patch embed is frozen (reference freezes visual.conv1)."""
+    return path_keys[-1:] == ("patch_embed",) and "visual" in path_keys
+
+
+def is_no_decay(path_keys: Tuple[str, ...]) -> bool:
+    leaf = path_keys[-1]
+    if leaf in ("b", "bias"):
+        return True
+    parent = path_keys[-2] if len(path_keys) >= 2 else ""
+    if parent in _LN_KEYS and leaf in ("scale", "bias"):
+        return True
+    return False
+
+
+def is_clip_branch(path_keys: Tuple[str, ...]) -> bool:
+    return len(path_keys) > 0 and path_keys[0] == "clip"
+
+
+# ---------------------------------------------------------------------------
+# schedules (optimization.py:17-73)
+# ---------------------------------------------------------------------------
+
+def warmup_cosine(x, warmup):
+    return jnp.where(x < warmup, x / warmup,
+                     0.5 * (1.0 + jnp.cos(jnp.pi * x)))
+
+
+def warmup_constant(x, warmup):
+    return jnp.where(x < warmup, x / warmup, 1.0)
+
+
+def warmup_linear(x, warmup):
+    return jnp.where(x < warmup, x / warmup,
+                     jnp.maximum((x - 1.0) / (warmup - 1.0), 0.0))
+
+
+SCHEDULES: Dict[str, Callable] = {
+    "warmup_cosine": warmup_cosine,
+    "warmup_constant": warmup_constant,
+    "warmup_linear": warmup_linear,
+}
+
+
+# ---------------------------------------------------------------------------
+# transformation
+# ---------------------------------------------------------------------------
+
+class BertAdamState(NamedTuple):
+    step: jnp.ndarray   # completed steps (int32 scalar)
+    m: Any
+    v: Any
+
+
+def global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                        for g in leaves))
+
+
+def clip_by_global_norm(tree, max_norm: float):
+    """torch.nn.utils.clip_grad_norm_ semantics (eps 1e-6, only shrink)."""
+    norm = global_norm(tree)
+    coef = jnp.minimum(max_norm / (norm + 1e-6), 1.0)
+    return jax.tree.map(lambda g: g * coef, tree)
+
+
+def bert_adam_init(params: Params) -> BertAdamState:
+    zeros = jax.tree.map(lambda p: jnp.zeros_like(p, dtype=jnp.float32), params)
+    return BertAdamState(step=jnp.zeros((), jnp.int32), m=zeros,
+                         v=jax.tree.map(jnp.copy, zeros))
+
+
+def bert_adam_update(
+    grads: Params,
+    state: BertAdamState,
+    params: Params,
+    cfg: OptimizerConfig,
+    t_total: int,
+) -> Tuple[Params, BertAdamState]:
+    """Returns (new_params, new_state).  Applies both clip stages internally."""
+    sched = SCHEDULES[cfg.schedule]
+    progress = state.step.astype(jnp.float32) / float(t_total)
+    lr_mult = sched(progress, cfg.warmup_proportion)
+
+    # frozen leaves contribute no gradient in the reference (requires_grad
+    # False → grad None); zero them before the global norm so the clip
+    # coefficient matches.
+    grads = jax.tree_util.tree_map_with_path(
+        lambda path, g: jnp.zeros_like(g) if is_frozen(_path_keys(path)) else g,
+        grads)
+    # stage 1: global clip over all grads (trainer.py:104)
+    grads = clip_by_global_norm(grads, cfg.max_grad_norm)
+
+    def leaf_update(path, g, m, v, p):
+        keys = _path_keys(path)
+        if is_frozen(keys):
+            return p, m, v
+        g = g.astype(jnp.float32)
+        # stage 2: per-parameter clip (optimization.py:181)
+        if cfg.max_grad_norm > 0:
+            pnorm = jnp.sqrt(jnp.sum(jnp.square(g)))
+            g = g * jnp.minimum(cfg.max_grad_norm / (pnorm + 1e-6), 1.0)
+        new_m = cfg.b1 * m + (1.0 - cfg.b1) * g
+        new_v = cfg.b2 * v + (1.0 - cfg.b2) * jnp.square(g)
+        update = new_m / (jnp.sqrt(new_v) + cfg.eps)
+        if not is_no_decay(keys) and cfg.weight_decay > 0:
+            update = update + cfg.weight_decay * p
+        lr = cfg.lr * (cfg.coef_lr if is_clip_branch(keys) else 1.0)
+        new_p = p - lr * lr_mult * update
+        return new_p.astype(p.dtype), new_m, new_v
+
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    treedef = jax.tree.structure(grads)
+    m_leaves = jax.tree.leaves(state.m)
+    v_leaves = jax.tree.leaves(state.v)
+    p_leaves = jax.tree.leaves(params)
+
+    new_p, new_m, new_v = [], [], []
+    for (path, g), m, v, p in zip(flat, m_leaves, v_leaves, p_leaves):
+        np_, nm, nv = leaf_update(path, g, m, v, p)
+        new_p.append(np_)
+        new_m.append(nm)
+        new_v.append(nv)
+
+    return (
+        jax.tree.unflatten(treedef, new_p),
+        BertAdamState(step=state.step + 1,
+                      m=jax.tree.unflatten(treedef, new_m),
+                      v=jax.tree.unflatten(treedef, new_v)),
+    )
+
+
+def current_lr(state: BertAdamState, cfg: OptimizerConfig, t_total: int) -> jnp.ndarray:
+    sched = SCHEDULES[cfg.schedule]
+    return cfg.lr * sched(state.step.astype(jnp.float32) / float(t_total),
+                          cfg.warmup_proportion)

@@ -1,0 +1,75 @@
+"""Device-resident memory bank as explicit functional state.
+
+The reference mutates module attributes mid-step under no_grad
+(modeling.py:222-249) and pre-fills the bank each epoch from a second
+dataloader (utils/memory_bank.py:80-229).  Here the bank is a fixed-capacity
+pytree carried through the jitted train step (donated buffer), with:
+
+  * capacity M = mb_batch × global batch size — the honest quantity (the
+    reference's --memory_size flag is dead; capacity freezes at the size of
+    the epoch-start fill),
+  * FIFO refresh: the current batch is prepended and the tail dropped,
+  * an epoch-start fill that writes encoder features slice-by-slice.
+
+All arrays are fp32 with static shapes; no host↔device traffic after fill.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class MemoryBank(NamedTuple):
+    ind: jnp.ndarray      # [M] int32 sample ids
+    feat_t: jnp.ndarray   # [M, T, E]
+    feat_v: jnp.ndarray   # [M, F, E]
+    mask_t: jnp.ndarray   # [M, T]
+    mask_v: jnp.ndarray   # [M, F]
+
+
+def create(capacity: int, max_words: int, max_frames: int,
+           embed_dim: int) -> MemoryBank:
+    return MemoryBank(
+        ind=jnp.full((capacity,), -1, jnp.int32),
+        feat_t=jnp.zeros((capacity, max_words, embed_dim), jnp.float32),
+        feat_v=jnp.zeros((capacity, max_frames, embed_dim), jnp.float32),
+        mask_t=jnp.zeros((capacity, max_words), jnp.float32),
+        mask_v=jnp.zeros((capacity, max_frames), jnp.float32),
+    )
+
+
+def fifo_update(bank: MemoryBank, ind, feat_t, feat_v, mask_t, mask_v) -> MemoryBank:
+    """Prepend the current batch, drop the tail (modeling.py:236-249)."""
+    cap = bank.ind.shape[0]
+
+    def push(old, new):
+        return jnp.concatenate(
+            [jax.lax.stop_gradient(new.astype(old.dtype)), old], axis=0)[:cap]
+
+    return MemoryBank(
+        ind=push(bank.ind, ind),
+        feat_t=push(bank.feat_t, feat_t),
+        feat_v=push(bank.feat_v, feat_v),
+        mask_t=push(bank.mask_t, mask_t),
+        mask_v=push(bank.mask_v, mask_v),
+    )
+
+
+def write_slice(bank: MemoryBank, offset: int, ind, feat_t, feat_v,
+                mask_t, mask_v) -> MemoryBank:
+    """Epoch-start fill: write one encoded batch at a static offset."""
+
+    def wr(old, new):
+        return jax.lax.dynamic_update_slice_in_dim(
+            old, jax.lax.stop_gradient(new.astype(old.dtype)), offset, axis=0)
+
+    return MemoryBank(
+        ind=wr(bank.ind, ind),
+        feat_t=wr(bank.feat_t, feat_t),
+        feat_v=wr(bank.feat_v, feat_v),
+        mask_t=wr(bank.mask_t, mask_t),
+        mask_v=wr(bank.mask_v, mask_v),
+    )

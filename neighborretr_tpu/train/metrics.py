@@ -1,0 +1,116 @@
+"""Retrieval metrics: R@K, Median/Mean rank, multi-sentence protocols.
+
+Rebuilds utils/metrics.py:38-145 of the reference, including its exact
+tie-handling (`np.where(sorted - diag == 0)` can emit multiple rank entries
+per row when scores tie — faithful for parity).  A fast on-device rank path
+(`device_ranks`, strictly-greater counting) is provided for the TPU eval
+harness; for continuous float similarities the two agree.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def compute_metrics(similarity: np.ndarray) -> Dict[str, float]:
+    """Rank-of-diagonal metrics on an [N, N] similarity matrix (rows = queries)."""
+    sx = np.sort(-similarity, axis=1)
+    d = np.diag(-similarity)[:, np.newaxis]
+    ind = np.where(sx - d == 0)[1]
+
+    metrics: Dict[str, float] = {}
+    metrics["R1"] = float(np.sum(ind == 0)) * 100 / len(ind)
+    metrics["R5"] = float(np.sum(ind < 5)) * 100 / len(ind)
+    metrics["R10"] = float(np.sum(ind < 10)) * 100 / len(ind)
+    metrics["R50"] = float(np.sum(ind < 50)) * 100 / len(ind)
+    metrics["MR"] = float(np.median(ind)) + 1
+    metrics["MedianR"] = metrics["MR"]
+    metrics["MeanR"] = float(np.mean(ind)) + 1
+    metrics["cols"] = [int(i) for i in list(ind)]
+    return metrics
+
+
+def device_ranks(similarity: jnp.ndarray) -> jnp.ndarray:
+    """On-device diagonal ranks (0-based): count of strictly-greater entries
+    per row.  Equal to the reference ranks in the absence of ties."""
+    diag = jnp.diagonal(similarity)[:, None]
+    return jnp.sum(similarity > diag, axis=1)
+
+
+def metrics_from_ranks(ranks: np.ndarray) -> Dict[str, float]:
+    ranks = np.asarray(ranks)
+    return {
+        "R1": float(np.sum(ranks == 0)) * 100 / len(ranks),
+        "R5": float(np.sum(ranks < 5)) * 100 / len(ranks),
+        "R10": float(np.sum(ranks < 10)) * 100 / len(ranks),
+        "R50": float(np.sum(ranks < 50)) * 100 / len(ranks),
+        "MR": float(np.median(ranks)) + 1,
+        "MedianR": float(np.median(ranks)) + 1,
+        "MeanR": float(np.mean(ranks)) + 1,
+    }
+
+
+def tensor_text_to_video_metrics(
+    sim_tensor: np.ndarray,
+    top_k: Sequence[int] = (1, 5, 10, 50),
+) -> Dict[str, float]:
+    """Multi-sentence t2v metrics on [n_videos, max_caps_per_video, n_videos]
+    (metrics.py:81-123: double argsort, -inf/nan entries filtered)."""
+    sim = np.asarray(sim_tensor, dtype=np.float64)
+    stacked = np.transpose(sim, (1, 0, 2))          # [P, V, V]
+    first = np.argsort(-stacked, axis=-1, kind="stable")
+    second = np.argsort(first, axis=-1, kind="stable")
+    ranks = np.diagonal(second, axis1=1, axis2=2).flatten()  # diag over (V, V)
+
+    original = np.diagonal(sim, axis1=0, axis2=2).flatten()
+    valid = ~(np.isinf(original) | np.isnan(original))
+    ranks = ranks[valid].astype(np.float64)
+
+    results = {f"R{k}": float(np.sum(ranks < k) * 100 / len(ranks)) for k in top_k}
+    results["MedianR"] = float(np.median(ranks + 1))
+    results["MeanR"] = float(np.mean(ranks + 1))
+    results["Std_Rank"] = float(np.std(ranks + 1))
+    results["MR"] = results["MedianR"]
+    return results
+
+
+def tensor_video_to_text_sim(sim_tensor: np.ndarray) -> np.ndarray:
+    """[P, V, V] → [V, V] max-over-captions matrix (metrics.py:125-145)."""
+    sim = np.asarray(sim_tensor, dtype=np.float64).copy()
+    sim[np.isnan(sim)] = -np.inf
+    return np.max(sim, axis=1).T
+
+
+class BestMetricsTracker:
+    """Per-direction monotone-max R@1 tracking (metrics.py:169-206)."""
+
+    def __init__(self) -> None:
+        self.best_mean_r1 = 1e-5
+        self.best_t2v_r1 = 1e-5
+        self.best_v2t_r1 = 1e-5
+        self.best_t2v_metrics: Union[Dict[str, float], None] = None
+        self.best_v2t_metrics: Union[Dict[str, float], None] = None
+
+    def update(self, t2v: Dict[str, float], v2t: Dict[str, float]) -> bool:
+        """Returns True when the mean R@1 improved (checkpoint trigger)."""
+        improved = False
+        mean_r1 = (t2v["R1"] + v2t["R1"]) / 2
+        if mean_r1 > self.best_mean_r1:
+            self.best_mean_r1 = mean_r1
+            improved = True
+        if t2v["R1"] > self.best_t2v_r1:
+            self.best_t2v_r1 = t2v["R1"]
+            self.best_t2v_metrics = dict(t2v)
+        if v2t["R1"] > self.best_v2t_r1:
+            self.best_v2t_r1 = v2t["R1"]
+            self.best_v2t_metrics = dict(v2t)
+        return improved
+
+
+def format_metrics(metrics: Dict[str, float], prefix: str = "") -> str:
+    return (f"{prefix}R@1: {metrics['R1']:.1f} - R@5: {metrics['R5']:.1f} - "
+            f"R@10: {metrics['R10']:.1f} - R@50: {metrics.get('R50', 0.0):.1f} - "
+            f"Median R: {metrics['MR']:.1f} - Mean R: {metrics['MeanR']:.1f}")

@@ -1,0 +1,149 @@
+"""Jitted training step: forward, losses, optimizer, memory-bank refresh.
+
+One SPMD program replaces the reference's per-rank forward + NCCL allgather +
+DDP backward (modeling.py:273-280, trainer.py:66-129): arrays are globally
+shaped, the batch is sharded over the `data` mesh axis at the call boundary,
+and XLA inserts ICI collectives where einsums span the batch.  The loss math
+operates on the global batch exactly like the reference's gathered-tensor
+computation, so gradients match DDP's averaged gradients analytically.
+
+Losses composed per modeling.py:314-360:
+    total = centrality + w_u·uniform + w_n·neighbor + w_kl·KL
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import Config
+from ..losses import hubness
+from ..models import neighborretr as model
+from . import bertadam
+from .memory_bank import MemoryBank, fifo_update
+
+Params = Dict[str, Any]
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt: bertadam.BertAdamState
+    bank: MemoryBank
+    step: jnp.ndarray
+
+
+def create_train_state(params: Params, bank: MemoryBank) -> TrainState:
+    return TrainState(params=params, opt=bertadam.bert_adam_init(params),
+                      bank=bank, step=jnp.zeros((), jnp.int32))
+
+
+def compute_losses(params: Params, cfg: Config, batch: Dict[str, jnp.ndarray],
+                   bank: MemoryBank, key: jax.Array
+                   ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Global-batch loss; returns (total, aux dict incl. fresh features)."""
+    mcfg, lcfg = cfg.model, cfg.loss
+    text_feat, video_feat = model.get_text_video_feat(
+        params, mcfg, batch["text_ids"], batch["text_mask"],
+        batch["video"], batch["video_mask"])
+    t_mask = batch["text_mask"].astype(jnp.float32)
+    v_mask = batch["video_mask"].astype(jnp.float32)
+
+    # local (token-interaction) similarity, v2t = S.T
+    s_local = model.local_similarity(params, text_feat, video_feat, t_mask, v_mask)
+
+    # global path: CTM merge → global similarity → uniform + KL
+    g_t, g_v = model.merge_global_features(
+        params, mcfg, text_feat, video_feat, t_mask, v_mask, key)
+    s_global = model.global_level(g_t, g_v)
+
+    uniform_loss = 0.5 * (
+        hubness.uniform_regularization_loss(
+            s_global, lcfg.temperature, lcfg.beta, lcfg.sinkhorn_iterations)
+        + hubness.uniform_regularization_loss(
+            s_global.T, lcfg.temperature, lcfg.beta, lcfg.sinkhorn_iterations))
+
+    kl_loss = 0.5 * (hubness.kl_divergence_loss(s_global, s_local)
+                     + hubness.kl_divergence_loss(s_global.T, s_local.T))
+
+    # centrality-weighted contrastive
+    t_w, v_w = hubness.centrality_weights(
+        text_feat, video_feat, g_t, g_v, lcfg.centrality_scale)
+    scale = model.logit_scale(params)
+    centrality_loss = 0.5 * (
+        hubness.centrality_weighting_loss(s_local * scale, t_w)
+        + hubness.centrality_weighting_loss(s_local.T * scale, v_w))
+
+    # neighbor adjusting vs the memory bank
+    bank_t2v = model.local_similarity(
+        params, text_feat, bank.feat_v, t_mask, bank.mask_v)          # [B, M]
+    bank_v2t = model.local_similarity(
+        params, bank.feat_t, video_feat, bank.mask_t, v_mask).T       # [B, M]
+    neighbor_loss = 0.5 * (
+        hubness.neighbor_adjusting_loss(
+            s_local, bank_v2t, lcfg.num_neighbors, lcfg.temperature)
+        + hubness.neighbor_adjusting_loss(
+            s_local.T, bank_t2v, lcfg.num_neighbors, lcfg.temperature))
+
+    total = (centrality_loss
+             + uniform_loss * lcfg.uniform_weight
+             + neighbor_loss * lcfg.neighbor_weight
+             + kl_loss * lcfg.kl_weight)
+
+    aux = {
+        "loss": total,
+        "centrality_loss": centrality_loss,
+        "uniform_loss": uniform_loss,
+        "neighbor_loss": neighbor_loss,
+        "kl_loss": kl_loss,
+        "text_feat": jax.lax.stop_gradient(text_feat),
+        "video_feat": jax.lax.stop_gradient(video_feat),
+    }
+    return total, aux
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "t_total"),
+                   donate_argnames=("state",))
+def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+               key: jax.Array, cfg: Config, t_total: int
+               ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    grads, aux = jax.grad(compute_losses, has_aux=True)(
+        state.params, cfg, batch, state.bank, key)
+
+    new_params, new_opt = bertadam.bert_adam_update(
+        grads, state.opt, state.params, cfg.optim, t_total)
+    new_params = model.clamp_logit_scale(new_params, cfg.loss.max_logit_scale)
+
+    # FIFO bank refresh with the freshly encoded batch (modeling.py:309-310)
+    new_bank = fifo_update(
+        state.bank, batch["idx"].astype(jnp.int32),
+        aux.pop("text_feat"), aux.pop("video_feat"),
+        batch["text_mask"].astype(jnp.float32),
+        batch["video_mask"].astype(jnp.float32))
+
+    metrics = dict(aux)
+    metrics["grad_norm"] = bertadam.global_norm(grads)
+    metrics["logit_scale"] = model.logit_scale(new_params)
+
+    return TrainState(params=new_params, opt=new_opt, bank=new_bank,
+                      step=state.step + 1), metrics
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "offset"),
+                   donate_argnames=("bank",))
+def fill_bank_step(params: Params, bank: MemoryBank,
+                   batch: Dict[str, jnp.ndarray], cfg: Config,
+                   offset: int) -> MemoryBank:
+    """Epoch-start bank fill: encode one batch, write at static offset
+    (utils/memory_bank.py:124-211)."""
+    from .memory_bank import write_slice
+    text_feat, video_feat = model.get_text_video_feat(
+        params, cfg.model, batch["text_ids"], batch["text_mask"],
+        batch["video"], batch["video_mask"])
+    return write_slice(
+        bank, offset, batch["idx"].astype(jnp.int32),
+        text_feat, video_feat,
+        batch["text_mask"].astype(jnp.float32),
+        batch["video_mask"].astype(jnp.float32))

@@ -1,0 +1,28 @@
+"""Test harness: force an 8-device virtual CPU platform.
+
+The environment's sitecustomize registers the `axon` TPU backend and forces
+jax_platforms='axon,cpu' in every interpreter, so a plain env var is not
+enough — we re-point the config at CPU before any backend initializes.
+Multi-device sharding paths run on the virtual host platform
+(xla_force_host_platform_device_count=8), mirroring how the driver validates
+the multi-chip program without real chips.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,114 @@
+"""BertAdam golden-trace tests vs hand-computed updates
+(reference math: optimization.py:142-210 + trainer.py:104)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neighborretr_tpu.core.config import OptimizerConfig
+from neighborretr_tpu.train import bertadam as BA
+
+
+def _np_schedule(x, warmup):
+    return x / warmup if x < warmup else 0.5 * (1 + np.cos(np.pi * x))
+
+
+def _oracle_step(p, g, m, v, step, cfg, t_total, lr_scale=1.0, decay=True,
+                 global_coef=1.0):
+    """One reference BertAdam step on a single tensor."""
+    g = g * global_coef
+    pn = np.sqrt((g ** 2).sum())
+    g = g * min(cfg.max_grad_norm / (pn + 1e-6), 1.0)
+    m = cfg.b1 * m + (1 - cfg.b1) * g
+    v = cfg.b2 * v + (1 - cfg.b2) * g * g
+    upd = m / (np.sqrt(v) + cfg.eps)
+    if decay:
+        upd = upd + cfg.weight_decay * p
+    lr = cfg.lr * lr_scale * _np_schedule(step / t_total, cfg.warmup_proportion)
+    return p - lr * upd, m, v
+
+
+def test_first_step_zero_lr():
+    """Reference quirk: schedule evaluated at completed-steps=0 → lr 0, but
+    moments update."""
+    cfg = OptimizerConfig()
+    params = {"x": {"w": jnp.ones((3,))}}
+    grads = {"x": {"w": jnp.full((3,), 0.1)}}
+    state = BA.bert_adam_init(params)
+    new_p, new_s = BA.bert_adam_update(grads, state, params, cfg, t_total=100)
+    np.testing.assert_allclose(new_p["x"]["w"], params["x"]["w"])
+    assert float(jnp.abs(new_s.m["x"]["w"]).sum()) > 0
+    assert int(new_s.step) == 1
+
+
+def test_trace_matches_oracle(rng):
+    cfg = OptimizerConfig(lr=0.01, warmup_proportion=0.1, weight_decay=0.1)
+    t_total = 20
+    w0 = rng.normal(size=(4,)).astype(np.float32)
+    params = {"w": jnp.array(w0)}
+    state = BA.bert_adam_init(params)
+
+    p_np, m_np, v_np = w0.copy(), np.zeros(4, np.float32), np.zeros(4, np.float32)
+    for step in range(5):
+        g = rng.normal(size=(4,)).astype(np.float32)
+        new_p, state = BA.bert_adam_update({"w": jnp.array(g)}, state, params,
+                                           cfg, t_total)
+        params = new_p
+        # single tensor → global clip == per-param clip applied twice
+        gn = np.sqrt((g ** 2).sum())
+        g1 = g * min(cfg.max_grad_norm / (gn + 1e-6), 1.0)
+        p_np, m_np, v_np = _oracle_step(p_np, g1, m_np, v_np, step, cfg, t_total)
+        np.testing.assert_allclose(np.asarray(params["w"]), p_np, rtol=2e-5,
+                                   atol=1e-7)
+
+
+def test_no_decay_and_clip_branch_lr(rng):
+    cfg = OptimizerConfig(lr=0.01, coef_lr=0.1, weight_decay=0.5,
+                          warmup_proportion=0.1)
+    t_total = 10
+    params = {
+        "clip": {"text": {"ln_final": {"scale": jnp.ones((2,)),
+                                       "bias": jnp.zeros((2,))},
+                          "proj": {"w": jnp.ones((2,))}}},
+        "head": {"w": jnp.ones((2,)), "b": jnp.zeros((2,))},
+    }
+    grads = jax.tree.map(lambda p: jnp.full_like(p, 0.01), params)
+    state = BA.bert_adam_init(params)
+    # run two steps so the second has nonzero lr
+    p1, state = BA.bert_adam_update(grads, state, params, cfg, t_total)
+    p2, state = BA.bert_adam_update(grads, state, p1, cfg, t_total)
+
+    # LN params: no decay → only Adam term; head w: decay; clip params move
+    # 10× slower than non-clip (coef_lr)
+    dw_clip = float(jnp.abs(p2["clip"]["text"]["proj"]["w"] - 1.0).sum())
+    dw_head = float(jnp.abs(p2["head"]["w"] - 1.0).sum())
+    assert dw_clip < dw_head
+    # bias of head: no decay
+    db_head = float(jnp.abs(p2["head"]["b"]).sum())
+    assert db_head < dw_head
+
+
+def test_frozen_patch_embed_never_moves(rng):
+    cfg = OptimizerConfig()
+    params = {"clip": {"visual": {"patch_embed": jnp.ones((4,)),
+                                  "proj": jnp.ones((4,))}}}
+    grads = jax.tree.map(lambda p: jnp.full_like(p, 1.0), params)
+    state = BA.bert_adam_init(params)
+    for _ in range(3):
+        params, state = BA.bert_adam_update(grads, state, params, cfg, 10)
+    np.testing.assert_allclose(np.asarray(params["clip"]["visual"]["patch_embed"]),
+                               np.ones(4))
+    assert float(jnp.abs(params["clip"]["visual"]["proj"] - 1.0).sum()) > 0
+
+
+def test_schedule_shapes():
+    w = 0.1
+    xs = np.linspace(0, 1, 101)
+    cos_vals = [float(BA.warmup_cosine(jnp.asarray(x), w)) for x in xs]
+    np.testing.assert_allclose(cos_vals[0], 0.0)
+    assert abs(cos_vals[10] - 1.0) < 0.06          # peak after warmup
+    np.testing.assert_allclose(cos_vals[100], 0.0, atol=1e-6)
+    lin = [float(BA.warmup_linear(jnp.asarray(x), w)) for x in xs]
+    np.testing.assert_allclose(lin[100], 0.0, atol=1e-6)

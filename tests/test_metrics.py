@@ -1,0 +1,67 @@
+"""Retrieval metrics tests, including multi-sentence protocols."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from neighborretr_tpu.train import metrics as M
+
+
+def test_compute_metrics_hand_case():
+    # ranks: row0 diag is best (rank 0), row1 rank 1, row2 rank 2
+    sim = np.array([
+        [9.0, 1.0, 0.0],
+        [8.0, 5.0, 1.0],
+        [7.0, 6.0, 2.0],
+    ])
+    m = M.compute_metrics(sim)
+    assert m["cols"] == [0, 1, 2]
+    assert m["R1"] == 100 / 3
+    assert m["R5"] == 100.0
+    assert m["MR"] == 2.0
+    assert abs(m["MeanR"] - 2.0) < 1e-9
+
+
+def test_device_ranks_match_reference(rng):
+    sim = rng.normal(size=(20, 20)).astype(np.float32)
+    ref = M.compute_metrics(sim)["cols"]
+    dev = np.asarray(M.device_ranks(jnp.array(sim)))
+    np.testing.assert_array_equal(sorted(ref), sorted(dev))
+    m1 = M.metrics_from_ranks(dev)
+    assert m1["R1"] == ref.count(0) * 100 / len(ref)
+
+
+def test_multi_sentence_t2v_metrics():
+    V, P = 3, 2
+    sim = np.full((V, P, V), -np.inf)
+    # video 0 has 2 captions; videos 1-2 have 1 caption each
+    sim[0, 0] = [5.0, 1.0, 0.0]   # rank 0
+    sim[0, 1] = [3.0, 4.0, 0.0]   # rank 1
+    sim[1, 0] = [1.0, 6.0, 0.0]   # rank 0
+    sim[2, 0] = [9.0, 8.0, 7.0]   # rank 2
+    res = M.tensor_text_to_video_metrics(sim)
+    # 4 valid captions: ranks 0,1,0,2 → R1 = 50%, R5 = 100%
+    assert res["R1"] == 50.0
+    assert res["R5"] == 100.0
+    assert res["MedianR"] == 1.5
+
+
+def test_video_to_text_sim_max_over_captions():
+    V, P = 2, 2
+    sim = np.full((V, P, V), np.nan)
+    sim[0, 0] = [1.0, 2.0]
+    sim[0, 1] = [3.0, 0.0]
+    sim[1, 0] = [5.0, 4.0]
+    out = M.tensor_video_to_text_sim(sim)
+    # max over captions per (video_group, video): group0 → [3, 2]; group1 → [5, 4]
+    np.testing.assert_allclose(out, np.array([[3.0, 5.0], [2.0, 4.0]]))
+
+
+def test_best_tracker_monotone():
+    tr = M.BestMetricsTracker()
+    t2v = {"R1": 10.0, "R5": 1, "R10": 1, "MR": 1, "MeanR": 1}
+    v2t = {"R1": 20.0, "R5": 1, "R10": 1, "MR": 1, "MeanR": 1}
+    assert tr.update(t2v, v2t)
+    assert tr.best_mean_r1 == 15.0
+    worse = {"R1": 5.0, "R5": 1, "R10": 1, "MR": 1, "MeanR": 1}
+    assert not tr.update(worse, worse)
+    assert tr.best_t2v_r1 == 10.0 and tr.best_v2t_r1 == 20.0
