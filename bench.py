@@ -1,0 +1,95 @@
+"""Benchmark: per-chip video-text pairs/sec on the full training step.
+
+Measures the flagship configuration — CLIP ViT-B/32, 12 frames @ 224, 24-word
+captions, all four hubness losses, memory-bank refresh — end-to-end through the
+jitted train step (forward + backward + BertAdam), on whatever accelerator JAX
+exposes (the driver runs this on one real TPU chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+`vs_baseline` compares against REFERENCE_PAIRS_PER_SEC_PER_GPU — the reference
+repo publishes no throughput numbers (BASELINE.md), so this is a documented
+engineering estimate for the PyTorch reference on a single modern GPU (global
+batch 128 on 4 GPUs, CLIP4Clip-lineage trainers measure ~30-60 pairs/s/GPU);
+we use the midpoint.  The north-star target is ≥5× (BASELINE.json).
+"""
+
+import dataclasses
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_PAIRS_PER_SEC_PER_GPU = 45.0
+
+BATCH = int(__import__("os").environ.get("BENCH_BATCH", "64"))
+WARMUP_STEPS = 2
+MEASURE_STEPS = 8
+
+
+def main():
+    from neighborretr_tpu.core.config import (Config, LossConfig, ModelConfig,
+                                              TrainConfig)
+    from neighborretr_tpu.models import neighborretr as model
+    from neighborretr_tpu.train import memory_bank as mb
+    from neighborretr_tpu.train.step import (create_train_state,
+                                             fill_bank_step, train_step)
+
+    mcfg = dataclasses.replace(ModelConfig(), remat=True)
+    cfg = Config(model=mcfg, loss=LossConfig(),
+                 train=TrainConfig(batch_size=BATCH, mb_batch=4))
+
+    dev = jax.devices()[0]
+    print(f"# bench device: {dev}", file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+    W, F, R = mcfg.max_words, mcfg.max_frames, mcfg.clip.image_resolution
+    vocab = mcfg.clip.vocab_size
+    text_ids = rng.integers(1, vocab - 1, size=(BATCH, W)).astype(np.int32)
+    text_mask = np.ones((BATCH, W), np.float32)
+    text_ids[:, -1] = vocab - 1
+    batch = {
+        "text_ids": jnp.asarray(text_ids),
+        "text_mask": jnp.asarray(text_mask),
+        "video": jnp.asarray(
+            rng.integers(0, 256, size=(BATCH, F, R, R, 3)).astype(np.uint8)),
+        "video_mask": jnp.ones((BATCH, F), jnp.float32),
+        "idx": jnp.arange(BATCH, dtype=jnp.int32),
+    }
+
+    params = model.init_params(jax.random.PRNGKey(0), mcfg)
+    bank = mb.create(cfg.train.memory_bank_capacity, W, F, mcfg.clip.embed_dim)
+    for i in range(cfg.train.mb_batch):
+        bank = fill_bank_step(params, bank, batch, cfg, i * BATCH)
+    state = create_train_state(params, bank)
+
+    t_total = 1000
+    # warmup (compile)
+    for i in range(WARMUP_STEPS):
+        state, metrics = train_step(state, batch, jax.random.PRNGKey(i),
+                                    cfg, t_total)
+    jax.block_until_ready(metrics["loss"])
+
+    tic = time.perf_counter()
+    for i in range(MEASURE_STEPS):
+        state, metrics = train_step(state, batch, jax.random.PRNGKey(100 + i),
+                                    cfg, t_total)
+    jax.block_until_ready(metrics["loss"])
+    elapsed = time.perf_counter() - tic
+
+    pairs_per_sec = BATCH * MEASURE_STEPS / elapsed
+    print(f"# {MEASURE_STEPS} steps x batch {BATCH} in {elapsed:.2f}s, "
+          f"loss={float(metrics['loss']):.4f}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "train pairs/sec/chip (ViT-B/32, 12f@224, full hubness losses)",
+        "value": round(pairs_per_sec, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC_PER_GPU, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Evaluation CLI: load a checkpoint, run retrieval eval on a dataset split.
+
+    python -m cli.eval --datatype msrvtt --anno_path ... --video_path ... \
+        --checkpoint outputs/msrvtt/best.npz --clip_checkpoint ViT-B-32.pt
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser(description="NeighborRetr-TPU evaluation")
+    p.add_argument("--datatype", default="msrvtt")
+    p.add_argument("--anno_path", default="")
+    p.add_argument("--video_path", default="")
+    p.add_argument("--subset", default=None)
+    p.add_argument("--base_encoder", default="ViT-B/32",
+                   choices=["ViT-B/32", "ViT-B/16"])
+    p.add_argument("--checkpoint", default=None, help="best.npz params")
+    p.add_argument("--clip_checkpoint", default=None)
+    p.add_argument("--batch_size_val", type=int, default=128)
+    p.add_argument("--max_words", type=int, default=24)
+    p.add_argument("--max_frames", type=int, default=12)
+    p.add_argument("--video_framerate", type=int, default=1)
+    p.add_argument("--workers", type=int, default=8)
+    args = p.parse_args()
+
+    import jax
+    from neighborretr_tpu.core import checkpoint as ckpt
+    from neighborretr_tpu.core.config import (ClipConfig, Config, ModelConfig,
+                                              TrainConfig)
+    from neighborretr_tpu.data.loader import BatchLoader
+    from neighborretr_tpu.data.registry import EVAL_SUBSET, build_dataset
+    from neighborretr_tpu.data.tokenizer import ClipTokenizer
+    from neighborretr_tpu.models import neighborretr as model
+    from neighborretr_tpu.train.evaluate import evaluate
+    from neighborretr_tpu.utils.logging import setup_logger
+
+    clip_cfg = (ClipConfig.vit_b_16() if args.base_encoder == "ViT-B/16"
+                else ClipConfig.vit_b_32())
+    cfg = Config(model=ModelConfig(clip=clip_cfg, max_words=args.max_words,
+                                   max_frames=args.max_frames),
+                 train=TrainConfig(batch_size_val=args.batch_size_val))
+    logger = setup_logger()
+
+    tokenizer = ClipTokenizer()
+    subset = args.subset or EVAL_SUBSET[args.datatype]
+    ds = build_dataset(args.datatype, subset, args.anno_path, args.video_path,
+                       tokenizer, max_words=args.max_words,
+                       max_frames=args.max_frames,
+                       resolution=cfg.model.clip.image_resolution,
+                       video_framerate=args.video_framerate)
+    loader = BatchLoader(ds, args.batch_size_val, shuffle=False,
+                         drop_last=False, workers=args.workers,
+                         pad_to_batch=True)
+
+    params = model.init_params(jax.random.PRNGKey(0), cfg.model)
+    if args.clip_checkpoint:
+        from neighborretr_tpu.models.weights_io import load_openai_clip_into
+        params = load_openai_clip_into(params, cfg.model, args.clip_checkpoint)
+        logger.info("Loaded CLIP weights from %s", args.clip_checkpoint)
+    if args.checkpoint:
+        params = ckpt.load_params(args.checkpoint, params)
+        logger.info("Loaded checkpoint %s", args.checkpoint)
+
+    evaluate(params, cfg, loader, dataset=ds, logger=logger)
+
+
+if __name__ == "__main__":
+    main()

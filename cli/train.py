@@ -1,0 +1,133 @@
+"""Training CLI.
+
+    python -m cli.train --datatype msrvtt --anno_path ... --video_path ... \
+        --clip_checkpoint ViT-B-32.pt --output_dir outputs/msrvtt
+
+Mirrors the reference's main.py recipes (README.md:92-133) on top of the
+typed Config.  --datatype synthetic trains on generated data (smoke runs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="NeighborRetr-TPU training")
+    p.add_argument("--datatype", default="synthetic")
+    p.add_argument("--anno_path", default="")
+    p.add_argument("--video_path", default="")
+    p.add_argument("--output_dir", default="outputs/run")
+    p.add_argument("--base_encoder", default="ViT-B/32",
+                   choices=["ViT-B/32", "ViT-B/16"])
+    p.add_argument("--clip_checkpoint", default=None)
+    p.add_argument("--init_checkpoint", default=None)
+    p.add_argument("--epochs", type=int, default=5)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--batch_size_val", type=int, default=128)
+    p.add_argument("--max_words", type=int, default=24)
+    p.add_argument("--max_frames", type=int, default=12)
+    p.add_argument("--video_framerate", type=int, default=1)
+    p.add_argument("--mb_batch", type=int, default=15)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--coef_lr", type=float, default=1e-3)
+    p.add_argument("--weight_decay", type=float, default=0.2)
+    p.add_argument("--warmup_proportion", type=float, default=0.1)
+    p.add_argument("--centrality_scale", type=float, default=0.3)
+    p.add_argument("--kl_weight", type=float, default=1.0)
+    p.add_argument("--uniform_weight", type=float, default=1.0)
+    p.add_argument("--neighbor_weight", type=float, default=1.0)
+    p.add_argument("--beta", type=float, default=0.7)
+    p.add_argument("--num_neighbors", type=int, default=20)
+    p.add_argument("--temperature", type=float, default=3.0)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--n_display", type=int, default=50)
+    p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--synthetic_size", type=int, default=256)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    from neighborretr_tpu.core.config import (ClipConfig, Config, DataConfig,
+                                              LossConfig, ModelConfig,
+                                              OptimizerConfig, TrainConfig,
+                                              validate)
+    from neighborretr_tpu.parallel import mesh as pmesh
+    from neighborretr_tpu.train.loop import run_training
+    from neighborretr_tpu.utils.logging import setup_logger
+
+    clip_cfg = (ClipConfig.vit_b_16() if args.base_encoder == "ViT-B/16"
+                else ClipConfig.vit_b_32())
+    cfg = Config(
+        model=ModelConfig(clip=clip_cfg, max_words=args.max_words,
+                          max_frames=args.max_frames, remat=args.remat),
+        loss=LossConfig(centrality_scale=args.centrality_scale,
+                        kl_weight=args.kl_weight,
+                        uniform_weight=args.uniform_weight,
+                        neighbor_weight=args.neighbor_weight,
+                        beta=args.beta, num_neighbors=args.num_neighbors,
+                        temperature=args.temperature),
+        optim=OptimizerConfig(lr=args.lr, coef_lr=args.coef_lr,
+                              weight_decay=args.weight_decay,
+                              warmup_proportion=args.warmup_proportion),
+        data=DataConfig(datatype=args.datatype, data_path=args.anno_path,
+                        video_path=args.video_path, max_words=args.max_words,
+                        max_frames=args.max_frames,
+                        video_framerate=args.video_framerate,
+                        workers=args.workers),
+        train=TrainConfig(epochs=args.epochs, batch_size=args.batch_size,
+                          batch_size_val=args.batch_size_val,
+                          mb_batch=args.mb_batch, seed=args.seed,
+                          n_display=args.n_display,
+                          output_dir=args.output_dir,
+                          init_checkpoint=args.init_checkpoint,
+                          clip_checkpoint=args.clip_checkpoint,
+                          num_devices=args.num_devices),
+    )
+
+    import jax
+    mesh = pmesh.make_mesh(num_devices=args.num_devices)
+    validate(cfg, mesh.devices.size)
+
+    logger = setup_logger(output_dir=args.output_dir)
+    logger.info("Devices: %s", jax.devices())
+    logger.info("Config:\n%s", cfg.to_json())
+
+    if args.datatype == "synthetic":
+        import dataclasses as dc
+        from neighborretr_tpu.data.datasets.synthetic import SyntheticDataset
+        if args.clip_checkpoint is None:
+            # small towers for smoke runs without a checkpoint
+            cfg = dc.replace(cfg, model=ModelConfig.tiny(
+                max_words=args.max_words, max_frames=args.max_frames))
+        kw = dict(max_words=args.max_words, max_frames=args.max_frames,
+                  resolution=cfg.model.clip.image_resolution,
+                  vocab_size=cfg.model.clip.vocab_size)
+        train_ds = SyntheticDataset(n=args.synthetic_size, seed=1, **kw)
+        test_ds = SyntheticDataset(n=max(32, args.batch_size_val), seed=2, **kw)
+    else:
+        from neighborretr_tpu.data.registry import EVAL_SUBSET, build_dataset
+        from neighborretr_tpu.data.tokenizer import ClipTokenizer
+        tokenizer = ClipTokenizer()
+        kw = dict(max_words=args.max_words, max_frames=args.max_frames,
+                  resolution=cfg.model.clip.image_resolution,
+                  video_framerate=args.video_framerate)
+        train_ds = build_dataset(args.datatype, "train", args.anno_path,
+                                 args.video_path, tokenizer, **kw)
+        test_ds = build_dataset(args.datatype, EVAL_SUBSET[args.datatype],
+                                args.anno_path, args.video_path, tokenizer, **kw)
+
+    run_training(cfg, train_ds, test_ds, logger=logger, mesh=mesh)
+
+
+if __name__ == "__main__":
+    main()

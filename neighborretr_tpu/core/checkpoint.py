@@ -1,0 +1,94 @@
+"""Checkpointing: params + optimizer state + step, flat-key npz format.
+
+Unlike the reference (save-only state_dicts, no optimizer/step state —
+main.py:161-187 — so runs cannot resume), checkpoints here capture the full
+TrainState, enabling mid-run resume.  Rolling `best.npz` mirrors the
+reference's best.pth tracking (main.py:354-365).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Tuple
+
+import jax
+import numpy as np
+
+_SEP = "//"
+
+
+def flatten_tree(tree) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = _SEP.join(str(getattr(k, "key", getattr(k, "idx", k)))
+                        for k in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def unflatten_into(tree_like, flat: Dict[str, np.ndarray]):
+    """Rebuild a pytree with tree_like's structure from flat arrays."""
+    leaves_with_path = jax.tree_util.tree_flatten_with_path(tree_like)
+    treedef = jax.tree_util.tree_structure(tree_like)
+    new_leaves = []
+    for path, leaf in leaves_with_path[0]:
+        key = _SEP.join(str(getattr(k, "key", getattr(k, "idx", k)))
+                        for k in path)
+        if key not in flat:
+            raise KeyError(f"checkpoint missing leaf: {key}")
+        arr = flat[key]
+        if arr.shape != leaf.shape:
+            raise ValueError(
+                f"shape mismatch for {key}: ckpt {arr.shape} vs model {leaf.shape}")
+        new_leaves.append(arr.astype(np.asarray(leaf).dtype))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def save_params(path: str, params) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, **flatten_tree(params))
+
+
+def load_params(path: str, params_like):
+    with np.load(path, allow_pickle=False) as data:
+        flat = {k: data[k] for k in data.files}
+    return unflatten_into(params_like, flat)
+
+
+def save_train_state(path: str, state) -> None:
+    """state: train.step.TrainState (params, opt(m, v, step), bank, step)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    payload = {}
+    for name, tree in (("params", state.params), ("opt_m", state.opt.m),
+                       ("opt_v", state.opt.v), ("bank", state.bank._asdict())):
+        for k, v in flatten_tree(tree).items():
+            payload[f"{name}{_SEP}{k}"] = v
+    payload["opt_step"] = np.asarray(state.opt.step)
+    payload["step"] = np.asarray(state.step)
+    np.savez(path, **payload)
+
+
+def load_train_state(path: str, state_like):
+    from ..train.bertadam import BertAdamState
+    from ..train.memory_bank import MemoryBank
+    from ..train.step import TrainState
+
+    with np.load(path, allow_pickle=False) as data:
+        flat = {k: data[k] for k in data.files}
+
+    def sub(prefix):
+        plen = len(prefix) + len(_SEP)
+        return {k[plen:]: v for k, v in flat.items()
+                if k.startswith(prefix + _SEP)}
+
+    params = unflatten_into(state_like.params, sub("params"))
+    opt = BertAdamState(
+        step=flat["opt_step"],
+        m=unflatten_into(state_like.opt.m, sub("opt_m")),
+        v=unflatten_into(state_like.opt.v, sub("opt_v")),
+    )
+    bank_like = state_like.bank._asdict()
+    bank_flat = sub("bank")
+    bank = MemoryBank(**{k: bank_flat[k].astype(np.asarray(v).dtype)
+                         for k, v in bank_like.items()})
+    return TrainState(params=params, opt=opt, bank=bank, step=flat["step"])

@@ -61,7 +61,7 @@ class ClipConfig:
     def tiny() -> "ClipConfig":
         """A tiny config for CPU tests."""
         return ClipConfig(
-            embed_dim=32,
+            embed_dim=64,
             image_resolution=32,
             vision_layers=2,
             vision_width=64,
@@ -90,10 +90,22 @@ class ModelConfig:
     # dtype policy: params fp32; matmul-heavy compute in bf16 with fp32
     # LayerNorm/softmax islands (module_clip.py LayerNorm fp32 behavior).
     compute_dtype: str = "bfloat16"
+    # rematerialize encoder blocks in the backward pass (trade FLOPs for HBM)
+    remat: bool = False
+
+    def __post_init__(self):
+        # The temporal transformer, weighting nets and CTM stacks all operate
+        # on projected (embed_dim) features while being seeded from / shaped
+        # like the text tower (transformer_width); the reference relies on
+        # these being equal (512 for ViT-B/32|16, modeling.py:118-135).
+        if self.clip.embed_dim != self.clip.transformer_width:
+            raise ValueError(
+                "embed_dim must equal transformer_width "
+                f"(got {self.clip.embed_dim} vs {self.clip.transformer_width})")
 
     @property
     def width(self) -> int:
-        return self.clip.transformer_width
+        return self.clip.embed_dim
 
     def merge_sizes(self, n_tokens: int, ratios: Tuple[float, float]) -> Tuple[int, int]:
         """Static cluster counts per CTM stage (cluster.py:707: ceil(N*ratio), min 1)."""

@@ -1,0 +1,49 @@
+"""DiDeMo annotation parsing (dataloader_didemo_retrieval.py:75-175).
+
+{train,val,test}_list.txt + {train,val,test}_data.json.  All moment
+descriptions of a video concatenate into one paragraph; the temporal span is
+forced to [0, 31] seconds (videos were truncated to 30s during annotation).
+One paragraph-caption per video → standard single-sentence eval protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from ..tokenizer import ClipTokenizer
+from .base import RetrievalDataset
+
+
+def build_didemo(subset: str, anno_path: str, video_path: str,
+                 tokenizer: ClipTokenizer, **kw) -> RetrievalDataset:
+    with open(os.path.join(anno_path, f"{subset}_list.txt")) as fp:
+        video_ids = [line.strip() for line in fp if line.strip()]
+    id_set = set(video_ids)
+
+    with open(os.path.join(anno_path, f"{subset}_data.json")) as f:
+        json_data = json.load(f)
+
+    texts = {}
+    for item in json_data:
+        vid = item["video"]
+        if vid not in id_set:
+            continue
+        texts.setdefault(vid, []).append(item["description"])
+
+    video_paths = {}
+    for root, _, files in os.walk(video_path):
+        for name in files:
+            vid = ".".join(name.split(".")[:-1])
+            if vid in id_set:
+                video_paths[vid] = os.path.join(root, name)
+            elif name in id_set:   # some DiDeMo ids keep the extension
+                video_paths[name] = os.path.join(root, name)
+
+    pairs = []
+    for vid in video_ids:
+        if vid in texts and vid in video_paths:
+            pairs.append((vid, " ".join(texts[vid]), 0.0, 31.0))
+
+    return RetrievalDataset(pairs, video_paths, tokenizer,
+                            multi_sentence_per_video=False, **kw)

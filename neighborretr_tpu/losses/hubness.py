@@ -91,6 +91,8 @@ def neighbor_masks(similarity: jnp.ndarray,
     matrix), matching the reference (until_module.py:88-129).
     """
     B = similarity.shape[0]
+    # at most B-1 off-diagonal neighbors exist (static clamp for tiny batches)
+    num_neighbors = min(num_neighbors, B - 1)
     eye = jnp.eye(B, dtype=jnp.float32)
     sim_no_self = jnp.where(eye == 0.0, similarity, -BIG)
     _, topk_idx = jax.lax.top_k(sim_no_self, num_neighbors)   # [B, k]

@@ -73,9 +73,11 @@ def seed_temporal_from_clip(params: Params, cfg: ModelConfig) -> Params:
     first `temporal_layers` text resblocks → temporal transformer."""
     text = params["clip"]["text"]
     params["temporal"]["frame_position_embeddings"] = (
-        text["positional_embedding"].copy())
-    params["temporal"]["transformer"] = L.slice_layers(
-        text["transformer"], cfg.temporal_layers)
+        jnp.copy(text["positional_embedding"]))
+    # jnp.copy each leaf: an identity slice would alias the text tower's
+    # buffers and break XLA donation (same buffer donated twice)
+    params["temporal"]["transformer"] = jax.tree.map(
+        jnp.copy, L.slice_layers(text["transformer"], cfg.temporal_layers))
     return params
 
 
@@ -84,9 +86,10 @@ def seed_temporal_from_clip(params: Params, cfg: ModelConfig) -> Params:
 # ---------------------------------------------------------------------------
 
 def get_text_feat(params: Params, cfg: ModelConfig, text_ids, text_mask,
-                  dtype=None, remat: bool = False) -> jnp.ndarray:
+                  dtype=None, remat=None) -> jnp.ndarray:
     """[B, W] ids/mask → [B, W, E] full projected token hidden (fp32)."""
     dtype = dtype or jnp.dtype(cfg.compute_dtype)
+    remat = cfg.remat if remat is None else remat
     _, hidden = clip_mod.encode_text(params["clip"]["text"], cfg.clip,
                                      text_ids, text_mask, dtype=dtype,
                                      remat=remat)
@@ -94,9 +97,17 @@ def get_text_feat(params: Params, cfg: ModelConfig, text_ids, text_mask,
 
 
 def get_video_feat(params: Params, cfg: ModelConfig, video, video_mask,
-                   dtype=None, remat: bool = False) -> jnp.ndarray:
-    """[B, F, H, W, 3] frames + [B, F] mask → [B, F, E] temporal features."""
+                   dtype=None, remat=None) -> jnp.ndarray:
+    """[B, F, H, W, 3] frames + [B, F] mask → [B, F, E] temporal features.
+
+    uint8 pixels are CLIP-normalized on device (host ships raw bytes — 4× less
+    PCIe/ICI traffic than fp32); float inputs are assumed pre-normalized.
+    """
+    if video.dtype == jnp.uint8:
+        from ..data.video import normalize_frames
+        video = normalize_frames(video)
     dtype = dtype or jnp.dtype(cfg.compute_dtype)
+    remat = cfg.remat if remat is None else remat
     B, F = video_mask.shape
     frames = video.reshape((B * F,) + video.shape[2:])
     cls_feat, _ = clip_mod.encode_image(params["clip"]["visual"], cfg.clip,
@@ -107,7 +118,7 @@ def get_video_feat(params: Params, cfg: ModelConfig, video, video_mask,
 
 
 def get_text_video_feat(params: Params, cfg: ModelConfig, text_ids, text_mask,
-                        video, video_mask, dtype=None, remat: bool = False):
+                        video, video_mask, dtype=None, remat=None):
     return (get_text_feat(params, cfg, text_ids, text_mask, dtype, remat),
             get_video_feat(params, cfg, video, video_mask, dtype, remat))
 

@@ -1,0 +1,135 @@
+"""OpenAI CLIP checkpoint loading: torch state dict → parameter pytree.
+
+Replicates the reference's shape-sniffing contract (modeling.py:88-101): model
+dimensions are derived from the checkpoint tensors themselves, then weights
+map into the functional pytree with the layout transposes this codebase uses
+(input-major linear weights, [K, C_in, C_out] convs → flattened patch matmul).
+
+After loading, frame position embeddings and the temporal transformer are
+re-seeded from the loaded text tower (modeling.py:199-220).
+
+torch is imported lazily — it is only needed when actually reading a .pt
+checkpoint; the rest of the framework never touches it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import ClipConfig, ModelConfig
+from .neighborretr import seed_temporal_from_clip
+
+Params = Dict[str, Any]
+
+
+def read_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+    try:
+        model = torch.jit.load(path, map_location="cpu").eval()
+        sd = model.state_dict()
+    except RuntimeError:
+        sd = torch.load(path, map_location="cpu")
+    return {k: v.float().cpu().numpy() for k, v in sd.items()}
+
+
+def sniff_clip_config(sd: Dict[str, np.ndarray]) -> ClipConfig:
+    """Derive architecture dims from checkpoint shapes (modeling.py:88-101)."""
+    vision_width = sd["visual.conv1.weight"].shape[0]
+    vision_layers = len([k for k in sd
+                         if k.startswith("visual.") and k.endswith(".attn.in_proj_weight")])
+    vision_patch_size = sd["visual.conv1.weight"].shape[-1]
+    grid_size = round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5)
+    image_resolution = vision_patch_size * grid_size
+    embed_dim = sd["text_projection"].shape[1]
+    context_length = sd["positional_embedding"].shape[0]
+    vocab_size = sd["token_embedding.weight"].shape[0]
+    transformer_width = sd["ln_final.weight"].shape[0]
+    transformer_layers = len({k.split(".")[2] for k in sd
+                              if k.startswith("transformer.resblocks")})
+    return ClipConfig(
+        embed_dim=embed_dim,
+        image_resolution=image_resolution,
+        vision_layers=vision_layers,
+        vision_width=vision_width,
+        vision_patch_size=vision_patch_size,
+        context_length=context_length,
+        vocab_size=vocab_size,
+        transformer_width=transformer_width,
+        transformer_layers=transformer_layers,
+    )
+
+
+def _block_from_torch(sd, prefix: str) -> Params:
+    return {
+        "ln_1": {"scale": jnp.asarray(sd[f"{prefix}.ln_1.weight"]),
+                 "bias": jnp.asarray(sd[f"{prefix}.ln_1.bias"])},
+        "attn": {
+            "in_proj": {"w": jnp.asarray(sd[f"{prefix}.attn.in_proj_weight"].T),
+                        "b": jnp.asarray(sd[f"{prefix}.attn.in_proj_bias"])},
+            "out_proj": {"w": jnp.asarray(sd[f"{prefix}.attn.out_proj.weight"].T),
+                         "b": jnp.asarray(sd[f"{prefix}.attn.out_proj.bias"])},
+        },
+        "ln_2": {"scale": jnp.asarray(sd[f"{prefix}.ln_2.weight"]),
+                 "bias": jnp.asarray(sd[f"{prefix}.ln_2.bias"])},
+        "mlp": {
+            "c_fc": {"w": jnp.asarray(sd[f"{prefix}.mlp.c_fc.weight"].T),
+                     "b": jnp.asarray(sd[f"{prefix}.mlp.c_fc.bias"])},
+            "c_proj": {"w": jnp.asarray(sd[f"{prefix}.mlp.c_proj.weight"].T),
+                       "b": jnp.asarray(sd[f"{prefix}.mlp.c_proj.bias"])},
+        },
+    }
+
+
+def _stack_blocks(blocks):
+    import jax
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
+
+
+def clip_params_from_state_dict(sd: Dict[str, np.ndarray]) -> Params:
+    cfg = sniff_clip_config(sd)
+
+    conv = sd["visual.conv1.weight"]                     # [width, 3, P, P]
+    patch_embed = conv.transpose(2, 3, 1, 0).reshape(-1, conv.shape[0])
+
+    visual = {
+        "patch_embed": jnp.asarray(patch_embed),
+        "class_embedding": jnp.asarray(sd["visual.class_embedding"]),
+        "positional_embedding": jnp.asarray(sd["visual.positional_embedding"]),
+        "ln_pre": {"scale": jnp.asarray(sd["visual.ln_pre.weight"]),
+                   "bias": jnp.asarray(sd["visual.ln_pre.bias"])},
+        "transformer": _stack_blocks([
+            _block_from_torch(sd, f"visual.transformer.resblocks.{i}")
+            for i in range(cfg.vision_layers)]),
+        "ln_post": {"scale": jnp.asarray(sd["visual.ln_post.weight"]),
+                    "bias": jnp.asarray(sd["visual.ln_post.bias"])},
+        "proj": jnp.asarray(sd["visual.proj"]),
+    }
+    text = {
+        "token_embedding": jnp.asarray(sd["token_embedding.weight"]),
+        "positional_embedding": jnp.asarray(sd["positional_embedding"]),
+        "transformer": _stack_blocks([
+            _block_from_torch(sd, f"transformer.resblocks.{i}")
+            for i in range(cfg.transformer_layers)]),
+        "ln_final": {"scale": jnp.asarray(sd["ln_final.weight"]),
+                     "bias": jnp.asarray(sd["ln_final.bias"])},
+        "text_projection": jnp.asarray(sd["text_projection"]),
+    }
+    return {"text": text, "visual": visual,
+            "logit_scale": jnp.asarray(sd["logit_scale"]).reshape(())}
+
+
+def load_openai_clip_into(params: Params, cfg: ModelConfig,
+                          ckpt_path: str) -> Params:
+    """Replace the clip subtree with checkpoint weights and re-seed the
+    temporal transformer from the loaded text tower."""
+    sd = read_torch_state_dict(ckpt_path)
+    sniffed = sniff_clip_config(sd)
+    if sniffed != cfg.clip:
+        raise ValueError(
+            f"checkpoint architecture {sniffed} != configured {cfg.clip}")
+    params = dict(params)
+    params["clip"] = clip_params_from_state_dict(sd)
+    return seed_temporal_from_clip(params, cfg)

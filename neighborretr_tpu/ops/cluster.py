@@ -55,6 +55,10 @@ def cluster_dpc_knn(
     """Returns idx_cluster [B, N] int32 — cluster id per token."""
     x = jax.lax.stop_gradient(x.astype(jnp.float32))
     B, N, C = x.shape
+    # static clamps for tiny token counts (k-NN density needs k ≤ N and at
+    # most N clusters exist)
+    k = min(k, N)
+    cluster_num = min(cluster_num, N)
 
     dist = pairwise_dist(x)
     if token_mask is not None:

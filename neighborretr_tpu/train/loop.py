@@ -1,0 +1,160 @@
+"""Epoch orchestration: bank fill → train epoch → eval → best tracking.
+
+Rebuilds the reference's main-loop behavior (main.py:287-409 + trainer.py):
+per epoch the memory bank is re-filled from `mb_batch` training batches
+(memory_bank.py:80-229), the train epoch runs with loss logging every
+`n_display` steps and mid-epoch validation every `n_display*3` steps with
+best-checkpoint saving (trainer.py:147-202), then the per-epoch eval updates
+best metrics and `best.npz` (main.py:333-365).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..core import checkpoint as ckpt
+from ..core.config import Config
+from ..data.loader import BatchLoader
+from ..models import neighborretr as model
+from ..parallel import mesh as pmesh
+from ..utils.logging import MetricLogger, setup_logger
+from . import memory_bank as mb
+from .evaluate import evaluate
+from .metrics import BestMetricsTracker
+from .step import create_train_state, fill_bank_step, train_step
+
+
+def fill_memory_bank(params, cfg: Config, bank_loader: BatchLoader,
+                     bank: mb.MemoryBank, mesh=None) -> mb.MemoryBank:
+    """Epoch-start fill: encode min(mb_batch, len(loader)) batches."""
+    n_fill = min(cfg.train.mb_batch, len(bank_loader))
+    for i, batch in enumerate(bank_loader):
+        if i >= n_fill:
+            break
+        batch.pop("valid", None)
+        batch.pop("video_hash", None)
+        if mesh is not None:
+            batch = pmesh.shard_batch(batch, mesh)
+        bank = fill_bank_step(params, bank, batch, cfg,
+                              i * cfg.train.batch_size)
+    return bank
+
+
+def run_training(cfg: Config, train_ds, test_ds, logger=None,
+                 mesh=None, workers: Optional[int] = None):
+    """Full training run; returns (final TrainState, BestMetricsTracker)."""
+    logger = logger or setup_logger(output_dir=cfg.train.output_dir)
+    workers = workers if workers is not None else cfg.data.workers
+
+    train_loader = BatchLoader(train_ds, cfg.train.batch_size, shuffle=True,
+                               drop_last=True, workers=workers,
+                               seed=cfg.train.seed)
+    bank_loader = BatchLoader(train_ds, cfg.train.batch_size, shuffle=True,
+                              drop_last=True, workers=workers,
+                              seed=cfg.train.seed + 7919)
+    test_loader = BatchLoader(test_ds, cfg.train.batch_size_val,
+                              shuffle=False, drop_last=False,
+                              workers=workers, pad_to_batch=True)
+
+    steps_per_epoch = len(train_loader)
+    t_total = max(steps_per_epoch * cfg.train.epochs, 1)
+
+    key = jax.random.PRNGKey(cfg.train.seed)
+    params = model.init_params(key, cfg.model)
+    if cfg.train.clip_checkpoint:
+        from ..models.weights_io import load_openai_clip_into
+        params = load_openai_clip_into(params, cfg.model,
+                                       cfg.train.clip_checkpoint)
+        logger.info("Loaded CLIP weights from %s", cfg.train.clip_checkpoint)
+    if cfg.train.init_checkpoint:
+        params = ckpt.load_params(cfg.train.init_checkpoint, params)
+        logger.info("Warm-started from %s", cfg.train.init_checkpoint)
+
+    bank = mb.create(cfg.train.memory_bank_capacity, cfg.model.max_words,
+                     cfg.model.max_frames, cfg.model.clip.embed_dim)
+
+    if mesh is not None:
+        params = pmesh.replicate_tree(params, mesh)
+        bank = mb.MemoryBank(*pmesh.replicate_tree(tuple(bank), mesh))
+
+    state = create_train_state(params, bank)
+    tracker = BestMetricsTracker()
+    best_path = os.path.join(cfg.train.output_dir, "best.npz")
+    global_step = 0
+
+    for epoch in range(cfg.train.epochs):
+        train_loader.set_epoch(epoch)
+        bank_loader.set_epoch(epoch)
+
+        tic = time.time()
+        state = state._replace(bank=fill_memory_bank(
+            state.params, cfg, bank_loader, state.bank, mesh))
+        logger.info("Epoch %d: memory bank filled in %.1fs", epoch,
+                    time.time() - tic)
+
+        meters = MetricLogger()
+        epoch_tic = time.time()
+        for it, batch in enumerate(train_loader):
+            batch.pop("valid", None)
+            batch.pop("video_hash", None)
+            if mesh is not None:
+                batch = pmesh.shard_batch(batch, mesh)
+            step_key = jax.random.fold_in(key, global_step)
+            state, metrics = train_step(state, batch, step_key, cfg, t_total)
+            global_step += 1
+
+            if (it % cfg.train.n_display) == 0:
+                meters.update(**{k: float(v) for k, v in metrics.items()
+                                 if np.ndim(v) == 0})
+                done = it + 1
+                eta = (time.time() - epoch_tic) / done * (steps_per_epoch - done)
+                logger.info("Epoch %d/%d step %d/%d  %s  eta %.0fs",
+                            epoch + 1, cfg.train.epochs, done,
+                            steps_per_epoch, meters, eta)
+
+            # mid-epoch validation (trainer.py:167-202): every n_display*3
+            # steps and once near the start
+            if cfg.train.mid_epoch_eval and (
+                    global_step % (cfg.train.n_display * 3) == 0
+                    or global_step == 1):
+                t2v, v2t = evaluate(state.params, cfg, test_loader,
+                                    dataset=test_ds, logger=logger)
+                if tracker.update(t2v, v2t) and cfg.train.save_checkpoints:
+                    ckpt.save_params(best_path, state.params)
+                    logger.info("Saved best checkpoint (mean R@1 %.2f)",
+                                tracker.best_mean_r1)
+
+        # per-epoch eval + checkpoint (main.py:333-365)
+        t2v, v2t = evaluate(state.params, cfg, test_loader, dataset=test_ds,
+                            logger=logger)
+        if tracker.update(t2v, v2t) and cfg.train.save_checkpoints:
+            ckpt.save_params(best_path, state.params)
+            logger.info("Saved best checkpoint (mean R@1 %.2f)",
+                        tracker.best_mean_r1)
+        if cfg.train.save_checkpoints:
+            ckpt.save_train_state(
+                os.path.join(cfg.train.output_dir, f"state_epoch{epoch}.npz"),
+                jax.device_get(state))
+
+        # epoch-end bank clear (main.py:368-374): re-created next epoch
+        state = state._replace(bank=mb.create(
+            cfg.train.memory_bank_capacity, cfg.model.max_words,
+            cfg.model.max_frames, cfg.model.clip.embed_dim))
+        if mesh is not None:
+            state = state._replace(
+                bank=mb.MemoryBank(*pmesh.replicate_tree(tuple(state.bank), mesh)))
+
+    # final test on the best checkpoint (main.py:389-409)
+    if cfg.train.save_checkpoints and os.path.exists(best_path):
+        best_params = ckpt.load_params(best_path, jax.device_get(state.params))
+        if mesh is not None:
+            best_params = pmesh.replicate_tree(best_params, mesh)
+        logger.info("Final test on best checkpoint:")
+        evaluate(best_params, cfg, test_loader, dataset=test_ds, logger=logger)
+
+    return state, tracker

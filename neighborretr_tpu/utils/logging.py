@@ -1,0 +1,94 @@
+"""Logger + smoothed meters (reference utils/logger.py + metric_logger.py)."""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+import time
+from collections import defaultdict, deque
+from typing import Dict
+
+
+def setup_logger(name: str = "neighborretr_tpu", output_dir: str = "",
+                 is_main: bool = True, level=logging.DEBUG) -> logging.Logger:
+    """Rank-aware logger: non-main processes log errors only (logger.py:13-55)."""
+    logger = logging.getLogger(name)
+    logger.handlers.clear()
+    logger.propagate = False
+    if not is_main:
+        logger.setLevel(logging.ERROR)
+        logger.addHandler(logging.NullHandler())
+        return logger
+
+    logger.setLevel(level)
+    fmt = logging.Formatter("%(asctime)s %(name)s %(levelname)s: %(message)s",
+                            datefmt="%m/%d %H:%M:%S")
+    sh = logging.StreamHandler(stream=sys.stdout)
+    sh.setFormatter(fmt)
+    logger.addHandler(sh)
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        fh = logging.FileHandler(os.path.join(output_dir, "log.txt"))
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
+    return logger
+
+
+class SmoothedValue:
+    """Window-smoothed scalar meter (metric_logger.py:15-60)."""
+
+    def __init__(self, window_size: int = 20):
+        self.deque: deque = deque(maxlen=window_size)
+        self.total = 0.0
+        self.count = 0
+
+    def update(self, value: float) -> None:
+        self.deque.append(value)
+        self.count += 1
+        self.total += value
+
+    @property
+    def median(self) -> float:
+        d = sorted(self.deque)
+        return d[len(d) // 2] if d else 0.0
+
+    @property
+    def avg(self) -> float:
+        return sum(self.deque) / len(self.deque) if self.deque else 0.0
+
+    @property
+    def global_avg(self) -> float:
+        return self.total / max(self.count, 1)
+
+
+class MetricLogger:
+    """update(**kwargs) meters + formatted join (metric_logger.py:63-137)."""
+
+    def __init__(self, delimiter: str = "  "):
+        self.meters: Dict[str, SmoothedValue] = defaultdict(SmoothedValue)
+        self.delimiter = delimiter
+
+    def update(self, **kwargs) -> None:
+        for k, v in kwargs.items():
+            self.meters[k].update(float(v))
+
+    def __getattr__(self, name):
+        if name in ("meters", "delimiter"):
+            raise AttributeError(name)
+        if name in self.meters:
+            return self.meters[name]
+        raise AttributeError(name)
+
+    def __str__(self) -> str:
+        return self.delimiter.join(
+            f"{name}: {m.median:.4f} ({m.global_avg:.4f})"
+            for name, m in self.meters.items())
+
+
+class Timer:
+    def __init__(self):
+        self.start = time.time()
+
+    def elapsed(self) -> float:
+        return time.time() - self.start

@@ -1,0 +1,89 @@
+"""Evaluation harness tests on synthetic data (tiny model, CPU)."""
+
+import jax
+import numpy as np
+import pytest
+
+from neighborretr_tpu.core.config import Config, LossConfig, ModelConfig, TrainConfig
+from neighborretr_tpu.data.datasets.synthetic import SyntheticDataset
+from neighborretr_tpu.data.loader import BatchLoader
+from neighborretr_tpu.models import neighborretr as model
+from neighborretr_tpu.train.evaluate import (evaluate, extract_features,
+                                             reshape_multi_sentence,
+                                             similarity_matrix)
+
+W, F, RES = 8, 4, 32
+N = 20
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return Config(model=ModelConfig.tiny(max_words=W, max_frames=F),
+                  loss=LossConfig(num_neighbors=3),
+                  train=TrainConfig(batch_size=8, batch_size_val=8))
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    return model.init_params(jax.random.PRNGKey(0), cfg.model)
+
+
+@pytest.fixture(scope="module")
+def dataset(cfg):
+    return SyntheticDataset(n=N, max_words=W, max_frames=F, resolution=RES,
+                            vocab_size=cfg.model.clip.vocab_size)
+
+
+def test_extract_features_order_and_trim(cfg, params, dataset):
+    loader = BatchLoader(dataset, 8, shuffle=False, drop_last=False,
+                         workers=2, pad_to_batch=True)
+    tf, tm, vf, vm = extract_features(params, cfg, loader)
+    # padded tail rows trimmed, order restored
+    assert tf.shape[0] == N
+    assert vf.shape[0] == N
+    assert tm.shape == (N, W) and vm.shape == (N, F)
+
+
+def test_similarity_matrix_blocked_equals_direct(cfg, params, dataset):
+    loader = BatchLoader(dataset, 8, shuffle=False, drop_last=False,
+                         workers=2, pad_to_batch=True)
+    tf, tm, vf, vm = extract_features(params, cfg, loader)
+    sim_small_blocks = similarity_matrix(params, cfg, tf, tm, vf, vm, block=7)
+    sim_one_block = similarity_matrix(params, cfg, tf, tm, vf, vm, block=N)
+    np.testing.assert_allclose(sim_small_blocks, sim_one_block, atol=1e-4)
+    assert sim_small_blocks.shape == (N, N)
+
+
+def test_evaluate_single_sentence(cfg, params, dataset):
+    loader = BatchLoader(dataset, 8, shuffle=False, drop_last=False,
+                         workers=2, pad_to_batch=True)
+    t2v, v2t = evaluate(params, cfg, loader, dataset=dataset)
+    for m in (t2v, v2t):
+        assert set(m) >= {"R1", "R5", "R10", "R50", "MR", "MeanR"}
+        assert 0 <= m["R1"] <= 100
+
+
+def test_evaluate_multi_sentence(cfg, params):
+    class MultiSyn(SyntheticDataset):
+        multi_sentence_per_video = True
+
+    ds = MultiSyn(n=N, max_words=W, max_frames=F, resolution=RES,
+                  vocab_size=cfg.model.clip.vocab_size)
+    # caption groups: videos own 2,3,... captions; cumulative exclusive ends
+    ds.cut_off_points = [2, 5, 9, 14, 20]
+    loader = BatchLoader(ds, 8, shuffle=False, drop_last=False,
+                         workers=2, pad_to_batch=True)
+    t2v, v2t = evaluate(params, cfg, loader, dataset=ds)
+    assert 0 <= t2v["R1"] <= 100
+    assert 0 <= v2t["R1"] <= 100
+
+
+def test_reshape_multi_sentence_padding():
+    sim = np.arange(12, dtype=np.float64).reshape(6, 2)
+    out = reshape_multi_sentence(sim, [2, 3, 6])
+    assert out.shape == (3, 3, 2)
+    np.testing.assert_allclose(out[0, :2], sim[:2])
+    assert np.all(np.isinf(out[0, 2]))
+    np.testing.assert_allclose(out[1, 0], sim[2])
+    assert np.all(np.isinf(out[1, 1:]))
+    np.testing.assert_allclose(out[2], sim[3:6])

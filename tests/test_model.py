@@ -1,0 +1,170 @@
+"""End-to-end model tests on a tiny config (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neighborretr_tpu.core.config import Config, LossConfig, ModelConfig, TrainConfig
+from neighborretr_tpu.models import neighborretr as model
+from neighborretr_tpu.train import bertadam
+from neighborretr_tpu.train import memory_bank as mb
+from neighborretr_tpu.train.step import (compute_losses, create_train_state,
+                                         fill_bank_step, train_step)
+
+B, W, F = 8, 8, 4
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    mcfg = ModelConfig.tiny(max_words=W, max_frames=F)
+    return Config(
+        model=mcfg,
+        loss=LossConfig(num_neighbors=3),
+        train=TrainConfig(batch_size=B, mb_batch=2, epochs=1),
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_params(tiny_cfg):
+    return model.init_params(jax.random.PRNGKey(0), tiny_cfg.model)
+
+
+def make_batch(rng, cfg, batch=B):
+    res = cfg.model.clip.image_resolution
+    vocab = cfg.model.clip.vocab_size
+    text_ids = rng.integers(1, vocab - 1, size=(batch, W)).astype(np.int32)
+    text_mask = np.zeros((batch, W), np.float32)
+    for i in range(batch):
+        n = rng.integers(3, W + 1)
+        text_mask[i, :n] = 1
+        text_ids[i, n - 1] = vocab - 1   # EoT = max id
+        text_ids[i, n:] = 0
+    video = rng.normal(size=(batch, F, res, res, 3)).astype(np.float32)
+    video_mask = np.ones((batch, F), np.float32)
+    return {
+        "text_ids": jnp.array(text_ids),
+        "text_mask": jnp.array(text_mask),
+        "video": jnp.array(video),
+        "video_mask": jnp.array(video_mask),
+        "idx": jnp.arange(batch, dtype=jnp.int32),
+    }
+
+
+def test_feature_shapes(tiny_cfg, tiny_params, rng):
+    batch = make_batch(rng, tiny_cfg)
+    tf, vf = model.get_text_video_feat(
+        tiny_params, tiny_cfg.model, batch["text_ids"], batch["text_mask"],
+        batch["video"], batch["video_mask"])
+    E = tiny_cfg.model.clip.embed_dim
+    assert tf.shape == (B, W, E)
+    assert vf.shape == (B, F, E)
+    assert np.all(np.isfinite(np.asarray(tf)))
+    assert np.all(np.isfinite(np.asarray(vf)))
+
+
+def test_similarity_levels(tiny_cfg, tiny_params, rng):
+    batch = make_batch(rng, tiny_cfg)
+    tf, vf = model.get_text_video_feat(
+        tiny_params, tiny_cfg.model, batch["text_ids"], batch["text_mask"],
+        batch["video"], batch["video_mask"])
+    s, st = model.get_similarity_logits(
+        tiny_params, tf, vf, batch["text_mask"], batch["video_mask"])
+    assert s.shape == (B, B)
+    np.testing.assert_allclose(np.asarray(st), np.asarray(s).T)
+
+    g_t, g_v = model.merge_global_features(
+        tiny_params, tiny_cfg.model, tf, vf, batch["text_mask"],
+        batch["video_mask"], jax.random.PRNGKey(1))
+    assert g_t.shape == (B, 1, tiny_cfg.model.clip.embed_dim)
+    assert g_v.shape == (B, 1, tiny_cfg.model.clip.embed_dim)
+    sg = model.global_level(g_t, g_v)
+    assert sg.shape == (B, B)
+    assert np.all(np.isfinite(np.asarray(sg)))
+
+
+def test_temporal_seeded_from_clip(tiny_cfg, tiny_params):
+    np.testing.assert_allclose(
+        np.asarray(tiny_params["temporal"]["frame_position_embeddings"]),
+        np.asarray(tiny_params["clip"]["text"]["positional_embedding"]))
+    text_tf = tiny_params["clip"]["text"]["transformer"]
+    temp_tf = tiny_params["temporal"]["transformer"]
+    sub = jax.tree.map(lambda a: a[:tiny_cfg.model.temporal_layers], text_tf)
+    for a, b in zip(jax.tree.leaves(sub), jax.tree.leaves(temp_tf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_compute_losses_finite(tiny_cfg, tiny_params, rng):
+    batch = make_batch(rng, tiny_cfg)
+    cap = tiny_cfg.train.memory_bank_capacity
+    bank = mb.create(cap, W, F, tiny_cfg.model.clip.embed_dim)
+    bank = fill_bank_step(tiny_params, bank, batch, tiny_cfg, 0)
+    bank = fill_bank_step(tiny_params, bank, make_batch(rng, tiny_cfg),
+                          tiny_cfg, B)
+
+    total, aux = compute_losses(tiny_params, tiny_cfg, batch, bank,
+                                jax.random.PRNGKey(2))
+    for k in ("centrality_loss", "uniform_loss", "neighbor_loss", "kl_loss"):
+        assert np.isfinite(float(aux[k])), k
+    assert np.isfinite(float(total))
+
+
+def test_train_step_updates_and_bank_fifo(tiny_cfg, tiny_params, rng):
+    cap = tiny_cfg.train.memory_bank_capacity
+    bank = mb.create(cap, W, F, tiny_cfg.model.clip.embed_dim)
+    fill0 = make_batch(rng, tiny_cfg)
+    bank = fill_bank_step(tiny_params, bank, fill0, tiny_cfg, 0)
+    bank = fill_bank_step(tiny_params, bank, make_batch(rng, tiny_cfg),
+                          tiny_cfg, B)
+
+    # private param copy: train_step donates its state, which would consume
+    # the module-scoped fixture's buffers
+    state = create_train_state(jax.tree.map(jnp.copy, tiny_params), bank)
+    batch = make_batch(rng, tiny_cfg)
+    old_w = np.asarray(state.params["text_weight_fc"]["fc1"]["w"]).copy()
+    old_patch = np.asarray(state.params["clip"]["visual"]["patch_embed"]).copy()
+
+    losses = []
+    for i in range(3):
+        key = jax.random.PRNGKey(i)
+        state, metrics = train_step(state, batch, key, tiny_cfg, t_total=100)
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1])
+
+    # params moved (except frozen patch embed)
+    new_w = np.asarray(state.params["text_weight_fc"]["fc1"]["w"])
+    assert np.abs(new_w - old_w).sum() > 0
+    np.testing.assert_allclose(
+        np.asarray(state.params["clip"]["visual"]["patch_embed"]), old_patch)
+
+    # bank FIFO: the freshest batch sits at the front
+    np.testing.assert_array_equal(np.asarray(state.bank.ind[:B]),
+                                  np.asarray(batch["idx"]))
+    assert int(state.step) == 3
+
+    # logit scale clamped
+    assert float(metrics["logit_scale"]) <= 100.0 + 1e-3
+
+
+def test_loss_decreases_on_repeated_batch(tiny_cfg, tiny_params, rng):
+    """Overfit sanity: repeated same batch → total loss should drop."""
+    cap = tiny_cfg.train.memory_bank_capacity
+    bank = mb.create(cap, W, F, tiny_cfg.model.clip.embed_dim)
+    batch = make_batch(rng, tiny_cfg)
+    bank = fill_bank_step(tiny_params, bank, batch, tiny_cfg, 0)
+    bank = fill_bank_step(tiny_params, bank, batch, tiny_cfg, B)
+
+    # higher lr + immediate warmup exit for the tiny overfit test
+    from neighborretr_tpu.core.config import OptimizerConfig
+    cfg = Config(model=tiny_cfg.model,
+                 loss=tiny_cfg.loss,
+                 optim=OptimizerConfig(lr=5e-3, coef_lr=1.0,
+                                       warmup_proportion=0.05),
+                 train=tiny_cfg.train)
+    state = create_train_state(jax.tree.map(jnp.copy, tiny_params), bank)
+    losses = []
+    for i in range(8):
+        state, metrics = train_step(state, batch, jax.random.PRNGKey(7),
+                                    cfg, t_total=200)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[1], losses

@@ -1,0 +1,68 @@
+"""Pallas fused similarity vs the XLA reference path — forward and gradients.
+
+Runs in interpret mode on CPU; the same kernel compiles on TPU (exercised by
+bench.py with NEIGHBORRETR_PALLAS=1).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neighborretr_tpu.ops.pallas_similarity import pallas_interaction_similarity
+from neighborretr_tpu.ops.similarity import interaction_similarity
+
+
+def make_inputs(rng, A, B, T, V, D):
+    tf = rng.normal(size=(A, T, D)).astype(np.float32)
+    vf = rng.normal(size=(B, V, D)).astype(np.float32)
+    tm = (rng.uniform(size=(A, T)) > 0.25).astype(np.float32)
+    vm = (rng.uniform(size=(B, V)) > 0.25).astype(np.float32)
+    tm[:, 0] = 1
+    vm[:, 0] = 1
+    tw = rng.dirichlet(np.ones(T), size=A).astype(np.float32)
+    vw = rng.dirichlet(np.ones(V), size=B).astype(np.float32)
+    return tuple(jnp.array(x) for x in (tf, vf, tm, vm, tw, vw))
+
+
+@pytest.mark.parametrize("A,B,T,V,D", [
+    (8, 8, 6, 4, 32),
+    (16, 24, 5, 3, 16),     # non-square, odd T/V
+])
+def test_forward_matches_xla(rng, A, B, T, V, D):
+    args = make_inputs(rng, A, B, T, V, D)
+    want = interaction_similarity(*args)
+    got = pallas_interaction_similarity(*args, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_gradients_match_xla(rng):
+    A, B, T, V, D = 8, 8, 5, 3, 16
+    tf, vf, tm, vm, tw, vw = make_inputs(rng, A, B, T, V, D)
+
+    def loss_xla(tf, vf, tw, vw):
+        return jnp.sum(jnp.sin(interaction_similarity(tf, vf, tm, vm, tw, vw)))
+
+    def loss_pallas(tf, vf, tw, vw):
+        return jnp.sum(jnp.sin(pallas_interaction_similarity(
+            tf, vf, tm, vm, tw, vw, interpret=True)))
+
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(tf, vf, tw, vw)
+    g_pal = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(tf, vf, tw, vw)
+    names = ["d_text_feat", "d_video_feat", "d_text_weight", "d_video_weight"]
+    for name, a, b in zip(names, g_xla, g_pal):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-5, rtol=1e-3, err_msg=name)
+
+
+def test_padding_path(rng):
+    """Shapes that are not multiples of the block sizes go through padding."""
+    A, B, T, V, D = 10, 17, 4, 3, 8
+    args = make_inputs(rng, A, B, T, V, D)
+    want = interaction_similarity(*args)
+    got = pallas_interaction_similarity(*args, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)

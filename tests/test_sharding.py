@@ -1,0 +1,80 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: the SPMD train step
+must produce the same numbers as the single-device program."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neighborretr_tpu.core.config import Config, LossConfig, ModelConfig, TrainConfig
+from neighborretr_tpu.models import neighborretr as model
+from neighborretr_tpu.parallel import mesh as pmesh
+from neighborretr_tpu.train import memory_bank as mb
+from neighborretr_tpu.train.step import (compute_losses, create_train_state,
+                                         fill_bank_step, train_step)
+
+from test_model import make_batch
+
+B, W, F = 16, 8, 4
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return Config(model=ModelConfig.tiny(max_words=W, max_frames=F),
+                  loss=LossConfig(num_neighbors=3),
+                  train=TrainConfig(batch_size=B, mb_batch=1))
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    return model.init_params(jax.random.PRNGKey(0), cfg.model)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_loss_matches_replicated(cfg, params, rng):
+    mesh = pmesh.make_mesh()
+    batch = make_batch(rng, cfg, batch=B)
+    bank = mb.create(cfg.train.memory_bank_capacity, W, F,
+                     cfg.model.clip.embed_dim)
+    bank = fill_bank_step(params, bank, batch, cfg, 0)
+
+    key = jax.random.PRNGKey(3)
+    loss_single, aux_single = compute_losses(params, cfg, batch, bank, key)
+
+    # shard the batch over the data axis; replicate params + bank
+    sharded_batch = pmesh.shard_batch(batch, mesh)
+    params_r = pmesh.replicate_tree(params, mesh)
+    bank_r = mb.MemoryBank(*pmesh.replicate_tree(tuple(bank), mesh))
+    loss_sharded, aux_sharded = jax.jit(
+        compute_losses, static_argnames=("cfg",))(
+        params_r, cfg, sharded_batch, bank_r, key)
+
+    np.testing.assert_allclose(float(loss_single), float(loss_sharded),
+                               rtol=2e-4)
+    for k in ("centrality_loss", "uniform_loss", "neighbor_loss", "kl_loss"):
+        np.testing.assert_allclose(float(aux_single[k]),
+                                   float(aux_sharded[k]), rtol=2e-3, atol=1e-5)
+
+
+def test_sharded_train_step_runs_and_updates(cfg, params, rng):
+    mesh = pmesh.make_mesh()
+    batch = make_batch(rng, cfg, batch=B)
+    bank = mb.create(cfg.train.memory_bank_capacity, W, F,
+                     cfg.model.clip.embed_dim)
+
+    params_r = pmesh.replicate_tree(jax.tree.map(jnp.copy, params), mesh)
+    bank_r = mb.MemoryBank(*pmesh.replicate_tree(tuple(bank), mesh))
+    sharded_batch = pmesh.shard_batch(batch, mesh)
+
+    state = create_train_state(params_r, bank_r)
+    state = state._replace(bank=fill_bank_step(
+        state.params, state.bank, sharded_batch, cfg, 0))
+
+    for i in range(2):
+        state, metrics = train_step(state, sharded_batch,
+                                    jax.random.PRNGKey(i), cfg, t_total=50)
+        assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 2
