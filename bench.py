@@ -67,17 +67,21 @@ def main():
     state = create_train_state(params, bank)
 
     t_total = 1000
-    # warmup (compile)
+    # warmup (compile). NOTE: a host-side value fetch (float(...)) is the
+    # synchronization point — on tunneled platforms block_until_ready can
+    # return before device execution finishes, which would inflate the number.
     for i in range(WARMUP_STEPS):
         state, metrics = train_step(state, batch, jax.random.PRNGKey(i),
                                     cfg, t_total)
-    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])
 
     tic = time.perf_counter()
     for i in range(MEASURE_STEPS):
         state, metrics = train_step(state, batch, jax.random.PRNGKey(100 + i),
                                     cfg, t_total)
-    jax.block_until_ready(metrics["loss"])
+    # One host fetch of the LAST step's loss: each step consumes the previous
+    # step's state, so this value transferring implies the whole chain ran.
+    _ = float(metrics["loss"])
     elapsed = time.perf_counter() - tic
 
     pairs_per_sec = BATCH * MEASURE_STEPS / elapsed

@@ -51,6 +51,14 @@ def parse_args():
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--remat", action="store_true")
     p.add_argument("--synthetic_size", type=int, default=256)
+    p.add_argument("--augment", default="rand-m7-n4-mstd0.5-inc1",
+                   help="train-time video RandAugment policy; '' disables")
+    p.add_argument("--frame_order", type=int, default=0, choices=[0, 1, 2],
+                   help="0 normal, 1 reverse, 2 random (rawvideo_util.py:331)")
+    p.add_argument("--video_cache_size", type=int, default=0,
+                   help="per-worker decoded-clip LRU capacity")
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler trace of early steps here")
     return p.parse_args()
 
 
@@ -91,7 +99,8 @@ def main():
                           output_dir=args.output_dir,
                           init_checkpoint=args.init_checkpoint,
                           clip_checkpoint=args.clip_checkpoint,
-                          num_devices=args.num_devices),
+                          num_devices=args.num_devices,
+                          profile_dir=args.profile_dir),
     )
 
     import jax
@@ -122,7 +131,11 @@ def main():
                   resolution=cfg.model.clip.image_resolution,
                   video_framerate=args.video_framerate)
         train_ds = build_dataset(args.datatype, "train", args.anno_path,
-                                 args.video_path, tokenizer, **kw)
+                                 args.video_path, tokenizer,
+                                 is_train=True, augment=args.augment or None,
+                                 frame_order=args.frame_order,
+                                 cache_capacity=args.video_cache_size,
+                                 seed=args.seed, **kw)
         test_ds = build_dataset(args.datatype, EVAL_SUBSET[args.datatype],
                                 args.anno_path, args.video_path, tokenizer, **kw)
 

@@ -92,6 +92,8 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"
     # rematerialize encoder blocks in the backward pass (trade FLOPs for HBM)
     remat: bool = False
+    # fused Pallas similarity kernel: "auto" (TPU only), "on", "off"
+    use_pallas: str = "auto"
 
     def __post_init__(self):
         # The temporal transformer, weighting nets and CTM stacks all operate
@@ -190,6 +192,9 @@ class TrainConfig:
     clip_checkpoint: Optional[str] = None  # OpenAI .pt; None → random init
     save_checkpoints: bool = True
     mid_epoch_eval: bool = True  # eval every n_display*3 steps (trainer.py:169)
+    # when set, capture a jax.profiler trace of a few early steps to this dir
+    profile_dir: Optional[str] = None
+    profile_steps: Tuple[int, int] = (10, 15)  # [start, end) global steps
     # parallelism
     data_axis: str = "data"
     num_devices: Optional[int] = None  # None → all

@@ -23,6 +23,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from ..augment import ClipLRUCache, create_random_augment, process_frame_order
 from ..text import encode_caption
 from ..tokenizer import ClipTokenizer
 from ..video import decode_video_frames
@@ -31,11 +32,10 @@ from ..video import decode_video_frames
 def stable_video_hash(video_id: str) -> np.int64:
     """Deterministic 63-bit id from the video id string (process-stable,
     unlike Python's randomized hash())."""
-    h = np.int64(1125899906842597)  # large prime
+    h = 1125899906842597  # large prime; arbitrary-precision Python ints
     for ch in str(video_id):
-        h = np.int64((np.uint64(h) * np.uint64(31) + np.uint64(ord(ch)))
-                     & np.uint64(0x7FFFFFFFFFFFFFFF))
-    return h
+        h = (h * 31 + ord(ch)) & 0x7FFFFFFFFFFFFFFF
+    return np.int64(h)
 
 
 class RetrievalDataset:
@@ -53,6 +53,11 @@ class RetrievalDataset:
         multi_sentence_per_video: bool = False,
         cut_off_points: Optional[List[int]] = None,
         video_ids_in_order: Optional[List[str]] = None,
+        is_train: bool = False,
+        augment: Optional[str] = "rand-m7-n4-mstd0.5-inc1",
+        frame_order: int = 0,
+        cache_capacity: int = 0,
+        seed: int = 0,
     ):
         self.pairs = pairs                  # (video_id, caption, start, end)
         self.video_paths = video_paths
@@ -65,6 +70,14 @@ class RetrievalDataset:
         self.cut_off_points = cut_off_points or []
         self.video_ids_in_order = video_ids_in_order or []
         self._text_cache: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+        # train-time clip RandAugment (dataloader_retrieval.py:154-158,
+        # rawvideo_util.py:291-293) + frame-order + decode LRU cache
+        self.is_train = is_train
+        self.frame_order = frame_order
+        self._rng = np.random.default_rng(seed)
+        self._augment = (create_random_augment(augment, rng=self._rng)
+                         if (is_train and augment) else None)
+        self._clip_cache = ClipLRUCache(cache_capacity)
 
     def __len__(self) -> int:
         return len(self.pairs)
@@ -87,9 +100,20 @@ class RetrievalDataset:
 
     def video_item(self, video_id: str, start=None, end=None) -> Dict[str, np.ndarray]:
         path = self.video_paths[video_id]
-        frames, mask = decode_video_frames(
-            path, self.max_frames, self.resolution,
-            self.video_framerate, start, end)
+        key = (path, self.max_frames, self.resolution,
+               self.video_framerate, start, end)
+        cached = self._clip_cache.get(key)
+        if cached is None:
+            cached = decode_video_frames(
+                path, self.max_frames, self.resolution,
+                self.video_framerate, start, end)
+            self._clip_cache.put(key, cached)
+        frames, mask = cached
+        # augment AFTER cache retrieval so every epoch re-samples ops
+        if self._augment is not None:
+            frames = self._augment(frames)
+        if self.frame_order:
+            frames = process_frame_order(frames, self.frame_order, self._rng)
         return {"video": frames, "video_mask": mask}
 
     def item(self, i: int) -> Dict[str, np.ndarray]:

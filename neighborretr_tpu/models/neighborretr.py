@@ -137,10 +137,28 @@ def token_weights(p_mlp: Params, feat: jnp.ndarray,
     return jax.nn.softmax(w, axis=-1)
 
 
-def local_similarity(params: Params, t_feat, v_feat, t_mask, v_mask) -> jnp.ndarray:
+def resolve_use_pallas(cfg: ModelConfig) -> bool:
+    """'auto' → fused Pallas kernel iff running on a single TPU chip.
+
+    Under a multi-device mesh the XLA einsum path is used instead: it is
+    partitionable by GSPMD without a shard_map wrapper, which keeps the
+    similarity matrix row-sharded over the data axis automatically.
+    """
+    if cfg.use_pallas == "on":
+        return True
+    if cfg.use_pallas == "off":
+        return False
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
+
+
+def local_similarity(params: Params, t_feat, v_feat, t_mask, v_mask,
+                     use_pallas: bool = False) -> jnp.ndarray:
     """The reference's local_level; returns S with v2t = S.T."""
     tw = token_weights(params["text_weight_fc"], t_feat, t_mask)
     vw = token_weights(params["video_weight_fc"], v_feat, v_mask)
+    if use_pallas:
+        from ..ops.pallas_similarity import pallas_interaction_similarity
+        return pallas_interaction_similarity(t_feat, v_feat, t_mask, v_mask, tw, vw)
     return interaction_similarity(t_feat, v_feat, t_mask, v_mask, tw, vw)
 
 
@@ -161,9 +179,10 @@ def global_level(t_global: jnp.ndarray, v_global: jnp.ndarray) -> jnp.ndarray:
     return global_similarity(t_global, v_global)
 
 
-def get_similarity_logits(params: Params, t_feat, v_feat, t_mask, v_mask):
+def get_similarity_logits(params: Params, t_feat, v_feat, t_mask, v_mask,
+                          use_pallas: bool = False):
     """Eval-time API (modeling.py:625-632): local similarity and its transpose."""
-    s = local_similarity(params, t_feat, v_feat, t_mask, v_mask)
+    s = local_similarity(params, t_feat, v_feat, t_mask, v_mask, use_pallas)
     return s, s.T
 
 

@@ -39,7 +39,8 @@ def _encode_batch(params, cfg: Config, text_ids, text_mask, video, video_mask):
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _sim_block(params, cfg: Config, t_feat, v_feat, t_mask, v_mask):
-    return model.local_similarity(params, t_feat, v_feat, t_mask, v_mask)
+    return model.local_similarity(params, t_feat, v_feat, t_mask, v_mask,
+                                  model.resolve_use_pallas(cfg.model))
 
 
 def extract_features(params: Params, cfg: Config, loader

@@ -104,9 +104,17 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
             batch.pop("video_hash", None)
             if mesh is not None:
                 batch = pmesh.shard_batch(batch, mesh)
+            # profiler window (SURVEY §5: jax.profiler replaces the
+            # reference's ad-hoc wall-clock timing)
+            if cfg.train.profile_dir and global_step == cfg.train.profile_steps[0]:
+                jax.profiler.start_trace(cfg.train.profile_dir)
             step_key = jax.random.fold_in(key, global_step)
             state, metrics = train_step(state, batch, step_key, cfg, t_total)
             global_step += 1
+            if cfg.train.profile_dir and global_step == cfg.train.profile_steps[1]:
+                jax.tree.map(lambda x: x.block_until_ready(), state.params)
+                jax.profiler.stop_trace()
+                logger.info("Profiler trace written to %s", cfg.train.profile_dir)
 
             if (it % cfg.train.n_display) == 0:
                 meters.update(**{k: float(v) for k, v in metrics.items()

@@ -51,8 +51,10 @@ def compute_losses(params: Params, cfg: Config, batch: Dict[str, jnp.ndarray],
     t_mask = batch["text_mask"].astype(jnp.float32)
     v_mask = batch["video_mask"].astype(jnp.float32)
 
+    use_pallas = model.resolve_use_pallas(mcfg)
     # local (token-interaction) similarity, v2t = S.T
-    s_local = model.local_similarity(params, text_feat, video_feat, t_mask, v_mask)
+    s_local = model.local_similarity(params, text_feat, video_feat,
+                                     t_mask, v_mask, use_pallas)
 
     # global path: CTM merge → global similarity → uniform + KL
     g_t, g_v = model.merge_global_features(
@@ -78,9 +80,9 @@ def compute_losses(params: Params, cfg: Config, batch: Dict[str, jnp.ndarray],
 
     # neighbor adjusting vs the memory bank
     bank_t2v = model.local_similarity(
-        params, text_feat, bank.feat_v, t_mask, bank.mask_v)          # [B, M]
+        params, text_feat, bank.feat_v, t_mask, bank.mask_v, use_pallas)     # [B, M]
     bank_v2t = model.local_similarity(
-        params, bank.feat_t, video_feat, bank.mask_t, v_mask).T       # [B, M]
+        params, bank.feat_t, video_feat, bank.mask_t, v_mask, use_pallas).T  # [B, M]
     neighbor_loss = 0.5 * (
         hubness.neighbor_adjusting_loss(
             s_local, bank_v2t, lcfg.num_neighbors, lcfg.temperature)
