@@ -92,8 +92,14 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"
     # rematerialize encoder blocks in the backward pass (trade FLOPs for HBM)
     remat: bool = False
+    # remat granularity: "full" (save carry only) or "dots" (save big matmul
+    # outputs, recompute the rest) — see models/layers.py REMAT_POLICIES
+    remat_policy: str = "full"
     # fused Pallas similarity kernel: "auto" (TPU only), "on", "off"
     use_pallas: str = "auto"
+    # unroll encoder layer stacks instead of lax.scan (bigger program,
+    # cross-layer scheduling freedom for XLA)
+    unroll_layers: bool = False
 
     def __post_init__(self):
         # The temporal transformer, weighting nets and CTM stacks all operate

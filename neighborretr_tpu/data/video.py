@@ -114,8 +114,15 @@ def decode_video_frames(
     return frames, mask
 
 
-def normalize_frames(frames_u8):
-    """uint8 [..., R, R, 3] → normalized float32, jittable (device-side)."""
+def normalize_frames(frames_u8, dtype=None):
+    """uint8 [..., R, R, 3] → CLIP-normalized float, jittable (device-side).
+
+    `dtype` defaults to float32; pass bf16 to halve the HBM traffic of the
+    downstream patchify transpose (pixel range ±2.5 — bf16's 8 mantissa bits
+    are plenty; the matmul accumulates in fp32 on the MXU either way)."""
     import jax.numpy as jnp
-    x = frames_u8.astype(jnp.float32) / 255.0
-    return (x - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
+    dtype = dtype or jnp.float32
+    scale = (1.0 / (255.0 * CLIP_STD)).astype(np.float32)
+    bias = (CLIP_MEAN / CLIP_STD).astype(np.float32)
+    x = frames_u8.astype(dtype) * jnp.asarray(scale, dtype)
+    return x - jnp.asarray(bias, dtype)

@@ -79,7 +79,8 @@ def init_clip(key, cfg: ClipConfig) -> Params:
 
 def encode_text(p: Params, cfg: ClipConfig, text_ids: jnp.ndarray,
                 text_mask: jnp.ndarray, dtype=jnp.bfloat16,
-                remat: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                remat: bool = False, unroll: bool = False,
+                remat_policy: str = "full") -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Encode tokenized text.
 
     Args:
@@ -97,7 +98,8 @@ def encode_text(p: Params, cfg: ClipConfig, text_ids: jnp.ndarray,
     bias = L.causal_bias(Lq) + L.padding_bias(text_mask)
 
     x = L.transformer_apply(p["transformer"], x, cfg.transformer_heads, bias,
-                            dtype=dtype, remat=remat)
+                            dtype=dtype, remat=remat, unroll=unroll,
+                            remat_policy=remat_policy)
     hidden = L.layer_norm(p["ln_final"], x).astype(dtype) @ p["text_projection"].astype(dtype)
     # EoT token = highest token id per row (module_clip.py:551-552)
     eot_idx = jnp.argmax(text_ids, axis=-1)
@@ -106,7 +108,8 @@ def encode_text(p: Params, cfg: ClipConfig, text_ids: jnp.ndarray,
 
 
 def encode_image(p: Params, cfg: ClipConfig, images: jnp.ndarray,
-                 dtype=jnp.bfloat16, remat: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 dtype=jnp.bfloat16, remat: bool = False, unroll: bool = False,
+                 remat_policy: str = "full") -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Encode images (video frames).
 
     Args:
@@ -129,6 +132,7 @@ def encode_image(p: Params, cfg: ClipConfig, images: jnp.ndarray,
     x = L.layer_norm(p["ln_pre"], x)
 
     x = L.transformer_apply(p["transformer"], x, cfg.vision_heads, None,
-                            dtype=dtype, remat=remat)
+                            dtype=dtype, remat=remat, unroll=unroll,
+                            remat_policy=remat_policy)
     hidden = L.layer_norm(p["ln_post"], x).astype(dtype) @ p["proj"].astype(dtype)
     return hidden[:, 0, :], hidden

@@ -119,19 +119,22 @@ def mha(p: Params, x, n_head: int, attn_bias=None, dtype=jnp.float32):
     qkv = linear(p["in_proj"], x, dtype=dtype)          # [B, L, 3D]
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
+    # heads stay in the layout position ([B, L, H, hd]); the einsums carry the
+    # head axis as a batch dim so XLA folds the relayout into the matmuls
+    # instead of materializing four [B, H, L, hd] transpose copies per layer
     def heads(t):
-        return t.reshape(B, L, n_head, head_dim).transpose(0, 2, 1, 3)
+        return t.reshape(B, L, n_head, head_dim)
 
     q, k, v = heads(q), heads(k), heads(v)
     scale = head_dim ** -0.5
     # logits in fp32 for a stable softmax island
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
                         preferred_element_type=jnp.float32)
     if attn_bias is not None:
         logits = logits + attn_bias.astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(dtype))
-    out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(dtype))
+    out = out.reshape(B, L, D)
     return linear(p["out_proj"], out, dtype=dtype)
 
 
@@ -157,10 +160,12 @@ def block_init(key, d_model: int, layers_for_std: int = 12) -> Params:
 
 
 def block_apply(p: Params, x, n_head: int, attn_bias=None, dtype=jnp.float32):
-    x = x + mha(p["attn"], layer_norm(p["ln_1"], x), n_head, attn_bias, dtype)
+    from jax.ad_checkpoint import checkpoint_name as ckpt
+    attn_out = mha(p["attn"], layer_norm(p["ln_1"], x), n_head, attn_bias, dtype)
+    x = x + ckpt(attn_out, "attn_out")
     h = linear(p["mlp"]["c_fc"], layer_norm(p["ln_2"], x), dtype=dtype)
-    h = quick_gelu(h)
-    x = x + linear(p["mlp"]["c_proj"], h, dtype=dtype)
+    h = ckpt(quick_gelu(h), "mlp_hidden")
+    x = x + ckpt(linear(p["mlp"]["c_proj"], h, dtype=dtype), "mlp_out")
     return x
 
 
@@ -171,16 +176,42 @@ def transformer_init(key, d_model: int, layers: int) -> Params:
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
 
 
+REMAT_POLICIES = {
+    # full: save only the layer carry; recompute the whole block in backward
+    # (cheapest memory, +1 forward of FLOPs in the backward pass)
+    "full": None,
+    # dots: save the three big matmul outputs per block (attn out, GELU'd MLP
+    # hidden, MLP out); recompute LayerNorms/attention internals only.
+    # ~60% of the recompute FLOPs of "full" avoided for ~530 MB/layer at the
+    # bench shape — fits v5e HBM where saving everything (remat=False) OOMs.
+    "dots": lambda: jax.checkpoint_policies.save_only_these_names(
+        "attn_out", "mlp_hidden", "mlp_out"),
+}
+
+
 def transformer_apply(p: Params, x, n_head: int, attn_bias=None,
-                      dtype=jnp.float32, remat: bool = False):
-    """Run stacked blocks with lax.scan (one compiled block, depth-many steps)."""
+                      dtype=jnp.float32, remat: bool = False,
+                      unroll: bool = False, remat_policy: str = "full"):
+    """Run stacked blocks.
+
+    Default: lax.scan — one traced block, O(1) compile time in depth.
+    unroll=True: Python loop over layer slices — larger program, but XLA can
+    schedule/fuse across layer boundaries (worth it for shallow stacks when
+    chasing utilization; measure before enabling).
+    """
 
     def body(carry, layer_p):
         y = block_apply(layer_p, carry, n_head, attn_bias, dtype)
         return y, None
 
     if remat:
-        body = jax.checkpoint(body)
+        policy = REMAT_POLICIES[remat_policy]
+        body = jax.checkpoint(body, policy=policy() if policy else None)
+
+    if unroll:
+        for i in range(num_layers(p)):
+            x, _ = body(x, jax.tree.map(lambda a: a[i], p))
+        return x
     y, _ = jax.lax.scan(body, x, p)
     return y
 

@@ -92,7 +92,8 @@ def get_text_feat(params: Params, cfg: ModelConfig, text_ids, text_mask,
     remat = cfg.remat if remat is None else remat
     _, hidden = clip_mod.encode_text(params["clip"]["text"], cfg.clip,
                                      text_ids, text_mask, dtype=dtype,
-                                     remat=remat)
+                                     remat=remat, unroll=cfg.unroll_layers,
+                                     remat_policy=cfg.remat_policy)
     return hidden.astype(jnp.float32)
 
 
@@ -103,15 +104,17 @@ def get_video_feat(params: Params, cfg: ModelConfig, video, video_mask,
     uint8 pixels are CLIP-normalized on device (host ships raw bytes — 4× less
     PCIe/ICI traffic than fp32); float inputs are assumed pre-normalized.
     """
+    dtype = dtype or jnp.dtype(cfg.compute_dtype)
     if video.dtype == jnp.uint8:
         from ..data.video import normalize_frames
-        video = normalize_frames(video)
-    dtype = dtype or jnp.dtype(cfg.compute_dtype)
+        video = normalize_frames(video, dtype=dtype)
     remat = cfg.remat if remat is None else remat
     B, F = video_mask.shape
     frames = video.reshape((B * F,) + video.shape[2:])
     cls_feat, _ = clip_mod.encode_image(params["clip"]["visual"], cfg.clip,
-                                        frames, dtype=dtype, remat=remat)
+                                        frames, dtype=dtype, remat=remat,
+                                        unroll=cfg.unroll_layers,
+                                        remat_policy=cfg.remat_policy)
     frame_feat = cls_feat.reshape(B, F, -1).astype(jnp.float32)
     return temporal_mod.aggregate_video_features(
         params["temporal"], cfg, frame_feat, video_mask, dtype=dtype)
@@ -146,9 +149,10 @@ def resolve_use_pallas(cfg: ModelConfig) -> bool:
     """
     if cfg.use_pallas == "on":
         return True
-    if cfg.use_pallas == "off":
-        return False
-    return jax.default_backend() == "tpu" and jax.device_count() == 1
+    # "auto" currently resolves to the XLA path everywhere: the fused kernel
+    # is being reworked for Mosaic layout rules (leading-dim-only reshapes);
+    # re-enable single-chip TPU auto-selection once bench-verified.
+    return False
 
 
 def local_similarity(params: Params, t_feat, v_feat, t_mask, v_mask,

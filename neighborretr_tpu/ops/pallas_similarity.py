@@ -7,11 +7,21 @@ in VMEM, reduces max-over-V / max-over-T in-register, and writes only the
 [BA, BB] similarity tile.  This matters most for the memory-bank neighbor
 matrices ([B_global × bank] — hundreds of MB materialized in the XLA path).
 
-Layout choices (TPU tiling rules):
-  * text tokens a-major:   tn [A*T, D]   (row = a*T + t)
-  * video tokens v-major:  vn [V, B, D]  → in-kernel [V*B_blk, D]
-    so max-over-v is an elementwise max over V contiguous [rows, BB] column
-    slices with BB=128 lanes, and max-over-t is a leading-axis reshape.
+Mosaic layout rules shape the whole design (TPU vectors are tiled
+(sublane, lane); only leading-dim reshapes are layout-preserving):
+
+  * text tokens t-major:   tn3 [T, A, D]  → in-kernel [T*BA, D] (leading
+    collapse, lane dim D unchanged) so max-over-t is an elementwise max over
+    T contiguous [BA, cols] row slices;
+  * video tokens v-major:  vn3 [V, B, D]  → in-kernel [V*BB, D] so
+    max-over-v is an elementwise max over V contiguous [rows, BB] column
+    slices with BB lanes;
+  * padding masks are FOLDED INTO THE FEATURES outside the kernel
+    (multiplicative zero masking commutes with the dot product), eliminating
+    in-kernel mask row/column vectors entirely;
+  * token weights enter as [T, A, 1] / [V, B] blocks and are applied via
+    per-slice lane/sublane broadcasts — never via lane-collapsing reshapes
+    (vector<64x24> → vector<1536x1> is what Mosaic rejects).
 
 Training support via jax.custom_vjp: the backward recomputes tile logits and
 routes gradients through first-argmax indicators (torch max backward routes
@@ -35,9 +45,11 @@ from jax.experimental.pallas import tpu as pltpu
 from .similarity import l2_normalize
 
 
-def _choose_blocks(A: int, B: int, T: int, V: int,
-                   vmem_budget: int = 10 * 1024 * 1024) -> Tuple[int, int]:
-    """Pick (BA, BB) so the fp32 logits tile fits the VMEM budget."""
+def _choose_blocks(A: int, B: int, T: int, V: int, D: int,
+                   vmem_budget: int = 6 * 1024 * 1024) -> Tuple[int, int]:
+    """Pick (BA, BB) so the fp32 logits tile [BA*T, V*BB] fits the budget
+    (the largest single buffer; operands and accumulators ride the rest of
+    the ~16 MB VMEM with input double-buffering)."""
     BB = 128 if B >= 128 else max(8, B)
     BA = 64
     while BA > 8 and BA * T * V * BB * 4 > vmem_budget:
@@ -54,60 +66,67 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
+def _tile_logits(tn_ref, vn_ref):
+    """[T*BA, D] x [V*BB, D] -> fp32 logits [T*BA, V*BB] (one MXU matmul)."""
+    T, BA, D = tn_ref.shape
+    V, BB, _ = vn_ref.shape
+    tn = tn_ref[:].reshape(T * BA, D)           # leading collapse: legal
+    vn = vn_ref[:].reshape(V * BB, D)
+    logits = jax.lax.dot_general(
+        tn, vn, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return tn, vn, logits
+
+
+def _max_over_v(logits, V, BB):
+    m1 = logits[:, 0:BB]
+    for v in range(1, V):
+        m1 = jnp.maximum(m1, logits[:, v * BB:(v + 1) * BB])
+    return m1                                    # [T*BA, BB]
+
+
+def _max_over_t(logits, T, BA):
+    m2 = logits[0:BA, :]
+    for t in range(1, T):
+        m2 = jnp.maximum(m2, logits[t * BA:(t + 1) * BA, :])
+    return m2                                    # [BA, V*BB]
+
+
 # ---------------------------------------------------------------------------
 # forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(tn_ref, vn_ref, tm_ref, vm_ref, tw_ref, vw_ref, out_ref,
-                *, T: int, V: int):
-    BA = out_ref.shape[0]
-    BB = out_ref.shape[1]
-    D = tn_ref.shape[-1]
+def _fwd_kernel(tn_ref, vn_ref, tw_ref, vw_ref, out_ref, *, T: int, V: int):
+    BA, BB = out_ref.shape
+    _, _, logits = _tile_logits(tn_ref, vn_ref)
 
-    tn = tn_ref[:].reshape(BA * T, D)
-    vn = vn_ref[:].reshape(V * BB, D)
-    logits = jax.lax.dot_general(
-        tn, vn, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)               # [BA*T, V*BB]
+    # t2v: max over v, then Σ_t weighted by tw[t] ([BA, 1] lane broadcast)
+    m1 = _max_over_v(logits, V, BB)
+    s_t = m1[0:BA, :] * tw_ref[0]
+    for t in range(1, T):
+        s_t = s_t + m1[t * BA:(t + 1) * BA, :] * tw_ref[t]
 
-    tm = tm_ref[:].reshape(BA * T, 1).astype(jnp.float32)
-    vm = vm_ref[:].reshape(1, V * BB).astype(jnp.float32)
-    logits = logits * tm * vm
-
-    # t2v: elementwise max over the V column slices → [BA*T, BB]
-    m1 = logits[:, 0:BB]
+    # v2t: max over t, then Σ_v weighted by vw[v] ([1, BB] sublane broadcast)
+    m2 = _max_over_t(logits, T, BA)
+    s_v = m2[:, 0:BB] * vw_ref[0:1, :]
     for v in range(1, V):
-        m1 = jnp.maximum(m1, logits[:, v * BB:(v + 1) * BB])
-    m1 = m1 * tw_ref[:].reshape(BA * T, 1).astype(jnp.float32)
-    s_t = jnp.sum(m1.reshape(BA, T, BB), axis=1)          # [BA, BB]
-
-    # v2t: max over T via leading-axis reshape → [BA, V*BB]
-    m2 = jnp.max(logits.reshape(BA, T, V * BB), axis=1)
-    m2 = m2 * vw_ref[:].reshape(1, V * BB).astype(jnp.float32)
-    s_v = m2[:, 0:BB]
-    for v in range(1, V):
-        s_v = s_v + m2[:, v * BB:(v + 1) * BB]
+        s_v = s_v + m2[:, v * BB:(v + 1) * BB] * vw_ref[v:v + 1, :]
 
     out_ref[:] = 0.5 * (s_t + s_v)
 
 
-def _fwd_pallas(tn, vn_vm, tm, vm_vm, tw, vw_vm, *, A, B, T, V, D,
-                BA, BB, interpret):
+def _fwd_pallas(tn3, vn3, tw3, vw2, *, A, B, T, V, D, BA, BB, interpret):
     grid = (A // BA, B // BB)
     kernel = functools.partial(_fwd_kernel, T=T, V=V)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((BA, T, D), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((T, BA, D), lambda i, j: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((V, BB, D), lambda i, j: (0, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BA, T), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((V, BB), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BA, T), lambda i, j: (i, 0),
+            pl.BlockSpec((T, BA, 1), lambda i, j: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((V, BB), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
@@ -116,179 +135,208 @@ def _fwd_pallas(tn, vn_vm, tm, vm_vm, tw, vw_vm, *, A, B, T, V, D,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((A, B), jnp.float32),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * A * T * B * V * D, transcendentals=0,
-            bytes_accessed=(A * T * D + B * V * D) * 2 + A * B * 4),
-    )(tn.reshape(A, T, D), vn_vm, tm, vm_vm, tw, vw_vm)
+            bytes_accessed=(A * T * D + B * V * D) * 4 + A * B * 4),
+    )(tn3, vn3, tw3, vw2)
 
 
 # ---------------------------------------------------------------------------
-# backward kernels
+# backward kernels (recompute logits per tile; first-argmax tie routing)
 # ---------------------------------------------------------------------------
 
-def _recompute_tile(tn_ref, vn_ref, tm_ref, vm_ref, T, V):
-    BA = tn_ref.shape[0]
-    BB = vn_ref.shape[1]
+def _t2v_indicator_coeff(logits, m1, g, tw_ref, T, V, BA, BB):
+    """coeff1 [T*BA, BB] = 0.5·g(row)·tw(row), g repeated per t."""
+    g_rows = jnp.concatenate([g] * T, axis=0)                    # [T*BA, BB]
+    tw_rows = jnp.concatenate([tw_ref[t] for t in range(T)], axis=0)
+    return g_rows, 0.5 * g_rows * tw_rows
+
+
+def _v2t_coeff(g, vw_ref, V):
+    """coeff2 [BA, V*BB] = 0.5·g(col)·vw(col), built by per-v lane concat."""
+    return jnp.concatenate(
+        [0.5 * g * vw_ref[v:v + 1, :] for v in range(V)], axis=1)
+
+
+def _bwd_text_kernel(tn_ref, vn_ref, tw_ref, vw_ref, g_ref,
+                     dtn_ref, dtw_ref, *, T: int, V: int):
+    """Grid (I, J): accumulates text-side grads over column tiles j."""
+    j = pl.program_id(1)
+    BA, BB = g_ref.shape
     D = tn_ref.shape[-1]
-    tn = tn_ref[:].reshape(BA * T, D)
-    vn = vn_ref[:].reshape(V * BB, D)
-    logits = jax.lax.dot_general(
-        tn, vn, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    tm = tm_ref[:].reshape(BA * T, 1).astype(jnp.float32)
-    vm = vm_ref[:].reshape(1, V * BB).astype(jnp.float32)
-    return tn, vn, logits * tm * vm, tm, vm
+    tn, vn, logits = _tile_logits(tn_ref, vn_ref)
+    g = g_ref[:].astype(jnp.float32)
 
+    m1 = _max_over_v(logits, V, BB)
+    m2 = _max_over_t(logits, T, BA)
 
-def _dlogits_tile(logits, g_tile, tw_ref, vw_ref, T, V, BA, BB):
-    """dL/dlogits for one tile (both directions), [BA*T, V*BB] fp32."""
-    rows = BA * T
-    # ---- t2v: first-argmax over v ----
-    m1 = logits[:, 0:BB]
-    for v in range(1, V):
-        m1 = jnp.maximum(m1, logits[:, v * BB:(v + 1) * BB])
-    g_rows = jnp.broadcast_to(
-        g_tile.reshape(BA, 1, BB), (BA, T, BB)).reshape(rows, BB)
-    tw_rows = tw_ref[:].reshape(rows, 1).astype(jnp.float32)
-    coeff1 = 0.5 * g_rows * tw_rows                        # [rows, BB]
-
-    d1_slices = []
-    taken = jnp.zeros((rows, BB), jnp.bool_)
+    # ---- t2v direction: first-argmax over v; dtn += Σ_v d1_v @ vn_v ----
+    g_rows, coeff1 = _t2v_indicator_coeff(logits, m1, g, tw_ref, T, V, BA, BB)
+    dtn_flat = jnp.zeros((T * BA, D), jnp.float32)
+    taken = jnp.zeros((T * BA, BB), jnp.bool_)
     for v in range(V):
         sl = logits[:, v * BB:(v + 1) * BB]
         eq = (sl == m1) & (~taken)
         taken = taken | eq
-        d1_slices.append(jnp.where(eq, coeff1, 0.0))
-    d1 = jnp.concatenate(d1_slices, axis=1)                # [rows, V*BB]
+        d1_v = jnp.where(eq, coeff1, 0.0)                        # [T*BA, BB]
+        dtn_flat = dtn_flat + jax.lax.dot_general(
+            d1_v, vn[v * BB:(v + 1) * BB, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    dtw_rows = 0.5 * jnp.sum(g_rows * m1, axis=1, keepdims=True)  # [T*BA, 1]
 
-    # ---- v2t: first-argmax over t (static slice loop — no middle-axis cumsum) ----
-    logits3 = logits.reshape(BA, T, V * BB)
-    m2 = jnp.max(logits3, axis=1)                          # [BA, V*BB]
-    vw_cols = vw_ref[:].reshape(1, V * BB).astype(jnp.float32)
-    g_cols = jnp.concatenate([g_tile] * V, axis=1)         # [BA, V*BB] v-major
-    coeff2 = 0.5 * g_cols * vw_cols                        # [BA, V*BB]
-
+    # ---- v2t direction: first-argmax over t; per-t [BA, V*BB] @ vn ----
+    coeff2 = _v2t_coeff(g, vw_ref, V)
     taken_t = jnp.zeros((BA, V * BB), jnp.bool_)
-    d2_slices = []
+    adds = []
     for t in range(T):
-        sl = logits3[:, t, :]
+        sl = logits[t * BA:(t + 1) * BA, :]
         eq = (sl == m2) & (~taken_t)
         taken_t = taken_t | eq
-        d2_slices.append(jnp.where(eq, coeff2, 0.0))
-    d2 = jnp.stack(d2_slices, axis=1).reshape(BA * T, V * BB)
+        d2_t = jnp.where(eq, coeff2, 0.0)                        # [BA, V*BB]
+        adds.append(jax.lax.dot_general(
+            d2_t, vn, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)[None])           # [1, BA, D]
 
-    return d1 + d2, m1, m2
-
-
-def _bwd_text_kernel(tn_ref, vn_ref, tm_ref, vm_ref, tw_ref, vw_ref, g_ref,
-                     dtn_ref, dtw_ref, *, T: int, V: int):
-    """Grid (I, J): accumulates text-side grads over column tiles j."""
-    j = pl.program_id(1)
-    BA = g_ref.shape[0]
-    BB = g_ref.shape[1]
-    tn, vn, logits, tm, vm = _recompute_tile(tn_ref, vn_ref, tm_ref, vm_ref, T, V)
-    dlog, m1, _ = _dlogits_tile(logits, g_ref[:], tw_ref, vw_ref, T, V, BA, BB)
-    dlog = dlog * tm * vm   # chain through mask multiplication
-
-    dtn = jax.lax.dot_general(
-        dlog, vn, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                # [BA*T, D]
-    g_rows = jnp.broadcast_to(
-        g_ref[:].reshape(BA, 1, BB), (BA, T, BB)).reshape(BA * T, BB)
-    dtw = 0.5 * jnp.sum(g_rows * m1, axis=1)               # [BA*T]
+    dtn3 = dtn_flat.reshape(T, BA, D) + jnp.concatenate(adds, axis=0)
+    dtw3 = dtw_rows.reshape(T, BA, 1)
 
     @pl.when(j == 0)
     def _():
         dtn_ref[:] = jnp.zeros_like(dtn_ref)
         dtw_ref[:] = jnp.zeros_like(dtw_ref)
 
-    dtn_ref[:] += dtn.reshape(dtn_ref.shape)
-    dtw_ref[:] += dtw.reshape(dtw_ref.shape)
+    dtn_ref[:] += dtn3
+    dtw_ref[:] += dtw3
 
 
-def _bwd_video_kernel(tn_ref, vn_ref, tm_ref, vm_ref, tw_ref, vw_ref, g_ref,
+def _bwd_video_kernel(tn_ref, vn_ref, tw_ref, vw_ref, g_ref,
                       dvn_ref, dvw_ref, *, T: int, V: int):
     """Grid (J, I): accumulates video-side grads over row tiles i."""
     i = pl.program_id(1)
-    BA = g_ref.shape[0]
-    BB = g_ref.shape[1]
-    tn, vn, logits, tm, vm = _recompute_tile(tn_ref, vn_ref, tm_ref, vm_ref, T, V)
-    dlog, _, m2 = _dlogits_tile(logits, g_ref[:], tw_ref, vw_ref, T, V, BA, BB)
-    dlog = dlog * tm * vm
+    BA, BB = g_ref.shape
+    D = tn_ref.shape[-1]
+    tn, vn, logits = _tile_logits(tn_ref, vn_ref)
+    g = g_ref[:].astype(jnp.float32)
 
-    dvn = jax.lax.dot_general(
-        dlog, tn, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                # [V*BB, D]
-    g_cols = jnp.concatenate([g_ref[:]] * V, axis=1)       # [BA, V*BB]
-    dvw = 0.5 * jnp.sum(g_cols * m2, axis=0)               # [V*BB]
+    m1 = _max_over_v(logits, V, BB)
+    m2 = _max_over_t(logits, T, BA)
+
+    # ---- t2v direction: dvn_v += d1_vᵀ @ tn (contract over rows) ----
+    _, coeff1 = _t2v_indicator_coeff(logits, m1, g, tw_ref, T, V, BA, BB)
+    taken = jnp.zeros((T * BA, BB), jnp.bool_)
+    parts = []
+    for v in range(V):
+        sl = logits[:, v * BB:(v + 1) * BB]
+        eq = (sl == m1) & (~taken)
+        taken = taken | eq
+        d1_v = jnp.where(eq, coeff1, 0.0)
+        parts.append(jax.lax.dot_general(
+            d1_v, tn, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))                 # [BB, D]
+    dvn_flat = jnp.concatenate(parts, axis=0)                    # [V*BB, D]
+
+    # ---- v2t direction: dvn += Σ_t d2_tᵀ @ tn_t; dvw per-v column sums ----
+    coeff2 = _v2t_coeff(g, vw_ref, V)
+    taken_t = jnp.zeros((BA, V * BB), jnp.bool_)
+    for t in range(T):
+        sl = logits[t * BA:(t + 1) * BA, :]
+        eq = (sl == m2) & (~taken_t)
+        taken_t = taken_t | eq
+        d2_t = jnp.where(eq, coeff2, 0.0)                        # [BA, V*BB]
+        dvn_flat = dvn_flat + jax.lax.dot_general(
+            d2_t, tn[t * BA:(t + 1) * BA, :],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # [V*BB, D]
+
+    dvw_parts = [0.5 * jnp.sum(g * m2[:, v * BB:(v + 1) * BB],
+                               axis=0, keepdims=True)            # [1, BB]
+                 for v in range(V)]
+    dvn3 = dvn_flat.reshape(V, BB, D)
+    dvw2 = jnp.concatenate(dvw_parts, axis=0)                    # [V, BB]
 
     @pl.when(i == 0)
     def _():
         dvn_ref[:] = jnp.zeros_like(dvn_ref)
         dvw_ref[:] = jnp.zeros_like(dvw_ref)
 
-    dvn_ref[:] += dvn.reshape(dvn_ref.shape)
-    dvw_ref[:] += dvw.reshape(dvw_ref.shape)
+    dvn_ref[:] += dvn3
+    dvw_ref[:] += dvw2
 
 
 # ---------------------------------------------------------------------------
 # custom-vjp wrapper
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def _similarity_core(tn, vn_vm, tm, vm_vm, tw, vw_vm, meta):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _similarity_core(tn3, vn3, tw3, vw2, meta):
     A, B, T, V, D, BA, BB, interpret = meta
-    return _fwd_pallas(tn, vn_vm, tm, vm_vm, tw, vw_vm, A=A, B=B, T=T, V=V,
+    return _fwd_pallas(tn3, vn3, tw3, vw2, A=A, B=B, T=T, V=V,
                        D=D, BA=BA, BB=BB, interpret=interpret)
 
 
-def _similarity_fwd(tn, vn_vm, tm, vm_vm, tw, vw_vm, meta):
-    out = _similarity_core(tn, vn_vm, tm, vm_vm, tw, vw_vm, meta)
-    return out, (tn, vn_vm, tm, vm_vm, tw, vw_vm)
+def _similarity_fwd(tn3, vn3, tw3, vw2, meta):
+    out = _similarity_core(tn3, vn3, tw3, vw2, meta)
+    return out, (tn3, vn3, tw3, vw2)
+
+
+def _choose_bwd_blocks(A: int, B: int, T: int, V: int, D: int
+                       ) -> Tuple[int, int]:
+    """Backward tiles hold logits + indicator temporaries + grad accumulators
+    + double-buffered operands; shrink the ROW block only (the column block
+    must stay 128-divisible for the 2D operands g/vw per Mosaic block rules)
+    and rely on the raised vmem_limit_bytes for the rest."""
+    BB = 128 if B >= 128 else max(8, B)
+    BA = 16 if A >= 16 else max(8, A)
+    while BA > 8 and BA * T * V * BB * 4 > (3 << 20):
+        BA //= 2
+    return BA, BB
 
 
 def _similarity_bwd(meta, res, g):
-    A, B, T, V, D, BA, BB, interpret = meta
-    tn, vn_vm, tm, vm_vm, tw, vw_vm = res
+    A, B, T, V, D, _, _, interpret = meta
+    BA, BB = _choose_bwd_blocks(A, B, T, V, D)
+    tn3, vn3, tw3, vw2 = res
     g = g.astype(jnp.float32)
 
-    text_kernel = functools.partial(_bwd_text_kernel, T=T, V=V)
-    dtn, dtw = pl.pallas_call(
-        text_kernel,
+    common_specs = [
+        pl.BlockSpec((T, BA, D), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((V, BB, D), lambda i, j: (0, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, BA, 1), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((V, BB), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((BA, BB), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+    ]
+    dtn3, dtw3 = pl.pallas_call(
+        functools.partial(_bwd_text_kernel, T=T, V=V),
         grid=(A // BA, B // BB),
-        in_specs=[
-            pl.BlockSpec((BA, T, D), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((V, BB, D), lambda i, j: (0, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BA, T), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((V, BB), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BA, T), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((V, BB), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BA, BB), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        ],
+        in_specs=common_specs,
         out_specs=[
-            pl.BlockSpec((BA, T, D), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BA, T), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, BA, D), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, BA, 1), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((A, T, D), jnp.float32),
-            jax.ShapeDtypeStruct((A, T), jnp.float32),
+            jax.ShapeDtypeStruct((T, A, D), jnp.float32),
+            jax.ShapeDtypeStruct((T, A, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(tn.reshape(A, T, D), vn_vm, tm, vm_vm, tw, vw_vm, g)
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(tn3, vn3, tw3, vw2, g)
 
-    video_kernel = functools.partial(_bwd_video_kernel, T=T, V=V)
-    dvn_vm, dvw_vm = pl.pallas_call(
-        video_kernel,
+    # column-tile-major grid: swap index-map argument order
+    video_specs = [
+        pl.BlockSpec((T, BA, D), lambda j, i: (0, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((V, BB, D), lambda j, i: (0, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, BA, 1), lambda j, i: (0, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((V, BB), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((BA, BB), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+    ]
+    dvn3, dvw2 = pl.pallas_call(
+        functools.partial(_bwd_video_kernel, T=T, V=V),
         grid=(B // BB, A // BA),
-        in_specs=[
-            pl.BlockSpec((BA, T, D), lambda j, i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((V, BB, D), lambda j, i: (0, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BA, T), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((V, BB), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BA, T), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((V, BB), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BA, BB), lambda j, i: (i, j), memory_space=pltpu.VMEM),
-        ],
+        in_specs=video_specs,
         out_specs=[
             pl.BlockSpec((V, BB, D), lambda j, i: (0, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((V, BB), lambda j, i: (0, j), memory_space=pltpu.VMEM),
@@ -298,11 +346,11 @@ def _similarity_bwd(meta, res, g):
             jax.ShapeDtypeStruct((V, B), jnp.float32),
         ],
         interpret=interpret,
-    )(tn.reshape(A, T, D), vn_vm, tm, vm_vm, tw, vw_vm, g)
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(tn3, vn3, tw3, vw2, g)
 
-    # masks are data, not parameters — zero cotangents
-    return (dtn.reshape(A, T, D), dvn_vm, jnp.zeros_like(tm),
-            jnp.zeros_like(vm_vm), dtw.reshape(A, T), dvw_vm)
+    return dtn3, dvn3, dtw3, dvw2
 
 
 _similarity_core.defvjp(_similarity_fwd, _similarity_bwd)
@@ -316,28 +364,30 @@ def pallas_interaction_similarity(
     t_feat, v_feat, t_mask, v_mask, t_weight, v_weight,
     interpret: bool = False,
 ):
-    """Fused similarity [A, B]; differentiable w.r.t. features and weights."""
+    """Fused similarity [A, B]; differentiable w.r.t. features and weights.
+
+    The padding masks are folded into the normalized features before the
+    kernel (multiplicative zero masking — exact reference semantics,
+    modeling.py:500-501); gradients w.r.t. features pick up the mask factor
+    through this outer multiply automatically.
+    """
     A, T, D = t_feat.shape
     B, V, _ = v_feat.shape
 
-    tn = l2_normalize(t_feat).astype(jnp.float32)
-    vn = l2_normalize(v_feat).astype(jnp.float32)
+    tn = l2_normalize(t_feat).astype(jnp.float32) * \
+        t_mask.astype(jnp.float32)[:, :, None]
+    vn = l2_normalize(v_feat).astype(jnp.float32) * \
+        v_mask.astype(jnp.float32)[:, :, None]
 
-    BA, BB = _choose_blocks(A, B, T, V)
+    BA, BB = _choose_blocks(A, B, T, V, D)
     A_pad = ((A + BA - 1) // BA) * BA
     B_pad = ((B + BB - 1) // BB) * BB
 
-    tn = _pad_to(tn, A_pad, 0)
-    tm = _pad_to(t_mask.astype(jnp.float32), A_pad, 0)
-    tw = _pad_to(t_weight.astype(jnp.float32), A_pad, 0)
-    vn = _pad_to(vn, B_pad, 0)
-    vm = _pad_to(v_mask.astype(jnp.float32), B_pad, 0)
-    vw = _pad_to(v_weight.astype(jnp.float32), B_pad, 0)
-
-    vn_vm = vn.transpose(1, 0, 2)      # [V, B_pad, D] v-major columns
-    vm_vm = vm.T                       # [V, B_pad]
-    vw_vm = vw.T
+    tn3 = _pad_to(tn, A_pad, 0).transpose(1, 0, 2)       # [T, A_pad, D]
+    tw3 = _pad_to(t_weight.astype(jnp.float32), A_pad, 0).T[:, :, None]
+    vn3 = _pad_to(vn, B_pad, 0).transpose(1, 0, 2)       # [V, B_pad, D]
+    vw2 = _pad_to(v_weight.astype(jnp.float32), B_pad, 0).T   # [V, B_pad]
 
     meta = (A_pad, B_pad, T, V, D, BA, BB, interpret)
-    out = _similarity_core(tn, vn_vm, tm, vm_vm, tw, vw_vm, meta)
+    out = _similarity_core(tn3, vn3, tw3, vw2, meta)
     return out[:A, :B]

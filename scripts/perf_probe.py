@@ -1,10 +1,13 @@
 """Perf probe: time step variants on the real chip to locate the bottleneck.
 
-Usage: python scripts/perf_probe.py [encode|step_remat|step_noremat|losses]...
+Usage: BENCH_BATCH=64 python scripts/perf_probe.py [mode]...
+Modes: encode, encode_unroll, step_remat, step_noremat, step_pallas,
+       step_unroll.
 Each mode compiles once and times N iterations with a final-value host fetch
-as the sync point (tunnel-safe).
+as the sync point (tunnel-safe: block_until_ready is unreliable over axon).
 """
 import dataclasses
+import os
 import sys
 import time
 
@@ -12,16 +15,42 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(
-    __import__("os").path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from neighborretr_tpu.core.config import Config, LossConfig, ModelConfig, TrainConfig
 from neighborretr_tpu.models import neighborretr as model
 from neighborretr_tpu.train import memory_bank as mb
 from neighborretr_tpu.train.step import create_train_state, fill_bank_step, train_step
 
-BATCH = 64
+BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 N = 6
+
+# mode -> (encode_only, remat, use_pallas, unroll_layers)
+MODES = {
+    "encode":        (True,  False, "off", False),
+    "encode_unroll": (True,  False, "off", True),
+    "step_remat":    (False, True,  "off", False),
+    "step_noremat":  (False, False, "off", False),
+    "step_pallas":   (False, False, "on",  False),
+    "step_unroll":   (False, False, "off", True),
+    "step_dots":     (False, True,  "off", False),
+    # forward ablations: replace a sublayer with identity to attribute time
+    "encode_noattn": (True,  False, "off", False),
+    "encode_nomlp":  (True,  False, "off", False),
+}
+
+
+def apply_ablation(mode):
+    from neighborretr_tpu.models import layers as L
+    if mode == "encode_noattn":
+        L.mha = lambda p, x, n_head, attn_bias=None, dtype=None: x
+    elif mode == "encode_nomlp":
+        orig = L.block_apply
+
+        def block_no_mlp(p, x, n_head, attn_bias=None, dtype=jnp.float32):
+            return x + L.mha(p["attn"], L.layer_norm(p["ln_1"], x), n_head,
+                             attn_bias, dtype)
+        L.block_apply = block_no_mlp
 
 
 def make_batch(mcfg, rng):
@@ -46,39 +75,44 @@ def timeit(name, fn):
         out = fn()
     _ = float(jnp.sum(jax.tree.leaves(out)[0]))
     dt = (time.perf_counter() - tic) / N
-    print(f"{name}: {dt*1000:.1f} ms  ({BATCH/dt:.0f} pairs/s)", flush=True)
+    print(f"{name} (batch {BATCH}): {dt*1000:.1f} ms  ({BATCH/dt:.0f} pairs/s)",
+          flush=True)
 
 
 def main():
     modes = sys.argv[1:] or ["encode", "step_remat", "step_noremat"]
     rng = np.random.default_rng(0)
 
-    for remat in (True, False):
-        tag = "remat" if remat else "noremat"
-        if f"step_{tag}" not in modes and "encode" not in modes:
-            continue
-        mcfg = dataclasses.replace(ModelConfig(), remat=remat)
+    for mode in modes:
+        apply_ablation(mode)
+        encode_only, remat, pallas, unroll = MODES[mode]
+        mcfg = dataclasses.replace(
+            ModelConfig(), remat=remat, use_pallas=pallas, unroll_layers=unroll,
+            remat_policy="dots" if mode == "step_dots" else "full")
         cfg = Config(model=mcfg, loss=LossConfig(),
                      train=TrainConfig(batch_size=BATCH, mb_batch=4))
         batch = make_batch(mcfg, rng)
         params = model.init_params(jax.random.PRNGKey(0), mcfg)
 
-        if "encode" in modes and remat:
+        if encode_only:
             enc = jax.jit(lambda p, b: model.get_text_video_feat(
                 p, mcfg, b["text_ids"], b["text_mask"], b["video"], b["video_mask"]))
-            timeit("encode_fwd(noremat-path)", lambda: enc(params, batch))
+            timeit(mode, lambda: enc(params, batch))
+            continue
 
-        if f"step_{tag}" in modes:
-            bank = mb.create(cfg.train.memory_bank_capacity, mcfg.max_words,
-                             mcfg.max_frames, mcfg.clip.embed_dim)
-            for i in range(cfg.train.mb_batch):
-                bank = fill_bank_step(params, bank, batch, cfg, i * BATCH)
-            state = create_train_state(params, bank)
+        bank = mb.create(cfg.train.memory_bank_capacity, mcfg.max_words,
+                         mcfg.max_frames, mcfg.clip.embed_dim)
+        for i in range(cfg.train.mb_batch):
+            bank = fill_bank_step(params, bank, batch, cfg, i * BATCH)
+        box = {"state": create_train_state(params, bank)}
 
-            def run(state=state):
-                s, m = train_step(state, batch, jax.random.PRNGKey(1), cfg, 1000)
-                return m["loss"]
-            timeit(f"train_step {tag}", run)
+        def run():
+            # rebind: train_step donates its input state
+            s, m = train_step(box["state"], batch, jax.random.PRNGKey(1),
+                              cfg, 1000)
+            box["state"] = s
+            return m["loss"]
+        timeit(mode, run)
 
 
 if __name__ == "__main__":
