@@ -31,6 +31,8 @@ MEASURE_STEPS = 8
 
 
 def main():
+    from neighborretr_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from neighborretr_tpu.core.config import (Config, LossConfig, ModelConfig,
                                               TrainConfig)
     from neighborretr_tpu.models import neighborretr as model
@@ -38,6 +40,10 @@ def main():
     from neighborretr_tpu.train.step import (create_train_state,
                                              fill_bank_step, train_step)
 
+    # tuned flagship config: full-block remat (measured faster than the
+    # "dots" selective policy — the saved per-layer stacks cost more HBM
+    # traffic than the recompute); fused frame-local attention + the
+    # bank-similarity Pallas kernel resolve automatically on one TPU chip
     mcfg = dataclasses.replace(ModelConfig(), remat=True)
     cfg = Config(model=mcfg, loss=LossConfig(),
                  train=TrainConfig(batch_size=BATCH, mb_batch=4))

@@ -31,6 +31,8 @@ def main():
     args = p.parse_args()
 
     import jax
+    from neighborretr_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from neighborretr_tpu.core import checkpoint as ckpt
     from neighborretr_tpu.core.config import (ClipConfig, Config, ModelConfig,
                                               TrainConfig)

@@ -50,6 +50,12 @@ def parse_args():
     p.add_argument("--n_display", type=int, default=50)
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--remat_policy", default="full", choices=["full", "dots"])
+    p.add_argument("--attention_impl", default="auto",
+                   choices=["auto", "einsum", "fused"])
+    p.add_argument("--use_pallas", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="fused similarity kernel for memory-bank matrices")
     p.add_argument("--synthetic_size", type=int, default=256)
     p.add_argument("--augment", default="rand-m7-n4-mstd0.5-inc1",
                    help="train-time video RandAugment policy; '' disables")
@@ -65,6 +71,8 @@ def parse_args():
 def main():
     args = parse_args()
 
+    from neighborretr_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from neighborretr_tpu.core.config import (ClipConfig, Config, DataConfig,
                                               LossConfig, ModelConfig,
                                               OptimizerConfig, TrainConfig,
@@ -77,7 +85,10 @@ def main():
                 else ClipConfig.vit_b_32())
     cfg = Config(
         model=ModelConfig(clip=clip_cfg, max_words=args.max_words,
-                          max_frames=args.max_frames, remat=args.remat),
+                          max_frames=args.max_frames, remat=args.remat,
+                          remat_policy=args.remat_policy,
+                          attention_impl=args.attention_impl,
+                          use_pallas=args.use_pallas),
         loss=LossConfig(centrality_scale=args.centrality_scale,
                         kl_weight=args.kl_weight,
                         uniform_weight=args.uniform_weight,

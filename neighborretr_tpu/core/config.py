@@ -100,6 +100,10 @@ class ModelConfig:
     # unroll encoder layer stacks instead of lax.scan (bigger program,
     # cross-layer scheduling freedom for XLA)
     unroll_layers: bool = False
+    # vision attention: "auto" (fused on TPU), "einsum" (XLA batched
+    # matmuls), or "fused" (Pallas frame-local kernel — the XLA formulation
+    # measures at ~65% of encoder forward time on v5e)
+    attention_impl: str = "auto"
 
     def __post_init__(self):
         # The temporal transformer, weighting nets and CTM stacks all operate

@@ -109,7 +109,8 @@ def encode_text(p: Params, cfg: ClipConfig, text_ids: jnp.ndarray,
 
 def encode_image(p: Params, cfg: ClipConfig, images: jnp.ndarray,
                  dtype=jnp.bfloat16, remat: bool = False, unroll: bool = False,
-                 remat_policy: str = "full") -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 remat_policy: str = "full",
+                 fused_attention: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Encode images (video frames).
 
     Args:
@@ -133,6 +134,7 @@ def encode_image(p: Params, cfg: ClipConfig, images: jnp.ndarray,
 
     x = L.transformer_apply(p["transformer"], x, cfg.vision_heads, None,
                             dtype=dtype, remat=remat, unroll=unroll,
-                            remat_policy=remat_policy)
+                            remat_policy=remat_policy,
+                            fused_attention=fused_attention)
     hidden = L.layer_norm(p["ln_post"], x).astype(dtype) @ p["proj"].astype(dtype)
     return hidden[:, 0, :], hidden

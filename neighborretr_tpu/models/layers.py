@@ -108,13 +108,22 @@ def mha_init(key, d_model: int, attn_std: Optional[float] = None,
     }
 
 
-def mha(p: Params, x, n_head: int, attn_bias=None, dtype=jnp.float32):
+def mha(p: Params, x, n_head: int, attn_bias=None, dtype=jnp.float32,
+        fused: bool = False):
     """Self-attention over [B, L, D].
 
     attn_bias: optional additive fp32 bias broadcastable to [B, 1, L, L]
     (e.g. causal and/or padding masks with -inf at disallowed positions).
+    fused: use the frame-local Pallas kernel (unmasked path only) — consumes
+    the packed qkv directly, keeps logits/probs in VMEM.
     """
     B, L, D = x.shape
+    if fused and attn_bias is None:
+        from ..ops.pallas_attention import fused_frame_attention
+        qkv = linear(p["in_proj"], x, dtype=dtype)
+        out = fused_frame_attention(
+            qkv, n_head, interpret=jax.default_backend() != "tpu")
+        return linear(p["out_proj"], out.astype(dtype), dtype=dtype)
     head_dim = D // n_head
     qkv = linear(p["in_proj"], x, dtype=dtype)          # [B, L, 3D]
     q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -159,9 +168,11 @@ def block_init(key, d_model: int, layers_for_std: int = 12) -> Params:
     }
 
 
-def block_apply(p: Params, x, n_head: int, attn_bias=None, dtype=jnp.float32):
+def block_apply(p: Params, x, n_head: int, attn_bias=None, dtype=jnp.float32,
+                fused_attention: bool = False):
     from jax.ad_checkpoint import checkpoint_name as ckpt
-    attn_out = mha(p["attn"], layer_norm(p["ln_1"], x), n_head, attn_bias, dtype)
+    attn_out = mha(p["attn"], layer_norm(p["ln_1"], x), n_head, attn_bias,
+                   dtype, fused=fused_attention)
     x = x + ckpt(attn_out, "attn_out")
     h = linear(p["mlp"]["c_fc"], layer_norm(p["ln_2"], x), dtype=dtype)
     h = ckpt(quick_gelu(h), "mlp_hidden")
@@ -191,7 +202,8 @@ REMAT_POLICIES = {
 
 def transformer_apply(p: Params, x, n_head: int, attn_bias=None,
                       dtype=jnp.float32, remat: bool = False,
-                      unroll: bool = False, remat_policy: str = "full"):
+                      unroll: bool = False, remat_policy: str = "full",
+                      fused_attention: bool = False):
     """Run stacked blocks.
 
     Default: lax.scan — one traced block, O(1) compile time in depth.
@@ -201,7 +213,8 @@ def transformer_apply(p: Params, x, n_head: int, attn_bias=None,
     """
 
     def body(carry, layer_p):
-        y = block_apply(layer_p, carry, n_head, attn_bias, dtype)
+        y = block_apply(layer_p, carry, n_head, attn_bias, dtype,
+                        fused_attention=fused_attention)
         return y, None
 
     if remat:

@@ -111,10 +111,10 @@ def get_video_feat(params: Params, cfg: ModelConfig, video, video_mask,
     remat = cfg.remat if remat is None else remat
     B, F = video_mask.shape
     frames = video.reshape((B * F,) + video.shape[2:])
-    cls_feat, _ = clip_mod.encode_image(params["clip"]["visual"], cfg.clip,
-                                        frames, dtype=dtype, remat=remat,
-                                        unroll=cfg.unroll_layers,
-                                        remat_policy=cfg.remat_policy)
+    cls_feat, _ = clip_mod.encode_image(
+        params["clip"]["visual"], cfg.clip, frames, dtype=dtype, remat=remat,
+        unroll=cfg.unroll_layers, remat_policy=cfg.remat_policy,
+        fused_attention=resolve_fused_attention(cfg))
     frame_feat = cls_feat.reshape(B, F, -1).astype(jnp.float32)
     return temporal_mod.aggregate_video_features(
         params["temporal"], cfg, frame_feat, video_mask, dtype=dtype)
@@ -140,6 +140,17 @@ def token_weights(p_mlp: Params, feat: jnp.ndarray,
     return jax.nn.softmax(w, axis=-1)
 
 
+def resolve_fused_attention(cfg: ModelConfig) -> bool:
+    """'auto' → the fused frame-local attention kernel iff running on a
+    single TPU chip (on CPU the kernel would run in slow interpret mode; on a
+    mesh the XLA einsum path partitions under GSPMD without shard_map)."""
+    if cfg.attention_impl == "fused":
+        return True
+    if cfg.attention_impl == "einsum":
+        return False
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
+
+
 def resolve_use_pallas(cfg: ModelConfig) -> bool:
     """'auto' → fused Pallas kernel iff running on a single TPU chip.
 
@@ -149,10 +160,9 @@ def resolve_use_pallas(cfg: ModelConfig) -> bool:
     """
     if cfg.use_pallas == "on":
         return True
-    # "auto" currently resolves to the XLA path everywhere: the fused kernel
-    # is being reworked for Mosaic layout rules (leading-dim-only reshapes);
-    # re-enable single-chip TPU auto-selection once bench-verified.
-    return False
+    if cfg.use_pallas == "off":
+        return False
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
 
 
 def local_similarity(params: Params, t_feat, v_feat, t_mask, v_mask,

@@ -110,10 +110,13 @@ def reshape_multi_sentence(sim: np.ndarray, cut_off_points) -> np.ndarray:
 def evaluate(params: Params, cfg: Config, loader, dataset=None,
              logger=None) -> Tuple[Dict[str, float], Dict[str, float]]:
     """Full evaluation; returns (t2v_metrics, v2t_metrics)."""
+    import time
     dataset = dataset if dataset is not None else loader.dataset
     multi = getattr(dataset, "multi_sentence_per_video", False)
 
+    tic = time.time()
     t_feat, t_mask, v_feat, v_mask = extract_features(params, cfg, loader)
+    feat_time = time.time() - tic
 
     if multi:
         # keep one video per caption group: rows at cut_off_points - 1
@@ -121,7 +124,9 @@ def evaluate(params: Params, cfg: Config, loader, dataset=None,
         v_feat = v_feat[keep]
         v_mask = v_mask[keep]
 
+    tic = time.time()
     sim = similarity_matrix(params, cfg, t_feat, t_mask, v_feat, v_mask)
+    sim_time = time.time() - tic
 
     if multi:
         # the reference reshapes the SAME caption-grouped matrix for both
@@ -134,6 +139,10 @@ def evaluate(params: Params, cfg: Config, loader, dataset=None,
         v2t = M.compute_metrics(sim.T)
 
     if logger is not None:
+        # per-phase timing breakdown (evaluator.py:266-271)
+        logger.info("Eval timing: features %.1fs, similarity %.1fs "
+                    "(%d texts x %d videos)", feat_time, sim_time,
+                    sim.shape[0], sim.shape[1] if sim.ndim == 2 else sim.shape[-1])
         mean_r1 = (t2v["R1"] + v2t["R1"]) / 2
         logger.info("Mean R@1: %.4f", mean_r1)
         logger.info(M.format_metrics(t2v, "Text-to-Video: "))

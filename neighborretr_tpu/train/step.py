@@ -51,10 +51,14 @@ def compute_losses(params: Params, cfg: Config, batch: Dict[str, jnp.ndarray],
     t_mask = batch["text_mask"].astype(jnp.float32)
     v_mask = batch["video_mask"].astype(jnp.float32)
 
-    use_pallas = model.resolve_use_pallas(mcfg)
+    # Fused Pallas similarity pays off only where the [B,T,M,V] logits
+    # intermediate is large — the memory-bank matrices (bench: 14.3 vs 15.9 ms
+    # at 128x1920, plus ~300 MB HBM saved); the in-batch B×B matrix is faster
+    # through XLA's einsum (7.7 vs 11.2 ms at 128x128), so it stays XLA.
+    use_pallas_bank = model.resolve_use_pallas(mcfg)
     # local (token-interaction) similarity, v2t = S.T
     s_local = model.local_similarity(params, text_feat, video_feat,
-                                     t_mask, v_mask, use_pallas)
+                                     t_mask, v_mask)
 
     # global path: CTM merge → global similarity → uniform + KL
     g_t, g_v = model.merge_global_features(
@@ -80,9 +84,11 @@ def compute_losses(params: Params, cfg: Config, batch: Dict[str, jnp.ndarray],
 
     # neighbor adjusting vs the memory bank
     bank_t2v = model.local_similarity(
-        params, text_feat, bank.feat_v, t_mask, bank.mask_v, use_pallas)     # [B, M]
+        params, text_feat, bank.feat_v, t_mask, bank.mask_v,
+        use_pallas_bank)                                                  # [B, M]
     bank_v2t = model.local_similarity(
-        params, bank.feat_t, video_feat, bank.mask_t, v_mask, use_pallas).T  # [B, M]
+        params, bank.feat_t, video_feat, bank.mask_t, v_mask,
+        use_pallas_bank).T                                                # [B, M]
     neighbor_loss = 0.5 * (
         hubness.neighbor_adjusting_loss(
             s_local, bank_v2t, lcfg.num_neighbors, lcfg.temperature)

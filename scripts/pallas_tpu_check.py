@@ -53,7 +53,40 @@ def check(A, B, T, V, D, tag):
         print(f"[{tag}] {name}: {dt*1e3:.2f} ms/fwd+bwd", flush=True)
 
 
+def bench_attention(N=768, L=50, H=12, hd=64):
+    """Micro-bench fused vs XLA attention at the bench shape (batch 64 x 12f)."""
+    import numpy as np
+    from neighborretr_tpu.models import layers as Lmod
+    rng = np.random.default_rng(0)
+    D = H * hd
+    p = {"in_proj": {"w": jnp.asarray(rng.normal(0, .02, (D, 3 * D)).astype(np.float32)),
+                     "b": jnp.zeros((3 * D,), jnp.float32)},
+         "out_proj": {"w": jnp.asarray(rng.normal(0, .02, (D, D)).astype(np.float32)),
+                      "b": jnp.zeros((D,), jnp.float32)}}
+    x = jnp.asarray(rng.normal(size=(N, L, D)).astype(np.float32))
+
+    for name, fused in (("xla", False), ("fused", True)):
+        def f(p, x, fused=fused):
+            return jnp.sum(Lmod.mha(p, x, H, None, jnp.bfloat16, fused)
+                           .astype(jnp.float32))
+        fn = jax.jit(jax.value_and_grad(f))
+        v, g = fn(p, x)
+        _ = float(v)
+        tic = time.perf_counter()
+        for _ in range(8):
+            v, g = fn(p, x)
+        _ = float(v)
+        dt = (time.perf_counter() - tic) / 8
+        print(f"[attn {N}x{L} H{H}] {name}: {dt*1e3:.2f} ms/fwd+bwd", flush=True)
+
+
 if __name__ == "__main__":
+    from neighborretr_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     print("device:", jax.devices()[0], flush=True)
-    check(128, 128, 24, 12, 512, "batch 128x128")
-    check(128, 1920, 24, 12, 512, "bank 128x1920")
+    import sys as _sys
+    if "attn" in _sys.argv:
+        bench_attention()
+    else:
+        check(128, 128, 24, 12, 512, "batch 128x128")
+        check(128, 1920, 24, 12, 512, "bank 128x1920")

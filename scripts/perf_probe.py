@@ -25,18 +25,22 @@ from neighborretr_tpu.train.step import create_train_state, fill_bank_step, trai
 BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 N = 6
 
-# mode -> (encode_only, remat, use_pallas, unroll_layers)
+# mode -> (encode_only, remat, use_pallas, unroll_layers, attention_impl, remat_policy)
 MODES = {
-    "encode":        (True,  False, "off", False),
-    "encode_unroll": (True,  False, "off", True),
-    "step_remat":    (False, True,  "off", False),
-    "step_noremat":  (False, False, "off", False),
-    "step_pallas":   (False, False, "on",  False),
-    "step_unroll":   (False, False, "off", True),
-    "step_dots":     (False, True,  "off", False),
+    "encode":        (True,  False, "off", False, "einsum", "full"),
+    "encode_unroll": (True,  False, "off", True,  "einsum", "full"),
+    "encode_fattn":  (True,  False, "off", False, "fused",  "full"),
+    "step_remat":    (False, True,  "off", False, "einsum", "full"),
+    "step_noremat":  (False, False, "off", False, "einsum", "full"),
+    "step_pallas":   (False, True,  "on",  False, "einsum", "full"),
+    "step_unroll":   (False, False, "off", True,  "einsum", "full"),
+    "step_dots":     (False, True,  "off", False, "einsum", "dots"),
+    "step_fattn":    (False, True,  "off", False, "fused",  "full"),
+    "step_best":     (False, True,  "on",  False, "fused",  "dots"),
+    "step_fattn_dots": (False, True, "off", False, "fused",  "dots"),
     # forward ablations: replace a sublayer with identity to attribute time
-    "encode_noattn": (True,  False, "off", False),
-    "encode_nomlp":  (True,  False, "off", False),
+    "encode_noattn": (True,  False, "off", False, "einsum", "full"),
+    "encode_nomlp":  (True,  False, "off", False, "einsum", "full"),
 }
 
 
@@ -80,15 +84,17 @@ def timeit(name, fn):
 
 
 def main():
+    from neighborretr_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     modes = sys.argv[1:] or ["encode", "step_remat", "step_noremat"]
     rng = np.random.default_rng(0)
 
     for mode in modes:
         apply_ablation(mode)
-        encode_only, remat, pallas, unroll = MODES[mode]
+        encode_only, remat, pallas, unroll, attn, policy = MODES[mode]
         mcfg = dataclasses.replace(
             ModelConfig(), remat=remat, use_pallas=pallas, unroll_layers=unroll,
-            remat_policy="dots" if mode == "step_dots" else "full")
+            attention_impl=attn, remat_policy=policy)
         cfg = Config(model=mcfg, loss=LossConfig(),
                      train=TrainConfig(batch_size=BATCH, mb_batch=4))
         batch = make_batch(mcfg, rng)
