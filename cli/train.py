@@ -50,7 +50,8 @@ def parse_args():
     p.add_argument("--n_display", type=int, default=50)
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--remat", action="store_true")
-    p.add_argument("--remat_policy", default="full", choices=["full", "dots"])
+    p.add_argument("--remat_policy", default="full",
+                   choices=["full", "dots", "attn"])
     p.add_argument("--attention_impl", default="auto",
                    choices=["auto", "einsum", "fused"])
     p.add_argument("--use_pallas", default="auto",

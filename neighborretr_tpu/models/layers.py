@@ -193,10 +193,14 @@ REMAT_POLICIES = {
     "full": None,
     # dots: save the three big matmul outputs per block (attn out, GELU'd MLP
     # hidden, MLP out); recompute LayerNorms/attention internals only.
-    # ~60% of the recompute FLOPs of "full" avoided for ~530 MB/layer at the
-    # bench shape — fits v5e HBM where saving everything (remat=False) OOMs.
+    # Measured SLOWER than "full" on v5e at the bench shape (328 vs 306 ms):
+    # the stacked mlp_hidden saves cost more HBM traffic than the recompute.
     "dots": lambda: jax.checkpoint_policies.save_only_these_names(
         "attn_out", "mlp_hidden", "mlp_out"),
+    # attn: save ONLY the attention sublayer output (59 MB/layer at the bench
+    # shape) — the backward then never re-runs the attention kernel, which
+    # full-block remat otherwise recomputes a 3rd time per layer.
+    "attn": lambda: jax.checkpoint_policies.save_only_these_names("attn_out"),
 }
 
 

@@ -57,30 +57,36 @@ def _frame_diag_bias(rows: int, L: int, n_stack: int = 1) -> jnp.ndarray:
     return jnp.where(r == c, 0.0, NEG_INF).astype(jnp.float32)
 
 
+def _split_heads(x, rows, D, H, hd, n_parts: int = 3):
+    """[rows, n_parts·D] → n_parts tensors [H, rows, hd] (bf16), built by
+    stacking per-head lane slices along a new leading axis — feeds Mosaic's
+    batched 3D dot so each attention matmul is ONE op instead of H."""
+    outs = []
+    for part in range(n_parts):
+        base = part * D
+        heads = [x[:, base + h * hd: base + (h + 1) * hd].astype(jnp.bfloat16)[None]
+                 for h in range(H)]
+        outs.append(jnp.concatenate(heads, axis=0))
+    return outs
+
+
 def _fwd_kernel(qkv_ref, out_ref, *, L: int, H: int, hd: int, scale: float):
     FB = qkv_ref.shape[0]
     rows = FB * L
     D = H * hd
     qkv = qkv_ref[:].reshape(rows, 3 * D)
+    bias = _frame_diag_bias(rows, L)
 
-    logits = []
-    for h in range(H):
-        q = (qkv[:, h * hd:(h + 1) * hd] * scale).astype(jnp.bfloat16)
-        k = qkv[:, D + h * hd:D + (h + 1) * hd].astype(jnp.bfloat16)
-        logits.append(jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32))
-    l_all = jnp.concatenate(logits, axis=0) + _frame_diag_bias(rows, L, H)
-    p_all = jax.nn.softmax(l_all, axis=-1).astype(jnp.bfloat16)
-
-    outs = []
-    for h in range(H):
-        v = qkv[:, 2 * D + h * hd:2 * D + (h + 1) * hd].astype(jnp.bfloat16)
-        outs.append(jax.lax.dot_general(
-            p_all[h * rows:(h + 1) * rows, :], v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
-    out = jnp.concatenate(outs, axis=1)                     # [rows, D]
+    q3, k3, v3 = _split_heads(qkv, rows, D, H, hd)          # each [H, rows, hd]
+    logits = jax.lax.dot_general(                            # ONE batched dot
+        (q3.astype(jnp.float32) * scale).astype(jnp.bfloat16), k3,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                  # [H, rows, rows]
+    probs = jax.nn.softmax(logits + bias[None], axis=-1).astype(jnp.bfloat16)
+    out3 = jax.lax.dot_general(
+        probs, v3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                  # [H, rows, hd]
+    out = jnp.concatenate([out3[h] for h in range(H)], axis=1)   # [rows, D]
     out_ref[:] = out.reshape(FB, L, D).astype(out_ref.dtype)
 
 
@@ -90,48 +96,39 @@ def _bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, L: int, H: int, hd: int,
     rows = FB * L
     D = H * hd
     qkv = qkv_ref[:].reshape(rows, 3 * D)
-    g = g_ref[:].reshape(rows, D).astype(jnp.bfloat16)
+    g = g_ref[:].reshape(rows, D)
+    bias = _frame_diag_bias(rows, L)
 
-    # recompute all-head probs (stacked rows, one softmax) and the
-    # dprobs stack, then ONE softmax-backward over the whole stack
-    logits, dprobs = [], []
-    for h in range(H):
-        q = (qkv[:, h * hd:(h + 1) * hd] * scale).astype(jnp.bfloat16)
-        k = qkv[:, D + h * hd:D + (h + 1) * hd].astype(jnp.bfloat16)
-        v = qkv[:, 2 * D + h * hd:2 * D + (h + 1) * hd].astype(jnp.bfloat16)
-        logits.append(jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32))
-        dprobs.append(jax.lax.dot_general(                   # g_h @ vᵀ
-            g[:, h * hd:(h + 1) * hd], v,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32))
-    l_all = jnp.concatenate(logits, axis=0) + _frame_diag_bias(rows, L, H)
-    p_all = jax.nn.softmax(l_all, axis=-1)                   # fp32 [H*rows, rows]
-    dp_all = jnp.concatenate(dprobs, axis=0)
-    # softmax backward: dlogits = p * (dp - Σ_k dp·p); fold the q-side scale
-    dl_all = (p_all * (dp_all - jnp.sum(dp_all * p_all, axis=-1,
-                                        keepdims=True)) * scale
-              ).astype(jnp.bfloat16)
-    p_all = p_all.astype(jnp.bfloat16)
+    q3, k3, v3 = _split_heads(qkv, rows, D, H, hd)          # each [H, rows, hd]
+    g3 = _split_heads(g, rows, D, H, hd, n_parts=1)[0]      # [H, rows, hd]
 
-    dqs, dks, dvs = [], [], []
-    for h in range(H):
-        q = qkv[:, h * hd:(h + 1) * hd].astype(jnp.bfloat16)
-        k = qkv[:, D + h * hd:D + (h + 1) * hd].astype(jnp.bfloat16)
-        sl = slice(h * rows, (h + 1) * rows)
-        dvs.append(jax.lax.dot_general(                      # probsᵀ @ g_h
-            p_all[sl, :], g[:, h * hd:(h + 1) * hd],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
-        dqs.append(jax.lax.dot_general(
-            dl_all[sl, :], k, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
-        dks.append(jax.lax.dot_general(
-            dl_all[sl, :], q, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
+    logits = jax.lax.dot_general(
+        (q3.astype(jnp.float32) * scale).astype(jnp.bfloat16), k3,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits + bias[None], axis=-1)     # fp32 [H,rows,rows]
+    p16 = probs.astype(jnp.bfloat16)
 
-    dqkv = jnp.concatenate(dqs + dks + dvs, axis=1)          # [rows, 3D]
+    dv3 = jax.lax.dot_general(                               # probsᵀ @ g
+        p16, g3, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                  # [H, rows, hd]
+    dprobs = jax.lax.dot_general(                            # g @ vᵀ
+        g3, v3, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                  # [H, rows, rows]
+    # softmax backward: dlogits = p * (dp - Σ_k dp·p)
+    dlogits = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
+                                        keepdims=True))
+    dl16 = (dlogits * scale).astype(jnp.bfloat16)
+    dq3 = jax.lax.dot_general(
+        dl16, k3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                  # [H, rows, hd]
+    dk3 = jax.lax.dot_general(
+        dl16, q3, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                  # [H, rows, hd]
+
+    dqkv = jnp.concatenate(
+        [dq3[h] for h in range(H)] + [dk3[h] for h in range(H)]
+        + [dv3[h] for h in range(H)], axis=1)                # [rows, 3D]
     dqkv_ref[:] = dqkv.reshape(FB, L, 3 * D).astype(dqkv_ref.dtype)
 
 

@@ -38,6 +38,7 @@ MODES = {
     "step_fattn":    (False, True,  "off", False, "fused",  "full"),
     "step_best":     (False, True,  "on",  False, "fused",  "dots"),
     "step_fattn_dots": (False, True, "off", False, "fused",  "dots"),
+    "step_fattn_attn": (False, True, "off", False, "fused",  "attn"),
     # forward ablations: replace a sublayer with identity to attribute time
     "encode_noattn": (True,  False, "off", False, "einsum", "full"),
     "encode_nomlp":  (True,  False, "off", False, "einsum", "full"),
