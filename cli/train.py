@@ -66,6 +66,9 @@ def parse_args():
                    help="per-worker decoded-clip LRU capacity")
     p.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler trace of early steps here")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="raise on NaN/Inf in any jitted computation (the "
+                        "reference's --detect_grad / detect_anomaly analogue)")
     return p.parse_args()
 
 
@@ -116,6 +119,8 @@ def main():
     )
 
     import jax
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     mesh = pmesh.make_mesh(num_devices=args.num_devices)
     validate(cfg, mesh.devices.size)
 

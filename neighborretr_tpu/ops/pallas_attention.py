@@ -37,8 +37,18 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
-def _pick_fb(n_frames: int, L: int, target_rows: int = 384) -> int:
-    """Frames per grid cell: biggest divisor of N with FB·L near target."""
+def _pick_fb(n_frames: int, L: int, target_rows: int = None) -> int:
+    """Frames per grid cell: biggest divisor of N with FB·L ≤ target rows.
+
+    The block-diagonal FLOP waste grows with FB while per-op overhead shrinks;
+    with Mosaic's batched 3D dots the sweet spot is small (lane padding of the
+    [rows, rows] logits is ~1.28× for any FB·L ≥ 128).  Override with
+    NRTPU_ATTN_FB_ROWS for A/B probing."""
+    import os
+    if target_rows is None:
+        # measured on v5e at L=50: FB=2 (rows 100) 11.6 ms/layer fwd+bwd,
+        # FB=4 12.0, FB=8 13.1-16.5 — small blocks win once dots are batched
+        target_rows = int(os.environ.get("NRTPU_ATTN_FB_ROWS", "112"))
     best = 1
     for fb in (16, 12, 8, 6, 4, 3, 2, 1):
         if n_frames % fb == 0 and fb * L <= target_rows:
