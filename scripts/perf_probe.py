@@ -39,6 +39,8 @@ MODES = {
     "step_best":     (False, True,  "on",  False, "fused",  "dots"),
     "step_fattn_dots": (False, True, "off", False, "fused",  "dots"),
     "step_fattn_attn": (False, True, "off", False, "fused",  "attn"),
+    "step_fattn_unroll": (False, True, "off", True,  "fused",  "full"),
+    "step_fattn_unroll_attn": (False, True, "off", True, "fused", "attn"),
     # forward ablations: replace a sublayer with identity to attribute time
     "encode_noattn": (True,  False, "off", False, "einsum", "full"),
     "encode_nomlp":  (True,  False, "off", False, "einsum", "full"),
