@@ -40,11 +40,12 @@ def main():
     from neighborretr_tpu.train.step import (create_train_state,
                                              fill_bank_step, train_step)
 
-    # tuned flagship config: full-block remat (measured faster than the
-    # "dots" selective policy — the saved per-layer stacks cost more HBM
-    # traffic than the recompute); fused frame-local attention + the
-    # bank-similarity Pallas kernel resolve automatically on one TPU chip
-    mcfg = dataclasses.replace(ModelConfig(), remat=True)
+    # tuned flagship config (v5e sweep): NO remat + unrolled layer loop —
+    # with the fused attention kernel the full activation set fits HBM (the
+    # XLA attention's padded [.,50,50] probs were what OOM'd), and skipping
+    # all recompute measures 228 ms/step vs 306 ms full-remat at batch 64.
+    # Fused attention + bank-similarity Pallas kernels resolve automatically.
+    mcfg = dataclasses.replace(ModelConfig(), remat=False, unroll_layers=True)
     cfg = Config(model=mcfg, loss=LossConfig(),
                  train=TrainConfig(batch_size=BATCH, mb_batch=4))
 

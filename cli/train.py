@@ -57,6 +57,11 @@ def parse_args():
     p.add_argument("--use_pallas", default="auto",
                    choices=["auto", "on", "off"],
                    help="fused similarity kernel for memory-bank matrices")
+    p.add_argument("--unroll_layers", action="store_true",
+                   help="unroll encoder stacks instead of lax.scan")
+    p.add_argument("--remat_skip_last", type=int, default=0,
+                   help="with --remat --unroll_layers: save-all for the last "
+                        "N vision layers (~2.6 GB HBM each, ~4.5 ms/step)")
     p.add_argument("--synthetic_size", type=int, default=256)
     p.add_argument("--augment", default="rand-m7-n4-mstd0.5-inc1",
                    help="train-time video RandAugment policy; '' disables")
@@ -92,7 +97,9 @@ def main():
                           max_frames=args.max_frames, remat=args.remat,
                           remat_policy=args.remat_policy,
                           attention_impl=args.attention_impl,
-                          use_pallas=args.use_pallas),
+                          use_pallas=args.use_pallas,
+                          unroll_layers=args.unroll_layers,
+                          remat_skip_last=args.remat_skip_last),
         loss=LossConfig(centrality_scale=args.centrality_scale,
                         kl_weight=args.kl_weight,
                         uniform_weight=args.uniform_weight,

@@ -104,6 +104,9 @@ class ModelConfig:
     # matmuls), or "fused" (Pallas frame-local kernel — the XLA formulation
     # measures at ~65% of encoder forward time on v5e)
     attention_impl: str = "auto"
+    # with remat+unroll: save-all (skip remat) for the last N encoder layers —
+    # each skipped layer trades ~2.6 GB HBM for ~4.5 ms/step on v5e
+    remat_skip_last: int = 0
 
     def __post_init__(self):
         # The temporal transformer, weighting nets and CTM stacks all operate

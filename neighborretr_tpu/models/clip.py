@@ -80,7 +80,8 @@ def init_clip(key, cfg: ClipConfig) -> Params:
 def encode_text(p: Params, cfg: ClipConfig, text_ids: jnp.ndarray,
                 text_mask: jnp.ndarray, dtype=jnp.bfloat16,
                 remat: bool = False, unroll: bool = False,
-                remat_policy: str = "full") -> Tuple[jnp.ndarray, jnp.ndarray]:
+                remat_policy: str = "full",
+                fused_attention: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Encode tokenized text.
 
     Args:
@@ -99,7 +100,8 @@ def encode_text(p: Params, cfg: ClipConfig, text_ids: jnp.ndarray,
 
     x = L.transformer_apply(p["transformer"], x, cfg.transformer_heads, bias,
                             dtype=dtype, remat=remat, unroll=unroll,
-                            remat_policy=remat_policy)
+                            remat_policy=remat_policy,
+                            fused_attention=fused_attention)
     hidden = L.layer_norm(p["ln_final"], x).astype(dtype) @ p["text_projection"].astype(dtype)
     # EoT token = highest token id per row (module_clip.py:551-552)
     eot_idx = jnp.argmax(text_ids, axis=-1)
@@ -109,8 +111,8 @@ def encode_text(p: Params, cfg: ClipConfig, text_ids: jnp.ndarray,
 
 def encode_image(p: Params, cfg: ClipConfig, images: jnp.ndarray,
                  dtype=jnp.bfloat16, remat: bool = False, unroll: bool = False,
-                 remat_policy: str = "full",
-                 fused_attention: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 remat_policy: str = "full", fused_attention: bool = False,
+                 remat_skip_last: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Encode images (video frames).
 
     Args:
@@ -135,6 +137,7 @@ def encode_image(p: Params, cfg: ClipConfig, images: jnp.ndarray,
     x = L.transformer_apply(p["transformer"], x, cfg.vision_heads, None,
                             dtype=dtype, remat=remat, unroll=unroll,
                             remat_policy=remat_policy,
-                            fused_attention=fused_attention)
+                            fused_attention=fused_attention,
+                            remat_skip_last=remat_skip_last)
     hidden = L.layer_norm(p["ln_post"], x).astype(dtype) @ p["proj"].astype(dtype)
     return hidden[:, 0, :], hidden

@@ -118,11 +118,17 @@ def mha(p: Params, x, n_head: int, attn_bias=None, dtype=jnp.float32,
     the packed qkv directly, keeps logits/probs in VMEM.
     """
     B, L, D = x.shape
-    if fused and attn_bias is None:
+    if fused:
         from ..ops.pallas_attention import fused_frame_attention
         qkv = linear(p["in_proj"], x, dtype=dtype)
+        bias = None
+        if attn_bias is not None:
+            # [B|1, 1, L, L] additive bias → per-sequence [B, L, L]
+            bias = jnp.broadcast_to(attn_bias.astype(jnp.float32),
+                                    (B, 1, L, L))[:, 0]
         out = fused_frame_attention(
-            qkv, n_head, interpret=jax.default_backend() != "tpu")
+            qkv, n_head, bias=bias,
+            interpret=jax.default_backend() != "tpu")
         return linear(p["out_proj"], out.astype(dtype), dtype=dtype)
     head_dim = D // n_head
     qkv = linear(p["in_proj"], x, dtype=dtype)          # [B, L, 3D]
@@ -207,7 +213,8 @@ REMAT_POLICIES = {
 def transformer_apply(p: Params, x, n_head: int, attn_bias=None,
                       dtype=jnp.float32, remat: bool = False,
                       unroll: bool = False, remat_policy: str = "full",
-                      fused_attention: bool = False):
+                      fused_attention: bool = False,
+                      remat_skip_last: int = 0):
     """Run stacked blocks.
 
     Default: lax.scan — one traced block, O(1) compile time in depth.
@@ -223,14 +230,27 @@ def transformer_apply(p: Params, x, n_head: int, attn_bias=None,
 
     if remat:
         policy = REMAT_POLICIES[remat_policy]
-        body = jax.checkpoint(body, policy=policy() if policy else None)
+        ckpt_body = jax.checkpoint(body, policy=policy() if policy else None)
+    else:
+        ckpt_body = body
 
     if unroll:
-        for i in range(num_layers(p)):
-            x, _ = body(x, jax.tree.map(lambda a: a[i], p))
+        n = num_layers(p)
+        skip = _remat_skip_last(remat_skip_last)
+        for i in range(n):
+            # hybrid remat: save-all for the last `skip` layers (their
+            # activations die soonest in the backward pass, so saving them
+            # trades the least HBM for skipped recompute)
+            f = body if (remat and i >= n - skip) else ckpt_body
+            x, _ = f(x, jax.tree.map(lambda a: a[i], p))
         return x
-    y, _ = jax.lax.scan(body, x, p)
+    y, _ = jax.lax.scan(ckpt_body, x, p)
     return y
+
+
+def _remat_skip_last(default: int = 0) -> int:
+    import os
+    return int(os.environ.get("NRTPU_REMAT_SKIP_LAST", str(default)))
 
 
 def num_layers(p: Params) -> int:

@@ -93,7 +93,8 @@ def get_text_feat(params: Params, cfg: ModelConfig, text_ids, text_mask,
     _, hidden = clip_mod.encode_text(params["clip"]["text"], cfg.clip,
                                      text_ids, text_mask, dtype=dtype,
                                      remat=remat, unroll=cfg.unroll_layers,
-                                     remat_policy=cfg.remat_policy)
+                                     remat_policy=cfg.remat_policy,
+                                     fused_attention=resolve_fused_attention(cfg))
     return hidden.astype(jnp.float32)
 
 
@@ -114,7 +115,8 @@ def get_video_feat(params: Params, cfg: ModelConfig, video, video_mask,
     cls_feat, _ = clip_mod.encode_image(
         params["clip"]["visual"], cfg.clip, frames, dtype=dtype, remat=remat,
         unroll=cfg.unroll_layers, remat_policy=cfg.remat_policy,
-        fused_attention=resolve_fused_attention(cfg))
+        fused_attention=resolve_fused_attention(cfg),
+        remat_skip_last=cfg.remat_skip_last)
     frame_feat = cls_feat.reshape(B, F, -1).astype(jnp.float32)
     return temporal_mod.aggregate_video_features(
         params["temporal"], cfg, frame_feat, video_mask, dtype=dtype)

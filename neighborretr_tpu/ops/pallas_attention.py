@@ -80,6 +80,24 @@ def _split_heads(x, rows, D, H, hd, n_parts: int = 3):
     return outs
 
 
+def _tile_bias(bias_ref, FB: int, L: int) -> jnp.ndarray:
+    """Per-sequence additive bias [FB, L, L] → block-diagonal [FB·L, FB·L]
+    (NEG_INF off-diagonal), built with Mosaic-legal concats only."""
+    if bias_ref is None:
+        return _frame_diag_bias(FB * L, L)
+    row_blocks = []
+    for f in range(FB):
+        pieces = []
+        if f > 0:
+            pieces.append(jnp.full((L, f * L), NEG_INF, jnp.float32))
+        pieces.append(bias_ref[f].astype(jnp.float32))
+        if f < FB - 1:
+            pieces.append(jnp.full((L, (FB - 1 - f) * L), NEG_INF, jnp.float32))
+        row_blocks.append(jnp.concatenate(pieces, axis=1) if len(pieces) > 1
+                          else pieces[0])
+    return jnp.concatenate(row_blocks, axis=0)
+
+
 def _fwd_kernel(qkv_ref, out_ref, *, L: int, H: int, hd: int, scale: float):
     FB = qkv_ref.shape[0]
     rows = FB * L
@@ -142,6 +160,68 @@ def _bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, L: int, H: int, hd: int,
     dqkv_ref[:] = dqkv.reshape(FB, L, 3 * D).astype(dqkv_ref.dtype)
 
 
+def _fwd_kernel_biased(qkv_ref, bias_ref, out_ref, *, L: int, H: int,
+                       hd: int, scale: float):
+    FB = qkv_ref.shape[0]
+    rows = FB * L
+    D = H * hd
+    qkv = qkv_ref[:].reshape(rows, 3 * D)
+    bias = _tile_bias(bias_ref, FB, L)
+
+    q3, k3, v3 = _split_heads(qkv, rows, D, H, hd)
+    logits = jax.lax.dot_general(
+        (q3.astype(jnp.float32) * scale).astype(jnp.bfloat16), k3,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits + bias[None], axis=-1).astype(jnp.bfloat16)
+    out3 = jax.lax.dot_general(
+        probs, v3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    out = jnp.concatenate([out3[h] for h in range(H)], axis=1)
+    out_ref[:] = out.reshape(FB, L, D).astype(out_ref.dtype)
+
+
+def _bwd_kernel_biased(qkv_ref, bias_ref, g_ref, dqkv_ref, *, L: int, H: int,
+                       hd: int, scale: float):
+    FB = qkv_ref.shape[0]
+    rows = FB * L
+    D = H * hd
+    qkv = qkv_ref[:].reshape(rows, 3 * D)
+    g = g_ref[:].reshape(rows, D)
+    bias = _tile_bias(bias_ref, FB, L)
+
+    q3, k3, v3 = _split_heads(qkv, rows, D, H, hd)
+    g3 = _split_heads(g, rows, D, H, hd, n_parts=1)[0]
+
+    logits = jax.lax.dot_general(
+        (q3.astype(jnp.float32) * scale).astype(jnp.bfloat16), k3,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits + bias[None], axis=-1)
+    p16 = probs.astype(jnp.bfloat16)
+
+    dv3 = jax.lax.dot_general(
+        p16, g3, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    dprobs = jax.lax.dot_general(
+        g3, v3, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    dlogits = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
+                                        keepdims=True))
+    dl16 = (dlogits * scale).astype(jnp.bfloat16)
+    dq3 = jax.lax.dot_general(
+        dl16, k3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    dk3 = jax.lax.dot_general(
+        dl16, q3, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+
+    dqkv = jnp.concatenate(
+        [dq3[h] for h in range(H)] + [dk3[h] for h in range(H)]
+        + [dv3[h] for h in range(H)], axis=1)
+    dqkv_ref[:] = dqkv.reshape(FB, L, 3 * D).astype(dqkv_ref.dtype)
+
+
 # ---------------------------------------------------------------------------
 # custom-vjp wrapper
 # ---------------------------------------------------------------------------
@@ -201,21 +281,84 @@ def _attention_bwd(meta, res, g):
 _attention_core.defvjp(_attention_fwd, _attention_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _attention_core_biased(qkv, bias, meta):
+    N, L, H, hd, FB, interpret = meta
+    D = H * hd
+    kernel = functools.partial(_fwd_kernel_biased, L=L, H=H, hd=hd,
+                               scale=hd ** -0.5)
+    return pl.pallas_call(
+        kernel,
+        grid=(N // FB,),
+        in_specs=[
+            pl.BlockSpec((FB, L, 3 * D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((FB, L, L), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((FB, L, D), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, L, D), qkv.dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(qkv, bias)
+
+
+def _attention_biased_fwd(qkv, bias, meta):
+    return _attention_core_biased(qkv, bias, meta), (qkv, bias)
+
+
+def _attention_biased_bwd(meta, res, g):
+    N, L, H, hd, FB, interpret = meta
+    D = H * hd
+    qkv, bias = res
+    kernel = functools.partial(_bwd_kernel_biased, L=L, H=H, hd=hd,
+                               scale=hd ** -0.5)
+    dqkv = pl.pallas_call(
+        kernel,
+        grid=(N // FB,),
+        in_specs=[
+            pl.BlockSpec((FB, L, 3 * D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((FB, L, L), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((FB, L, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((FB, L, 3 * D), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, L, 3 * D), qkv.dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(qkv, bias, g)
+    # the bias is a mask-derived constant — no cotangent needed
+    return dqkv, jnp.zeros_like(bias)
+
+
+_attention_core_biased.defvjp(_attention_biased_fwd, _attention_biased_bwd)
+
+
 # ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
 
 def fused_frame_attention(qkv: jnp.ndarray, n_head: int,
+                          bias=None,
                           interpret: bool = False) -> jnp.ndarray:
     """Self-attention over packed qkv [N, L, 3D] → [N, L, D].
 
-    No attention bias/mask support — this is the unmasked per-frame vision
-    path (every one of the L tokens is real).  For masked/causal attention
-    use the XLA path in models/layers.mha.
+    bias: optional per-sequence additive attention bias [N, L, L] fp32 (e.g.
+    the text tower's causal∧padding mask; treated as a constant — no
+    cotangent).  None = the unmasked per-frame vision path.
     """
     N, L, threeD = qkv.shape
     D = threeD // 3
     hd = D // n_head
     FB = _pick_fb(N, L)
     meta = (N, L, n_head, hd, FB, interpret)
-    return _attention_core(qkv, meta)
+    if bias is None:
+        return _attention_core(qkv, meta)
+    bias = jnp.broadcast_to(bias.astype(jnp.float32), (N, L, L))
+    return _attention_core_biased(qkv, bias, meta)

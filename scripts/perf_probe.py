@@ -41,6 +41,9 @@ MODES = {
     "step_fattn_attn": (False, True, "off", False, "fused",  "attn"),
     "step_fattn_unroll": (False, True, "off", True,  "fused",  "full"),
     "step_fattn_unroll_attn": (False, True, "off", True, "fused", "attn"),
+    "step_fattn_unroll_dots": (False, True, "off", True, "fused", "dots"),
+    "step_fattn_noremat": (False, False, "off", False, "fused", "full"),
+    "step_fattn_noremat_unroll": (False, False, "off", True, "fused", "full"),
     # forward ablations: replace a sublayer with identity to attribute time
     "encode_noattn": (True,  False, "off", False, "einsum", "full"),
     "encode_nomlp":  (True,  False, "off", False, "einsum", "full"),

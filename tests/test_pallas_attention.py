@@ -74,3 +74,27 @@ def test_pick_fb_divides():
     for n in (768, 96, 7, 12):
         fb = _pick_fb(n, 50)
         assert n % fb == 0
+
+
+def test_biased_matches_xla_causal_padding(rng):
+    """Text-tower path: causal∧padding additive bias through the fused kernel
+    must match the XLA masked attention."""
+    N, Lq, H, hd = 6, 10, 2, 16
+    D = H * hd
+    p = _params(rng, D)
+    x = jnp.asarray(rng.normal(size=(N, Lq, D)).astype(np.float32))
+    mask = (rng.random((N, Lq)) > 0.3).astype(np.float32)
+    mask[:, 0] = 1.0
+    bias = L.causal_bias(Lq) + L.padding_bias(jnp.asarray(mask))
+
+    def f(p, x, fused):
+        return jnp.sum(jnp.sin(L.mha(p, x, H, bias, jnp.float32, fused)
+                               * mask[:, :, None]))
+
+    (v_ref, g_ref) = jax.value_and_grad(f, argnums=(0, 1))(p, x, False)
+    (v_got, g_got) = jax.value_and_grad(f, argnums=(0, 1))(p, x, True)
+    assert abs(float(v_ref[0] if isinstance(v_ref, tuple) else v_ref)
+               - float(v_got[0] if isinstance(v_got, tuple) else v_got)) < 1e-2
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-2, atol=5e-2)
