@@ -59,6 +59,9 @@ def parse_args():
                    help="fused similarity kernel for memory-bank matrices")
     p.add_argument("--unroll_layers", action="store_true",
                    help="unroll encoder stacks instead of lax.scan")
+    p.add_argument("--explicit_spmd", action="store_true",
+                   help="shard_map row-sharded losses instead of GSPMD "
+                        "auto-partitioning (enables Pallas kernels on meshes)")
     p.add_argument("--remat_skip_last", type=int, default=0,
                    help="with --remat --unroll_layers: save-all for the last "
                         "N vision layers (~2.6 GB HBM each, ~4.5 ms/step)")
@@ -122,7 +125,8 @@ def main():
                           init_checkpoint=args.init_checkpoint,
                           clip_checkpoint=args.clip_checkpoint,
                           num_devices=args.num_devices,
-                          profile_dir=args.profile_dir),
+                          profile_dir=args.profile_dir,
+                          explicit_spmd=args.explicit_spmd),
     )
 
     import jax

@@ -211,6 +211,9 @@ class TrainConfig:
     # parallelism
     data_axis: str = "data"
     num_devices: Optional[int] = None  # None → all
+    # explicit shard_map losses (row-sharded similarity, Pallas kernels legal
+    # per shard) instead of GSPMD auto-partitioning — see parallel/spmd.py
+    explicit_spmd: bool = False
 
     @property
     def memory_bank_capacity(self) -> int:

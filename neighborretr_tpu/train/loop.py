@@ -109,7 +109,8 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
             if cfg.train.profile_dir and global_step == cfg.train.profile_steps[0]:
                 jax.profiler.start_trace(cfg.train.profile_dir)
             step_key = jax.random.fold_in(key, global_step)
-            state, metrics = train_step(state, batch, step_key, cfg, t_total)
+            state, metrics = train_step(state, batch, step_key, cfg, t_total,
+                                        mesh=mesh)
             global_step += 1
             if cfg.train.profile_dir and global_step == cfg.train.profile_steps[1]:
                 jax.tree.map(lambda x: x.block_until_ready(), state.params)

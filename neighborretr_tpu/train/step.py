@@ -112,13 +112,23 @@ def compute_losses(params: Params, cfg: Config, batch: Dict[str, jnp.ndarray],
     return total, aux
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "t_total"),
+@functools.partial(jax.jit, static_argnames=("cfg", "t_total", "mesh"),
                    donate_argnames=("state",))
 def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
-               key: jax.Array, cfg: Config, t_total: int
-               ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-    grads, aux = jax.grad(compute_losses, has_aux=True)(
-        state.params, cfg, batch, state.bank, key)
+               key: jax.Array, cfg: Config, t_total: int,
+               mesh=None) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One optimizer step.  `mesh` (static): when provided together with
+    cfg.train.explicit_spmd, the loss runs through the shard_map row-sharded
+    path (parallel/spmd.py); otherwise GSPMD partitions the gathered form."""
+    if mesh is not None and cfg.train.explicit_spmd and mesh.devices.size > 1:
+        from ..parallel.spmd import compute_losses_spmd
+        loss_fn = functools.partial(compute_losses_spmd, mesh=mesh,
+                                    axis=cfg.train.data_axis)
+        grads, aux = jax.grad(loss_fn, has_aux=True)(
+            state.params, cfg, batch, state.bank, key)
+    else:
+        grads, aux = jax.grad(compute_losses, has_aux=True)(
+            state.params, cfg, batch, state.bank, key)
 
     new_params, new_opt = bertadam.bert_adam_update(
         grads, state.opt, state.params, cfg.optim, t_total)

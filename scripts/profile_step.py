@@ -11,7 +11,7 @@ from neighborretr_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
 
-OUT = "/tmp/jtrace_step"
+OUT = "/tmp/jtrace_nr"
 
 
 def main():
@@ -24,7 +24,7 @@ def main():
                                              fill_bank_step, train_step)
 
     BATCH = 64
-    mcfg = dataclasses.replace(ModelConfig(), remat=True)
+    mcfg = dataclasses.replace(ModelConfig(), remat=False, unroll_layers=True)
     cfg = Config(model=mcfg, loss=LossConfig(),
                  train=TrainConfig(batch_size=BATCH, mb_batch=4))
     rng = np.random.default_rng(0)
