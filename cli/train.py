@@ -27,6 +27,8 @@ def parse_args():
                    choices=["ViT-B/32", "ViT-B/16"])
     p.add_argument("--clip_checkpoint", default=None)
     p.add_argument("--init_checkpoint", default=None)
+    p.add_argument("--resume", default=None, dest="resume_checkpoint",
+                   help="state_epochN.npz to resume from (full TrainState)")
     p.add_argument("--epochs", type=int, default=5)
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--batch_size_val", type=int, default=128)
@@ -123,6 +125,7 @@ def main():
                           n_display=args.n_display,
                           output_dir=args.output_dir,
                           init_checkpoint=args.init_checkpoint,
+                          resume_checkpoint=args.resume_checkpoint,
                           clip_checkpoint=args.clip_checkpoint,
                           num_devices=args.num_devices,
                           profile_dir=args.profile_dir,

@@ -203,6 +203,8 @@ class TrainConfig:
     output_dir: str = "outputs"
     init_checkpoint: Optional[str] = None
     clip_checkpoint: Optional[str] = None  # OpenAI .pt; None → random init
+    # full-TrainState resume (params+opt+bank+step; see core/checkpoint.py)
+    resume_checkpoint: Optional[str] = None
     save_checkpoints: bool = True
     mid_epoch_eval: bool = True  # eval every n_display*3 steps (trainer.py:169)
     # when set, capture a jax.profiler trace of a few early steps to this dir

@@ -86,8 +86,22 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
     tracker = BestMetricsTracker()
     best_path = os.path.join(cfg.train.output_dir, "best.npz")
     global_step = 0
+    start_epoch = 0
 
-    for epoch in range(cfg.train.epochs):
+    # mid-run resume (full TrainState — impossible in the reference, which
+    # saves parameter state_dicts only, main.py:161-187)
+    if cfg.train.resume_checkpoint:
+        state = ckpt.load_train_state(cfg.train.resume_checkpoint,
+                                      jax.device_get(state))
+        if mesh is not None:
+            state = jax.device_put(state, pmesh.replicated(mesh))
+        global_step = int(state.step)
+        start_epoch = min(global_step // max(steps_per_epoch, 1),
+                          cfg.train.epochs)
+        logger.info("Resumed from %s at step %d (epoch %d)",
+                    cfg.train.resume_checkpoint, global_step, start_epoch)
+
+    for epoch in range(start_epoch, cfg.train.epochs):
         train_loader.set_epoch(epoch)
         bank_loader.set_epoch(epoch)
 

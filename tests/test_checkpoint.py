@@ -1,0 +1,86 @@
+"""Checkpoint round-trips: params-only (best.npz) and full TrainState resume —
+the beyond-reference capability (the reference saves state_dicts only and
+cannot resume mid-run, main.py:161-187)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neighborretr_tpu.core import checkpoint as ckpt
+from neighborretr_tpu.core.config import Config, LossConfig, ModelConfig, TrainConfig
+from neighborretr_tpu.models import neighborretr as model
+from neighborretr_tpu.train import memory_bank as mb
+from neighborretr_tpu.train.step import create_train_state, train_step
+
+from test_model import make_batch
+
+B, W, F = 8, 8, 4
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return Config(model=ModelConfig.tiny(max_words=W, max_frames=F),
+                  loss=LossConfig(num_neighbors=3),
+                  train=TrainConfig(batch_size=B, mb_batch=1))
+
+
+def _trees_equal(a, b):
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_params_roundtrip(cfg, tmp_path):
+    params = model.init_params(jax.random.PRNGKey(0), cfg.model)
+    path = str(tmp_path / "best.npz")
+    ckpt.save_params(path, params)
+    like = model.init_params(jax.random.PRNGKey(1), cfg.model)  # different
+    loaded = ckpt.load_params(path, like)
+    _trees_equal(params, loaded)
+
+
+def test_params_shape_mismatch_raises(cfg, tmp_path):
+    params = model.init_params(jax.random.PRNGKey(0), cfg.model)
+    path = str(tmp_path / "best.npz")
+    ckpt.save_params(path, params)
+    other_clip = dataclasses.replace(cfg.model.clip, vocab_size=256)
+    other = model.init_params(
+        jax.random.PRNGKey(0),
+        dataclasses.replace(cfg.model, clip=other_clip))
+    with pytest.raises((ValueError, KeyError)):
+        ckpt.load_params(path, other)
+
+
+def test_full_train_state_resume(cfg, tmp_path, rng):
+    """Save after one step, resume, take a second step on both copies —
+    the resumed run must be bit-identical (optimizer moments + schedule step
+    + memory bank all restored)."""
+    params = model.init_params(jax.random.PRNGKey(0), cfg.model)
+    bank = mb.create(cfg.train.memory_bank_capacity, W, F,
+                     cfg.model.clip.embed_dim)
+    batch = make_batch(rng, cfg, batch=B)
+    state = create_train_state(params, bank)
+
+    state, _ = train_step(state, batch, jax.random.PRNGKey(1), cfg, 10)
+
+    path = str(tmp_path / "state.npz")
+    ckpt.save_train_state(path, jax.device_get(state))
+
+    # continue the original
+    cont, m_cont = train_step(state, batch, jax.random.PRNGKey(2), cfg, 10)
+
+    # resume from disk and take the same second step
+    like = create_train_state(model.init_params(jax.random.PRNGKey(9),
+                                                cfg.model),
+                              mb.create(cfg.train.memory_bank_capacity, W, F,
+                                        cfg.model.clip.embed_dim))
+    resumed = ckpt.load_train_state(path, like)
+    assert int(resumed.step) == 1 and int(resumed.opt.step) == 1
+    res, m_res = train_step(resumed, batch, jax.random.PRNGKey(2), cfg, 10)
+
+    np.testing.assert_allclose(float(m_cont["loss"]), float(m_res["loss"]),
+                               rtol=1e-6)
+    _trees_equal(cont.params, res.params)
+    _trees_equal(tuple(cont.bank), tuple(res.bank))
