@@ -18,6 +18,7 @@ Behavioral contract with the reference:
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Dict, Optional
 
@@ -53,15 +54,50 @@ def gelu_erf(x):
     return x * 0.5 * (1.0 + jax.lax.erf(x / math.sqrt(2.0)))
 
 
-def layer_norm(p: Params, x, eps: float = 1e-5):
-    """LayerNorm computed in fp32 regardless of input dtype (fp32 island)."""
-    orig_dtype = x.dtype
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _layer_norm_core(x, scale, bias, eps):
+    y, _, _ = _layer_norm_fwd_math(x, scale, bias, eps)
+    return y
+
+
+def _layer_norm_fwd_math(x, scale, bias, eps):
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
-    return y.astype(orig_dtype)
+    rstd = jax.lax.rsqrt(var + eps)
+    y = ((x32 - mean) * rstd * scale.astype(jnp.float32)
+         + bias.astype(jnp.float32))
+    return y.astype(x.dtype), mean, rstd
+
+
+def _layer_norm_fwd(x, scale, bias, eps):
+    y, mean, rstd = _layer_norm_fwd_math(x, scale, bias, eps)
+    # save only x (original dtype), mean and rstd — JAX autodiff of the fp32
+    # island otherwise saves several fp32 copies of x per call, which
+    # dominates backward HBM traffic at [B·F·L, D] scales
+    return y, (x, scale, mean, rstd)
+
+
+def _layer_norm_bwd(eps, res, dy):
+    x, scale, mean, rstd = res
+    dy32 = dy.astype(jnp.float32)
+    xhat = (x.astype(jnp.float32) - mean) * rstd
+    g = dy32 * scale.astype(jnp.float32)
+    dscale = jnp.sum(dy32 * xhat, axis=tuple(range(x.ndim - 1)))
+    dbias = jnp.sum(dy32, axis=tuple(range(x.ndim - 1)))
+    dx = rstd * (g - jnp.mean(g, axis=-1, keepdims=True)
+                 - xhat * jnp.mean(g * xhat, axis=-1, keepdims=True))
+    return (dx.astype(x.dtype), dscale.astype(scale.dtype),
+            dbias.astype(scale.dtype))
+
+
+_layer_norm_core.defvjp(_layer_norm_fwd, _layer_norm_bwd)
+
+
+def layer_norm(p: Params, x, eps: float = 1e-5):
+    """LayerNorm computed in fp32 regardless of input dtype (fp32 island);
+    custom VJP keeps the backward residuals compact."""
+    return _layer_norm_core(x, p["scale"], p["bias"], eps)
 
 
 def layer_norm_init(dim: int) -> Params:
