@@ -27,7 +27,7 @@ REFERENCE_PAIRS_PER_SEC_PER_GPU = 45.0
 
 BATCH = int(__import__("os").environ.get("BENCH_BATCH", "64"))
 WARMUP_STEPS = 2
-MEASURE_STEPS = 8
+MEASURE_STEPS = 16   # step noise is ~±3%; longer window for a stable record
 
 
 def main():

@@ -253,8 +253,20 @@ def _attention_fwd(qkv, meta):
     return _attention_core(qkv, meta), (qkv,)
 
 
+def _bwd_fb(N: int, L: int, FB_fwd: int) -> int:
+    """Backward block size: defaults to the forward's; override with
+    NRTPU_ATTN_BWD_ROWS (the backward runs ~2.5x the ops per tile, so its
+    grid-overhead/FLOP-waste optimum can differ)."""
+    import os
+    rows = os.environ.get("NRTPU_ATTN_BWD_ROWS")
+    if rows is None:
+        return FB_fwd
+    return _pick_fb(N, L, int(rows))
+
+
 def _attention_bwd(meta, res, g):
     N, L, H, hd, FB, interpret = meta
+    FB = _bwd_fb(N, L, FB)
     D = H * hd
     (qkv,) = res
     kernel = functools.partial(_bwd_kernel, L=L, H=H, hd=hd,
