@@ -1,0 +1,74 @@
+"""BatchLoader semantics: shuffling, drop_last, pad_to_batch, prefetch."""
+
+import numpy as np
+
+from neighborretr_tpu.data.loader import BatchLoader
+from neighborretr_tpu.utils.logging import MetricLogger, SmoothedValue
+
+
+class _ToyDataset:
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def item(self, i):
+        return {"idx": np.int32(i), "x": np.full((3,), i, np.float32)}
+
+
+def _collect(loader):
+    return [b for b in loader]
+
+
+def test_epoch_order_and_coverage():
+    ds = _ToyDataset(10)
+    loader = BatchLoader(ds, batch_size=4, shuffle=True, drop_last=False,
+                         workers=2, seed=0, prefetch=0)
+    loader.set_epoch(0)
+    ids0 = np.concatenate([b["idx"] for b in _collect(loader)])
+    assert sorted(ids0.tolist()) == list(range(10))   # full coverage
+    ids0b = np.concatenate([b["idx"] for b in _collect(loader)])
+    np.testing.assert_array_equal(ids0, ids0b)        # same epoch → same order
+    loader.set_epoch(1)
+    ids1 = np.concatenate([b["idx"] for b in _collect(loader)])
+    assert ids0.tolist() != ids1.tolist()             # reshuffled next epoch
+
+
+def test_drop_last():
+    loader = BatchLoader(_ToyDataset(10), batch_size=4, drop_last=True,
+                         workers=1, prefetch=0)
+    batches = _collect(loader)
+    assert len(loader) == 2 and len(batches) == 2
+    assert all(b["idx"].shape[0] == 4 for b in batches)
+
+
+def test_pad_to_batch_valid_flags():
+    loader = BatchLoader(_ToyDataset(10), batch_size=4, drop_last=False,
+                         workers=1, pad_to_batch=True, prefetch=0)
+    batches = _collect(loader)
+    assert len(batches) == 3
+    last = batches[-1]
+    assert last["idx"].shape[0] == 4                  # padded to static shape
+    assert last["valid"].tolist() == [True, True, False, False]
+
+
+def test_prefetch_yields_same_batches():
+    ds = _ToyDataset(9)
+    a = BatchLoader(ds, 4, shuffle=True, seed=3, workers=2, prefetch=0)
+    b = BatchLoader(ds, 4, shuffle=True, seed=3, workers=2, prefetch=2)
+    for x, y in zip(_collect(a), _collect(b)):
+        np.testing.assert_array_equal(x["idx"], y["idx"])
+
+
+def test_smoothed_value_and_metric_logger():
+    v = SmoothedValue(window_size=3)
+    for x in (1.0, 2.0, 3.0, 4.0):
+        v.update(x)
+    assert v.avg == 3.0                                # window mean of 2,3,4
+    assert v.global_avg == 2.5
+    m = MetricLogger()
+    m.update(loss=1.0, acc=0.5)
+    m.update(loss=3.0)
+    assert m.loss.global_avg == 2.0
+    assert "loss" in str(m)
