@@ -102,7 +102,9 @@ def main():
             ModelConfig(), remat=remat, use_pallas=pallas, unroll_layers=unroll,
             attention_impl=attn, remat_policy=policy)
         cfg = Config(model=mcfg, loss=LossConfig(),
-                     train=TrainConfig(batch_size=BATCH, mb_batch=4))
+                     train=TrainConfig(
+                         batch_size=BATCH,
+                         mb_batch=int(os.environ.get("NRTPU_PROBE_MB", "4"))))
         batch = make_batch(mcfg, rng)
         params = model.init_params(jax.random.PRNGKey(0), mcfg)
 
