@@ -26,7 +26,6 @@ tests/test_spmd.py on the virtual 8-device CPU mesh.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Tuple
 
 import jax
@@ -47,10 +46,6 @@ from ..core.config import Config
 from ..models import neighborretr as model
 
 Params = Dict[str, Any]
-
-# trace-time flag: inside shard_map each program runs on its own shard, so
-# the single-chip-only gating of the Pallas kernels does not apply
-_IN_SHARD_MAP = False
 
 
 def _resolve_kernels(cfg) -> Tuple[bool, bool]:
