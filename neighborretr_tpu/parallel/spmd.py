@@ -31,6 +31,13 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.config import Config
+from ..models import neighborretr as model
+
+Params = Dict[str, Any]
+
+
 def _shard_map(f, mesh, in_specs, out_specs):
     """Version-portable shard_map with replication checking off (the gathers
     make outputs replicated, which the checker cannot always prove)."""
@@ -41,11 +48,6 @@ def _shard_map(f, mesh, in_specs, out_specs):
         from jax.experimental.shard_map import shard_map as _sm
         return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
                    check_rep=False)
-
-from ..core.config import Config
-from ..models import neighborretr as model
-
-Params = Dict[str, Any]
 
 
 def _resolve_kernels(cfg) -> Tuple[bool, bool]:
