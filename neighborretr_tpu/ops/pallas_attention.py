@@ -7,11 +7,13 @@ latency-bound on the MXU, and the fp32 logits/probs tensors pad 50→128 lanes
 (2.56×) through HBM.
 
 This kernel restores MXU efficiency by batching FB frames per grid cell into
-ONE (FB·L × 64)·(64 × FB·L) matmul per head and masking the off-frame blocks
-(frame-block-diagonal attention).  The ~FB× extra multiply-adds are free next
-to the latency the small-matmul formulation wastes; logits/probs never leave
-VMEM, and q/k/v are consumed directly from the packed [N, L, 3D] qkv matmul
-output — no per-head transpose copies at all.
+ONE batched 3D dot over all heads, (H, FB·L, 64)·(H, 64, FB·L), masking the
+off-frame blocks (frame-block-diagonal attention).  The ~FB× extra
+multiply-adds are free next to the latency the small-matmul formulation
+wastes; logits/probs never leave VMEM, and q/k/v are consumed directly from
+the packed [N, L, 3D] qkv matmul output — no head-transpose HBM copies.
+FB=2 measured optimal on v5e (see _pick_fb); a sweep of larger grid cells,
+head-stacked softmax, and per-head dots all measured equal or worse.
 
 Gradients via jax.custom_vjp with a tile-local backward (each grid cell owns
 its frames, so there is no cross-tile accumulation): recompute probs, then
@@ -19,8 +21,9 @@ standard softmax/attention backward, assembled per head into the packed
 [N, L, 3D] dqkv layout.
 
 Semantics: for each frame n and head h,
-    out[n, :, h] = softmax(scale · q_h k_hᵀ) v_h
-identical to ops/layers.mha with attn_bias=None (validated in
+    out[n, :, h] = softmax(scale · q_h k_hᵀ + bias_n) v_h
+with optional per-sequence additive bias (the text tower's causal∧padding
+mask) — identical to ops/layers.mha (validated in
 tests/test_pallas_attention.py against the XLA path, fwd + grad).
 """
 
