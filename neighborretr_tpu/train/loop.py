@@ -19,6 +19,7 @@ import numpy as np
 
 from ..core import checkpoint as ckpt
 from ..core.config import Config
+from ..data.device_prefetch import prefetch_to_device
 from ..data.loader import BatchLoader
 from ..models import neighborretr as model
 from ..parallel import mesh as pmesh
@@ -32,14 +33,10 @@ from .step import create_train_state, fill_bank_step, train_step
 def fill_memory_bank(params, cfg: Config, bank_loader: BatchLoader,
                      bank: mb.MemoryBank, mesh=None) -> mb.MemoryBank:
     """Epoch-start fill: encode min(mb_batch, len(loader)) batches."""
+    import itertools
     n_fill = min(cfg.train.mb_batch, len(bank_loader))
-    for i, batch in enumerate(bank_loader):
-        if i >= n_fill:
-            break
-        batch.pop("valid", None)
-        batch.pop("video_hash", None)
-        if mesh is not None:
-            batch = pmesh.shard_batch(batch, mesh)
+    batches = itertools.islice(iter(bank_loader), n_fill)
+    for i, batch in enumerate(prefetch_to_device(batches, size=2, mesh=mesh)):
         bank = fill_bank_step(params, bank, batch, cfg,
                               i * cfg.train.batch_size)
     return bank
@@ -113,11 +110,10 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
 
         meters = MetricLogger()
         epoch_tic = time.time()
-        for it, batch in enumerate(train_loader):
-            batch.pop("valid", None)
-            batch.pop("video_hash", None)
-            if mesh is not None:
-                batch = pmesh.shard_batch(batch, mesh)
+        # async H2D: batches stream to HBM while the previous step computes
+        # (double-buffered; sharded over the mesh's data axis when present)
+        device_batches = prefetch_to_device(train_loader, size=2, mesh=mesh)
+        for it, batch in enumerate(device_batches):
             # profiler window (SURVEY §5: jax.profiler replaces the
             # reference's ad-hoc wall-clock timing)
             if cfg.train.profile_dir and global_step == cfg.train.profile_steps[0]:

@@ -72,3 +72,43 @@ def test_smoothed_value_and_metric_logger():
     m.update(loss=3.0)
     assert m.loss.global_avg == 2.0
     assert "loss" in str(m)
+
+
+def test_device_prefetch_order_keys_and_sharding():
+    """prefetch_to_device preserves batch order, strips host-only keys, and
+    places arrays batch-sharded over the mesh data axis."""
+    import jax
+    from neighborretr_tpu.data.device_prefetch import prefetch_to_device
+    from neighborretr_tpu.parallel.mesh import make_mesh
+
+    host_batches = [
+        {"idx": np.arange(8) + 8 * i, "x": np.full((8, 3), i, np.float32),
+         "valid": np.ones(8, np.bool_), "video_hash": np.zeros(8, np.int64)}
+        for i in range(5)
+    ]
+
+    # no mesh: default-device placement
+    out = list(prefetch_to_device(iter(host_batches), size=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert set(b) == {"idx", "x"}              # host-only keys dropped
+        assert isinstance(b["x"], jax.Array)
+        np.testing.assert_array_equal(np.asarray(b["idx"]), np.arange(8) + 8 * i)
+
+    # mesh: data-axis sharded layout
+    mesh = make_mesh(num_devices=4)
+    out = list(prefetch_to_device(iter(host_batches), size=3, mesh=mesh))
+    assert len(out) == 5
+    for b in out:
+        assert len(b["x"].sharding.device_set) == 4
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(b["idx"]) for b in out]),
+        np.concatenate([hb["idx"] for hb in host_batches]))
+
+
+def test_device_prefetch_empty_and_short_iterators():
+    from neighborretr_tpu.data.device_prefetch import prefetch_to_device
+    assert list(prefetch_to_device(iter([]), size=2)) == []
+    one = [{"idx": np.arange(4)}]
+    out = list(prefetch_to_device(iter(one), size=4))
+    assert len(out) == 1
