@@ -112,14 +112,20 @@ def encode_text(p: Params, cfg: ClipConfig, text_ids: jnp.ndarray,
 def encode_image(p: Params, cfg: ClipConfig, images: jnp.ndarray,
                  dtype=jnp.bfloat16, remat: bool = False, unroll: bool = False,
                  remat_policy: str = "full", fused_attention: bool = False,
-                 remat_skip_last: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 remat_skip_last: int = 0,
+                 project_hidden: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Encode images (video frames).
 
     Args:
       images: [N, H, W, 3] float32/bf16 normalized pixels (NHWC).
+      project_hidden: when False, only the CLS token goes through ln_post/proj
+        and `hidden` is returned as None — the model only consumes per-frame
+        CLS features (modeling.py:552-567), so the [N, 1+G*G, E] projection
+        (+ its backward) is dead work on the training path.
     Returns:
-      (cls_feat [N, E], hidden [N, 1+G*G, E]) — projected CLS token and the full
-      projected hidden, mirroring `encode_image(..., return_hidden=True)`.
+      (cls_feat [N, E], hidden [N, 1+G*G, E] or None) — projected CLS token
+      and the full projected hidden, mirroring the reference's
+      `encode_image(..., return_hidden=True)`.
     """
     N, H, W, _ = images.shape
     P = cfg.vision_patch_size
@@ -139,5 +145,8 @@ def encode_image(p: Params, cfg: ClipConfig, images: jnp.ndarray,
                             remat_policy=remat_policy,
                             fused_attention=fused_attention,
                             remat_skip_last=remat_skip_last)
+    if not project_hidden:
+        cls_tok = L.layer_norm(p["ln_post"], x[:, 0:1, :])[:, 0, :]
+        return cls_tok.astype(dtype) @ p["proj"].astype(dtype), None
     hidden = L.layer_norm(p["ln_post"], x).astype(dtype) @ p["proj"].astype(dtype)
     return hidden[:, 0, :], hidden

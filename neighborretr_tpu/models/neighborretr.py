@@ -116,7 +116,7 @@ def get_video_feat(params: Params, cfg: ModelConfig, video, video_mask,
         params["clip"]["visual"], cfg.clip, frames, dtype=dtype, remat=remat,
         unroll=cfg.unroll_layers, remat_policy=cfg.remat_policy,
         fused_attention=resolve_fused_attention(cfg),
-        remat_skip_last=cfg.remat_skip_last)
+        remat_skip_last=cfg.remat_skip_last, project_hidden=False)
     frame_feat = cls_feat.reshape(B, F, -1).astype(jnp.float32)
     return temporal_mod.aggregate_video_features(
         params["temporal"], cfg, frame_feat, video_mask, dtype=dtype)
