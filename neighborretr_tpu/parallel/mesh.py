@@ -10,7 +10,7 @@ psums replace DDP bucket all-reduce.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import numpy as np
@@ -24,7 +24,33 @@ def make_mesh(num_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devices), axis_names=(axis,))
 
 
+def make_hybrid_mesh(shape: Tuple[int, int],
+                     axes: Tuple[str, str] = ("replica", "data")) -> Mesh:
+    """2-D data-parallel mesh for multi-slice topologies.
+
+    The OUTER axis is the slow-interconnect (DCN) dimension, the inner one
+    rides ICI.  Batches shard over BOTH axes (see `batch_sharding`), so
+    gradient psums reduce within a slice over ICI first and across slices
+    over DCN once — the standard multi-slice DP layout.  On multi-host
+    runs, `mesh_utils.create_hybrid_device_mesh` orders devices so the outer
+    axis really crosses DCN; single-process (and the virtual CPU platform)
+    falls back to a plain reshape, which exercises the same program.
+    """
+    n = shape[0] * shape[1]
+    if jax.process_count() > 1:
+        from jax.experimental import mesh_utils
+        devices = mesh_utils.create_hybrid_device_mesh(
+            (shape[1],), dcn_mesh_shape=(shape[0],))
+        return Mesh(devices.reshape(shape), axis_names=axes)
+    devices = np.array(jax.devices()[:n]).reshape(shape)
+    return Mesh(devices, axis_names=axes)
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Batch-dim sharding over every mesh axis (1-D `data` mesh or the
+    hybrid (replica, data) mesh — axis 0 of the array splits over all)."""
+    if len(mesh.axis_names) > 1:
+        return NamedSharding(mesh, P(tuple(mesh.axis_names)))
     return NamedSharding(mesh, P(axis))
 
 

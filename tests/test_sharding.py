@@ -78,3 +78,26 @@ def test_sharded_train_step_runs_and_updates(cfg, params, rng):
                                     jax.random.PRNGKey(i), cfg, t_total=50)
         assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 2
+
+
+def test_hybrid_mesh_loss_matches_replicated(cfg, params, rng):
+    """2-D (replica, data) mesh — the multi-slice DP layout: batch sharded
+    over both axes must reproduce the single-device loss."""
+    mesh = pmesh.make_hybrid_mesh((2, 4))
+    assert mesh.devices.shape == (2, 4)
+    batch = make_batch(rng, cfg, batch=B)
+    bank = mb.create(cfg.train.memory_bank_capacity, W, F,
+                     cfg.model.clip.embed_dim)
+    bank = fill_bank_step(params, bank, batch, cfg, 0)
+
+    key = jax.random.PRNGKey(3)
+    loss_single, _ = compute_losses(params, cfg, batch, bank, key)
+
+    sharded_batch = pmesh.shard_batch(batch, mesh)
+    assert len(sharded_batch["video"].sharding.device_set) == 8
+    params_r = pmesh.replicate_tree(params, mesh)
+    bank_r = mb.MemoryBank(*pmesh.replicate_tree(tuple(bank), mesh))
+    loss_sharded, _ = jax.jit(compute_losses, static_argnames=("cfg",))(
+        params_r, cfg, sharded_batch, bank_r, key)
+    np.testing.assert_allclose(float(loss_single), float(loss_sharded),
+                               rtol=2e-4)
