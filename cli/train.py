@@ -55,7 +55,7 @@ def parse_args():
     p.add_argument("--remat_policy", default="full",
                    choices=["full", "dots", "attn"])
     p.add_argument("--attention_impl", default="auto",
-                   choices=["auto", "einsum", "fused"])
+                   choices=["auto", "einsum", "fused", "fused_block"])
     p.add_argument("--use_pallas", default="auto",
                    choices=["auto", "on", "off"],
                    help="fused similarity kernel for memory-bank matrices")

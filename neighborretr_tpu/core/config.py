@@ -100,9 +100,11 @@ class ModelConfig:
     # unroll encoder layer stacks instead of lax.scan (bigger program,
     # cross-layer scheduling freedom for XLA)
     unroll_layers: bool = False
-    # vision attention: "auto" (fused on TPU), "einsum" (XLA batched
-    # matmuls), or "fused" (Pallas frame-local kernel — the XLA formulation
-    # measures at ~65% of encoder forward time on v5e)
+    # vision attention: "auto" (best kernel on TPU), "einsum" (XLA batched
+    # matmuls), "fused" (Pallas frame-local attention kernel), or
+    # "fused_block" (whole sublayer — qkv proj + attention + out proj — in
+    # one Pallas kernel; the attention sublayer measures 40% of the train
+    # step with the plain fused kernel on v5e)
     attention_impl: str = "auto"
     # with remat+unroll: save-all (skip remat) for the last N encoder layers —
     # each skipped layer trades ~2.6 GB HBM for ~4.5 ms/step on v5e

@@ -211,10 +211,23 @@ def block_init(key, d_model: int, layers_for_std: int = 12) -> Params:
 
 
 def block_apply(p: Params, x, n_head: int, attn_bias=None, dtype=jnp.float32,
-                fused_attention: bool = False):
+                fused_attention=False):
+    """fused_attention: False = XLA einsum path, True = frame-local Pallas
+    attention kernel, "block" = fully-fused sublayer kernel (qkv proj +
+    attention + out proj in one Pallas call; unbiased path only — biased
+    sequences fall back to the attention-only kernel)."""
     from jax.ad_checkpoint import checkpoint_name as ckpt
-    attn_out = mha(p["attn"], layer_norm(p["ln_1"], x), n_head, attn_bias,
-                   dtype, fused=fused_attention)
+    h = layer_norm(p["ln_1"], x)
+    if fused_attention == "block" and attn_bias is None:
+        from ..ops.pallas_block_attention import fused_attention_sublayer
+        attn_out = fused_attention_sublayer(
+            h.astype(dtype), p["attn"]["in_proj"]["w"],
+            p["attn"]["in_proj"]["b"], p["attn"]["out_proj"]["w"],
+            p["attn"]["out_proj"]["b"], n_head,
+            interpret=jax.default_backend() != "tpu")
+    else:
+        attn_out = mha(p["attn"], h, n_head, attn_bias,
+                       dtype, fused=bool(fused_attention))
     x = x + ckpt(attn_out, "attn_out")
     h = linear(p["mlp"]["c_fc"], layer_norm(p["ln_2"], x), dtype=dtype)
     h = ckpt(quick_gelu(h), "mlp_hidden")
@@ -249,7 +262,7 @@ REMAT_POLICIES = {
 def transformer_apply(p: Params, x, n_head: int, attn_bias=None,
                       dtype=jnp.float32, remat: bool = False,
                       unroll: bool = False, remat_policy: str = "full",
-                      fused_attention: bool = False,
+                      fused_attention=False,
                       remat_skip_last: int = 0):
     """Run stacked blocks.
 

@@ -142,15 +142,24 @@ def token_weights(p_mlp: Params, feat: jnp.ndarray,
     return jax.nn.softmax(w, axis=-1)
 
 
-def resolve_fused_attention(cfg: ModelConfig) -> bool:
-    """'auto' → the fused frame-local attention kernel iff running on a
-    single TPU chip (on CPU the kernel would run in slow interpret mode; on a
-    mesh the XLA einsum path partitions under GSPMD without shard_map)."""
+def resolve_fused_attention(cfg: ModelConfig):
+    """'auto' → the fully-fused attention-sublayer kernel iff running on a
+    single TPU chip (on CPU the kernels would run in slow interpret mode; on
+    a mesh the XLA einsum path partitions under GSPMD without shard_map).
+
+    Returns False (einsum), True (frame-local attention kernel) or "block"
+    (qkv+attention+out in one kernel — see ops/pallas_block_attention.py);
+    the text tower's biased path uses the attention-only kernel either way.
+    """
+    if cfg.attention_impl == "fused_block":
+        return "block"
     if cfg.attention_impl == "fused":
         return True
     if cfg.attention_impl == "einsum":
         return False
-    return jax.default_backend() == "tpu" and jax.device_count() == 1
+    if jax.default_backend() == "tpu" and jax.device_count() == 1:
+        return "block"
+    return False
 
 
 def resolve_use_pallas(cfg: ModelConfig) -> bool:

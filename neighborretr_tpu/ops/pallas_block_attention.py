@@ -1,0 +1,265 @@
+"""Fully-fused attention sublayer (Pallas TPU kernel): qkv projection →
+frame-local multi-head attention → output projection, one kernel.
+
+Motivation (measured on v5e, batch 64, ViT-B/32 12-frame config): with the
+frame-local attention kernel (ops/pallas_attention.py) the attention SUBLAYER
+— qkv matmul, kernel, out matmul — still costs 88 ms fwd+bwd of a 221 ms
+train step (40%), running at ~⅓ the MXU efficiency of the MLP.  The losses
+are HBM round-trips (the [N, L, 3D] qkv tensor is written by XLA and re-read
+by the kernel — ~350 MB per layer fwd) and the XLA↔kernel boundary.
+
+This kernel takes the POST-LN1 hidden `h` and the four projection tensors and
+produces the sublayer output directly:
+
+    out[n] = softmax(scale · q_h k_hᵀ + frame_diag) v_h  (per head, per frame)
+    y      = concat_heads(out) @ W_out + b_out
+    qkv    = h @ W_qkv + b_qkv          (computed per tile, never in HBM)
+
+Per grid cell (FB frames), the qkv projection is a [FB·L, D] × [D, 3D] MXU
+matmul — large and efficient, unlike XLA's layer-wide qkv which pays HBM both
+ways.  The weight blocks use constant index maps, so Mosaic keeps them
+resident in VMEM across the whole grid.
+
+Backward: custom VJP, tile-local recompute of qkv/probs/attn_out, standard
+softmax/attention backward, then
+    dW_qkv += h2ᵀ dqkv,   dW_out += attn_outᵀ dy,   db += row-sums,
+accumulated across grid cells in fp32 output blocks (constant index maps,
+zero-initialized at cell 0 — same pattern as ops/pallas_similarity.py's
+backward).  Weight cotangents are cast to the primal (bf16) dtype at the
+wrapper, matching what XLA's einsum path produces for bf16 operands.
+
+Semantics identical to layers.mha(fused=False, attn_bias=None) modulo fp
+rounding; validated fwd+grad in tests/test_pallas_block_attention.py
+(interpret mode on CPU, compiled on TPU).
+
+Unbiased (vision) path only — the text tower's causal∧padding variant stays
+on ops/pallas_attention.py; its sequences are tiny (text fwd ≈ 3 ms).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_attention import _frame_diag_bias, _pick_fb, _split_heads
+
+
+def _qkv_tile(h_ref, wqkv_ref, bqkv_ref, rows, D):
+    """[rows, D] bf16 × [D, 3D] bf16 → qkv bf16 [rows, 3D] (fp32 accum)."""
+    h2 = h_ref[:].reshape(rows, D)
+    qkv = jax.lax.dot_general(
+        h2, wqkv_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv = qkv + bqkv_ref[:].astype(jnp.float32)
+    return h2, qkv.astype(jnp.bfloat16)
+
+
+def _attn_tile(qkv16, rows, L, H, hd, D):
+    """Frame-local attention on a packed qkv tile → (q3, k3, v3, probs,
+    attn_out2 [rows, D] bf16)."""
+    scale = hd ** -0.5
+    q3, k3, v3 = _split_heads(qkv16, rows, D, H, hd)
+    bias = _frame_diag_bias(rows, L)
+    logits = jax.lax.dot_general(
+        (q3.astype(jnp.float32) * scale).astype(jnp.bfloat16), k3,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits + bias[None], axis=-1)      # fp32 [H,rows,rows]
+    out3 = jax.lax.dot_general(
+        probs.astype(jnp.bfloat16), v3,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                   # [H, rows, hd]
+    attn_out2 = jnp.concatenate(
+        [out3[h] for h in range(H)], axis=1).astype(jnp.bfloat16)
+    return q3, k3, v3, probs, attn_out2
+
+
+def _fwd_kernel(h_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, y_ref,
+                *, L: int, H: int, hd: int):
+    FB = h_ref.shape[0]
+    rows = FB * L
+    D = H * hd
+    _, qkv16 = _qkv_tile(h_ref, wqkv_ref, bqkv_ref, rows, D)
+    _, _, _, _, attn_out2 = _attn_tile(qkv16, rows, L, H, hd, D)
+    y = jax.lax.dot_general(
+        attn_out2, wout_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = y + bout_ref[:].astype(jnp.float32)
+    y_ref[:] = y.reshape(FB, L, D).astype(y_ref.dtype)
+
+
+def _bwd_kernel(h_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, g_ref,
+                dh_ref, dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref,
+                *, L: int, H: int, hd: int):
+    i = pl.program_id(0)
+    FB = h_ref.shape[0]
+    rows = FB * L
+    D = H * hd
+    scale = hd ** -0.5
+
+    h2, qkv16 = _qkv_tile(h_ref, wqkv_ref, bqkv_ref, rows, D)
+    q3, k3, v3, probs, attn_out2 = _attn_tile(qkv16, rows, L, H, hd, D)
+    g = g_ref[:].reshape(rows, D).astype(jnp.float32)         # dy
+    g16 = g.astype(jnp.bfloat16)
+
+    # ---- out projection backward ----
+    dwout = jax.lax.dot_general(                               # attn_outᵀ g
+        attn_out2, g16, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                    # [D, D]
+    dbout = jnp.sum(g, axis=0, keepdims=True)                  # [1, D]
+    dattn2 = jax.lax.dot_general(                              # g @ W_outᵀ
+        g16, wout_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                    # [rows, D]
+    g3 = _split_heads(dattn2.astype(jnp.bfloat16), rows, D, H, hd,
+                      n_parts=1)[0]                            # [H, rows, hd]
+
+    # ---- attention backward (softmax vjp, then q/k/v) ----
+    p16 = probs.astype(jnp.bfloat16)
+    dv3 = jax.lax.dot_general(
+        p16, g3, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                    # [H, rows, hd]
+    dprobs = jax.lax.dot_general(
+        g3, v3, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                    # [H, rows, rows]
+    dlogits = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
+                                        keepdims=True))
+    dl16 = (dlogits * scale).astype(jnp.bfloat16)
+    dq3 = jax.lax.dot_general(
+        dl16, k3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    dk3 = jax.lax.dot_general(
+        dl16, q3, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    dqkv = jnp.concatenate(
+        [dq3[h] for h in range(H)] + [dk3[h] for h in range(H)]
+        + [dv3[h] for h in range(H)], axis=1)                  # [rows, 3D] f32
+
+    # ---- qkv projection backward ----
+    dqkv16 = dqkv.astype(jnp.bfloat16)
+    dh = jax.lax.dot_general(                                  # dqkv @ W_qkvᵀ
+        dqkv16, wqkv_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                    # [rows, D]
+    dwqkv = jax.lax.dot_general(                               # h2ᵀ dqkv
+        h2, dqkv16, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                    # [D, 3D]
+    dbqkv = jnp.sum(dqkv, axis=0, keepdims=True)               # [1, 3D]
+
+    dh_ref[:] = dh.reshape(FB, L, D).astype(dh_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[:] = jnp.zeros_like(dbqkv_ref)
+        dwout_ref[:] = jnp.zeros_like(dwout_ref)
+        dbout_ref[:] = jnp.zeros_like(dbout_ref)
+
+    dwqkv_ref[:] += dwqkv
+    dbqkv_ref[:] += dbqkv
+    dwout_ref[:] += dwout
+    dbout_ref[:] += dbout
+
+
+# ---------------------------------------------------------------------------
+# custom-vjp wrapper
+# ---------------------------------------------------------------------------
+
+def _weight_specs(D):
+    return [
+        pl.BlockSpec((D, 3 * D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3 * D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((D, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _block_attention_core(h, wqkv, bqkv, wout, bout, meta):
+    N, L, H, hd, FB, interpret = meta
+    D = H * hd
+    kernel = functools.partial(_fwd_kernel, L=L, H=H, hd=hd)
+    return pl.pallas_call(
+        kernel,
+        grid=(N // FB,),
+        in_specs=[pl.BlockSpec((FB, L, D), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)] + _weight_specs(D),
+        out_specs=pl.BlockSpec((FB, L, D), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, L, D), h.dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * L * D * (4 * D) + 4 * N * FB * L * L * D,
+            transcendentals=N * FB * L * L,
+            bytes_accessed=2 * N * L * D * 2 + 8 * D * D),
+    )(h, wqkv, bqkv, wout, bout)
+
+
+def _block_attention_fwd(h, wqkv, bqkv, wout, bout, meta):
+    return _block_attention_core(h, wqkv, bqkv, wout, bout, meta), (
+        h, wqkv, bqkv, wout, bout)
+
+
+def _block_attention_bwd(meta, res, g):
+    N, L, H, hd, FB, interpret = meta
+    D = H * hd
+    h, wqkv, bqkv, wout, bout = res
+    kernel = functools.partial(_bwd_kernel, L=L, H=H, hd=hd)
+    dh, dwqkv, dbqkv, dwout, dbout = pl.pallas_call(
+        kernel,
+        grid=(N // FB,),
+        in_specs=[pl.BlockSpec((FB, L, D), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)] + _weight_specs(D)
+        + [pl.BlockSpec((FB, L, D), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((FB, L, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + _weight_specs(D),
+        out_shape=[
+            jax.ShapeDtypeStruct((N, L, D), h.dtype),
+            jax.ShapeDtypeStruct((D, 3 * D), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * D), jnp.float32),
+            jax.ShapeDtypeStruct((D, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(h, wqkv, bqkv, wout, bout, g)
+    return (dh, dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),
+            dwout.astype(wout.dtype), dbout.astype(bout.dtype))
+
+
+_block_attention_core.defvjp(_block_attention_fwd, _block_attention_bwd)
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def fused_attention_sublayer(h: jnp.ndarray, wqkv: jnp.ndarray,
+                             bqkv: jnp.ndarray, wout: jnp.ndarray,
+                             bout: jnp.ndarray, n_head: int,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Whole attention sublayer on packed inputs.
+
+    Args:
+      h:    [N, L, D] post-LN1 hidden (any float dtype; computed in bf16).
+      wqkv: [D, 3D] input-major qkv projection, bqkv: [3D].
+      wout: [D, D] output projection, bout: [D].
+    Returns [N, L, D] sublayer output (pre-residual), dtype of `h`.
+    """
+    N, L, D = h.shape
+    hd = D // n_head
+    FB = _pick_fb(N, L)
+    meta = (N, L, n_head, hd, FB, interpret)
+    return _block_attention_core(
+        h.astype(jnp.bfloat16), wqkv.astype(jnp.bfloat16),
+        bqkv.reshape(1, -1), wout.astype(jnp.bfloat16),
+        bout.reshape(1, -1), meta).astype(h.dtype)

@@ -1,0 +1,82 @@
+"""Fused attention-sublayer kernel vs the XLA einsum path (interpret mode).
+
+Checks the forward and every cotangent (input, qkv/out weights and biases)
+of ops/pallas_block_attention.fused_attention_sublayer against
+layers.mha(fused=False) on the same parameters.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neighborretr_tpu.models import layers as L
+from neighborretr_tpu.ops.pallas_block_attention import fused_attention_sublayer
+
+N, SEQ, D, H = 8, 16, 128, 2
+
+
+@pytest.fixture(scope="module")
+def setup(rng=None):
+    rng = np.random.default_rng(0)
+    p = L.mha_init(jax.random.PRNGKey(0), D)
+    h = jnp.asarray(rng.standard_normal((N, SEQ, D)).astype(np.float32))
+    return p, h
+
+
+def _einsum_sublayer(p, h):
+    return L.mha(p, h, H, None, dtype=jnp.float32, fused=False)
+
+
+def _kernel_sublayer(p, h):
+    return fused_attention_sublayer(
+        h, p["in_proj"]["w"], p["in_proj"]["b"],
+        p["out_proj"]["w"], p["out_proj"]["b"], H, interpret=True)
+
+
+def test_forward_parity(setup):
+    p, h = setup
+    want = _einsum_sublayer(p, h)
+    got = _kernel_sublayer(p, h)
+    # kernel computes in bf16 with fp32 accumulation; einsum path here in fp32
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-2, rtol=5e-2)
+
+
+def test_gradient_parity(setup):
+    p, h = setup
+    g_out = jnp.asarray(
+        np.random.default_rng(1).standard_normal((N, SEQ, D)).astype(np.float32))
+
+    def loss_einsum(p, h):
+        return jnp.sum(_einsum_sublayer(p, h) * g_out)
+
+    def loss_kernel(p, h):
+        return jnp.sum(_kernel_sublayer(p, h) * g_out)
+
+    gp_w, gh_w = jax.grad(loss_einsum, argnums=(0, 1))(p, h)
+    gp_k, gh_k = jax.grad(loss_kernel, argnums=(0, 1))(p, h)
+
+    np.testing.assert_allclose(np.asarray(gh_k), np.asarray(gh_w),
+                               atol=8e-2, rtol=8e-2)
+    for path in (("in_proj", "w"), ("in_proj", "b"),
+                 ("out_proj", "w"), ("out_proj", "b")):
+        a = np.asarray(gp_k[path[0]][path[1]], np.float64)
+        b = np.asarray(gp_w[path[0]][path[1]], np.float64)
+        # weight grads accumulate over N*SEQ rows — compare with a scale-aware
+        # tolerance (bf16 operands on the kernel side)
+        denom = max(np.abs(b).max(), 1e-6)
+        assert np.max(np.abs(a - b)) / denom < 6e-2, path
+
+
+def test_block_apply_block_impl_matches_einsum(setup):
+    """block_apply(fused_attention='block') ≈ block_apply(einsum)."""
+    p_blk = L.block_init(jax.random.PRNGKey(2), D)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((N, SEQ, D)).astype(np.float32))
+    want = L.block_apply(p_blk, x, H, None, dtype=jnp.float32,
+                         fused_attention=False)
+    got = L.block_apply(p_blk, x, H, None, dtype=jnp.float32,
+                        fused_attention="block")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=6e-2, rtol=6e-2)
