@@ -26,6 +26,7 @@ import numpy as np
 REFERENCE_PAIRS_PER_SEC_PER_GPU = 45.0
 
 BATCH = int(__import__("os").environ.get("BENCH_BATCH", "64"))
+MB_BATCH = int(__import__("os").environ.get("BENCH_MB", "4"))  # bank = MB*BATCH
 WARMUP_STEPS = 2
 MEASURE_STEPS = 16   # step noise is ~±3%; longer window for a stable record
 
@@ -47,7 +48,7 @@ def main():
     # Fused attention + bank-similarity Pallas kernels resolve automatically.
     mcfg = dataclasses.replace(ModelConfig(), remat=False, unroll_layers=True)
     cfg = Config(model=mcfg, loss=LossConfig(),
-                 train=TrainConfig(batch_size=BATCH, mb_batch=4))
+                 train=TrainConfig(batch_size=BATCH, mb_batch=MB_BATCH))
 
     dev = jax.devices()[0]
     print(f"# bench device: {dev}", file=sys.stderr)

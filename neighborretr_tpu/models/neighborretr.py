@@ -177,13 +177,19 @@ def resolve_use_pallas(cfg: ModelConfig) -> bool:
 
 
 def local_similarity(params: Params, t_feat, v_feat, t_mask, v_mask,
-                     use_pallas: bool = False) -> jnp.ndarray:
-    """The reference's local_level; returns S with v2t = S.T."""
+                     use_pallas: bool = False,
+                     sim_dtype: str = "float32") -> jnp.ndarray:
+    """The reference's local_level; returns S with v2t = S.T.
+
+    sim_dtype: MXU operand dtype for the fused kernel's dots ("bfloat16" on
+    the training path, fp32 accumulation either way); the XLA einsum path
+    and the eval harness stay fp32."""
     tw = token_weights(params["text_weight_fc"], t_feat, t_mask)
     vw = token_weights(params["video_weight_fc"], v_feat, v_mask)
     if use_pallas:
         from ..ops.pallas_similarity import pallas_interaction_similarity
-        return pallas_interaction_similarity(t_feat, v_feat, t_mask, v_mask, tw, vw)
+        return pallas_interaction_similarity(t_feat, v_feat, t_mask, v_mask,
+                                             tw, vw, compute_dtype=sim_dtype)
     return interaction_similarity(t_feat, v_feat, t_mask, v_mask, tw, vw)
 
 

@@ -66,12 +66,18 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
-def _tile_logits(tn_ref, vn_ref):
-    """[T*BA, D] x [V*BB, D] -> fp32 logits [T*BA, V*BB] (one MXU matmul)."""
+def _tile_logits(tn_ref, vn_ref, dot_dtype=jnp.float32):
+    """[T*BA, D] x [V*BB, D] -> fp32 logits [T*BA, V*BB] (one MXU matmul).
+
+    dot_dtype=bf16 casts the operands per tile before the dot (fp32
+    accumulation either way) — ~4x MXU rate on v5e.  Forward and backward
+    cast identically, so the recomputed logits (and thus first-argmax tie
+    routing) stay bit-consistent across passes.
+    """
     T, BA, D = tn_ref.shape
     V, BB, _ = vn_ref.shape
-    tn = tn_ref[:].reshape(T * BA, D)           # leading collapse: legal
-    vn = vn_ref[:].reshape(V * BB, D)
+    tn = tn_ref[:].reshape(T * BA, D).astype(dot_dtype)  # leading collapse: legal
+    vn = vn_ref[:].reshape(V * BB, D).astype(dot_dtype)
     logits = jax.lax.dot_general(
         tn, vn, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -96,9 +102,10 @@ def _max_over_t(logits, T, BA):
 # forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(tn_ref, vn_ref, tw_ref, vw_ref, out_ref, *, T: int, V: int):
+def _fwd_kernel(tn_ref, vn_ref, tw_ref, vw_ref, out_ref, *, T: int, V: int,
+                dot_dtype=jnp.float32):
     BA, BB = out_ref.shape
-    _, _, logits = _tile_logits(tn_ref, vn_ref)
+    _, _, logits = _tile_logits(tn_ref, vn_ref, dot_dtype)
 
     # t2v: max over v, then Σ_t weighted by tw[t] ([BA, 1] lane broadcast)
     m1 = _max_over_v(logits, V, BB)
@@ -115,9 +122,10 @@ def _fwd_kernel(tn_ref, vn_ref, tw_ref, vw_ref, out_ref, *, T: int, V: int):
     out_ref[:] = 0.5 * (s_t + s_v)
 
 
-def _fwd_pallas(tn3, vn3, tw3, vw2, *, A, B, T, V, D, BA, BB, interpret):
+def _fwd_pallas(tn3, vn3, tw3, vw2, *, A, B, T, V, D, BA, BB, interpret,
+                dot_dtype=jnp.float32):
     grid = (A // BA, B // BB)
-    kernel = functools.partial(_fwd_kernel, T=T, V=V)
+    kernel = functools.partial(_fwd_kernel, T=T, V=V, dot_dtype=dot_dtype)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -161,12 +169,13 @@ def _v2t_coeff(g, vw_ref, V):
 
 
 def _bwd_text_kernel(tn_ref, vn_ref, tw_ref, vw_ref, g_ref,
-                     dtn_ref, dtw_ref, *, T: int, V: int):
+                     dtn_ref, dtw_ref, *, T: int, V: int,
+                     dot_dtype=jnp.float32):
     """Grid (I, J): accumulates text-side grads over column tiles j."""
     j = pl.program_id(1)
     BA, BB = g_ref.shape
     D = tn_ref.shape[-1]
-    tn, vn, logits = _tile_logits(tn_ref, vn_ref)
+    tn, vn, logits = _tile_logits(tn_ref, vn_ref, dot_dtype)
     g = g_ref[:].astype(jnp.float32)
 
     m1 = _max_over_v(logits, V, BB)
@@ -180,7 +189,7 @@ def _bwd_text_kernel(tn_ref, vn_ref, tw_ref, vw_ref, g_ref,
         sl = logits[:, v * BB:(v + 1) * BB]
         eq = (sl == m1) & (~taken)
         taken = taken | eq
-        d1_v = jnp.where(eq, coeff1, 0.0)                        # [T*BA, BB]
+        d1_v = jnp.where(eq, coeff1, 0.0).astype(dot_dtype)      # [T*BA, BB]
         dtn_flat = dtn_flat + jax.lax.dot_general(
             d1_v, vn[v * BB:(v + 1) * BB, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -195,7 +204,7 @@ def _bwd_text_kernel(tn_ref, vn_ref, tw_ref, vw_ref, g_ref,
         sl = logits[t * BA:(t + 1) * BA, :]
         eq = (sl == m2) & (~taken_t)
         taken_t = taken_t | eq
-        d2_t = jnp.where(eq, coeff2, 0.0)                        # [BA, V*BB]
+        d2_t = jnp.where(eq, coeff2, 0.0).astype(dot_dtype)      # [BA, V*BB]
         adds.append(jax.lax.dot_general(
             d2_t, vn, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)[None])           # [1, BA, D]
@@ -213,12 +222,13 @@ def _bwd_text_kernel(tn_ref, vn_ref, tw_ref, vw_ref, g_ref,
 
 
 def _bwd_video_kernel(tn_ref, vn_ref, tw_ref, vw_ref, g_ref,
-                      dvn_ref, dvw_ref, *, T: int, V: int):
+                      dvn_ref, dvw_ref, *, T: int, V: int,
+                      dot_dtype=jnp.float32):
     """Grid (J, I): accumulates video-side grads over row tiles i."""
     i = pl.program_id(1)
     BA, BB = g_ref.shape
     D = tn_ref.shape[-1]
-    tn, vn, logits = _tile_logits(tn_ref, vn_ref)
+    tn, vn, logits = _tile_logits(tn_ref, vn_ref, dot_dtype)
     g = g_ref[:].astype(jnp.float32)
 
     m1 = _max_over_v(logits, V, BB)
@@ -232,7 +242,7 @@ def _bwd_video_kernel(tn_ref, vn_ref, tw_ref, vw_ref, g_ref,
         sl = logits[:, v * BB:(v + 1) * BB]
         eq = (sl == m1) & (~taken)
         taken = taken | eq
-        d1_v = jnp.where(eq, coeff1, 0.0)
+        d1_v = jnp.where(eq, coeff1, 0.0).astype(dot_dtype)
         parts.append(jax.lax.dot_general(
             d1_v, tn, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))                 # [BB, D]
@@ -245,7 +255,7 @@ def _bwd_video_kernel(tn_ref, vn_ref, tw_ref, vw_ref, g_ref,
         sl = logits[t * BA:(t + 1) * BA, :]
         eq = (sl == m2) & (~taken_t)
         taken_t = taken_t | eq
-        d2_t = jnp.where(eq, coeff2, 0.0)                        # [BA, V*BB]
+        d2_t = jnp.where(eq, coeff2, 0.0).astype(dot_dtype)      # [BA, V*BB]
         dvn_flat = dvn_flat + jax.lax.dot_general(
             d2_t, tn[t * BA:(t + 1) * BA, :],
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -272,9 +282,10 @@ def _bwd_video_kernel(tn_ref, vn_ref, tw_ref, vw_ref, g_ref,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _similarity_core(tn3, vn3, tw3, vw2, meta):
-    A, B, T, V, D, BA, BB, interpret = meta
+    A, B, T, V, D, BA, BB, interpret, dtype_str = meta
     return _fwd_pallas(tn3, vn3, tw3, vw2, A=A, B=B, T=T, V=V,
-                       D=D, BA=BA, BB=BB, interpret=interpret)
+                       D=D, BA=BA, BB=BB, interpret=interpret,
+                       dot_dtype=jnp.dtype(dtype_str))
 
 
 def _similarity_fwd(tn3, vn3, tw3, vw2, meta):
@@ -296,7 +307,8 @@ def _choose_bwd_blocks(A: int, B: int, T: int, V: int, D: int
 
 
 def _similarity_bwd(meta, res, g):
-    A, B, T, V, D, _, _, interpret = meta
+    A, B, T, V, D, _, _, interpret, dtype_str = meta
+    dot_dtype = jnp.dtype(dtype_str)
     BA, BB = _choose_bwd_blocks(A, B, T, V, D)
     tn3, vn3, tw3, vw2 = res
     g = g.astype(jnp.float32)
@@ -309,7 +321,7 @@ def _similarity_bwd(meta, res, g):
         pl.BlockSpec((BA, BB), lambda i, j: (i, j), memory_space=pltpu.VMEM),
     ]
     dtn3, dtw3 = pl.pallas_call(
-        functools.partial(_bwd_text_kernel, T=T, V=V),
+        functools.partial(_bwd_text_kernel, T=T, V=V, dot_dtype=dot_dtype),
         grid=(A // BA, B // BB),
         in_specs=common_specs,
         out_specs=[
@@ -334,7 +346,7 @@ def _similarity_bwd(meta, res, g):
         pl.BlockSpec((BA, BB), lambda j, i: (i, j), memory_space=pltpu.VMEM),
     ]
     dvn3, dvw2 = pl.pallas_call(
-        functools.partial(_bwd_video_kernel, T=T, V=V),
+        functools.partial(_bwd_video_kernel, T=T, V=V, dot_dtype=dot_dtype),
         grid=(B // BB, A // BA),
         in_specs=video_specs,
         out_specs=[
@@ -363,6 +375,7 @@ _similarity_core.defvjp(_similarity_fwd, _similarity_bwd)
 def pallas_interaction_similarity(
     t_feat, v_feat, t_mask, v_mask, t_weight, v_weight,
     interpret: bool = False,
+    compute_dtype: str = "float32",
 ):
     """Fused similarity [A, B]; differentiable w.r.t. features and weights.
 
@@ -370,6 +383,10 @@ def pallas_interaction_similarity(
     kernel (multiplicative zero masking — exact reference semantics,
     modeling.py:500-501); gradients w.r.t. features pick up the mask factor
     through this outer multiply automatically.
+
+    compute_dtype: "bfloat16" casts the token operands per tile before the
+    MXU dots (fp32 accumulation) — ~4x the matmul rate for <0.5% relative
+    error on unit-norm similarities.  Training-path option; eval keeps fp32.
     """
     A, T, D = t_feat.shape
     B, V, _ = v_feat.shape
@@ -388,6 +405,6 @@ def pallas_interaction_similarity(
     vn3 = _pad_to(vn, B_pad, 0).transpose(1, 0, 2)       # [V, B_pad, D]
     vw2 = _pad_to(v_weight.astype(jnp.float32), B_pad, 0).T   # [V, B_pad]
 
-    meta = (A_pad, B_pad, T, V, D, BA, BB, interpret)
+    meta = (A_pad, B_pad, T, V, D, BA, BB, interpret, compute_dtype)
     out = _similarity_core(tn3, vn3, tw3, vw2, meta)
     return out[:A, :B]

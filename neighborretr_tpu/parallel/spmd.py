@@ -87,12 +87,15 @@ def gather_features_and_rows(params: Params, cfg: Config,
     vm_g = jax.lax.all_gather(vm_l, axis, tiled=True)
 
     # 3. row blocks of the expensive token-interaction matrices
+    sim_dtype = mcfg.sim_dtype
     s_rows = model.local_similarity(params, t_l, v_g, tm_l, vm_g,
-                                    use_pallas)                 # [B_l, B]
+                                    use_pallas, sim_dtype)      # [B_l, B]
     bank_t2v_rows = model.local_similarity(
-        params, t_l, bank.feat_v, tm_l, bank.mask_v, use_pallas)  # [B_l, M]
+        params, t_l, bank.feat_v, tm_l, bank.mask_v, use_pallas,
+        sim_dtype)                                              # [B_l, M]
     bank_v2t_rows = model.local_similarity(
-        params, bank.feat_t, v_l, bank.mask_t, vm_l, use_pallas).T  # [B_l, M]
+        params, bank.feat_t, v_l, bank.mask_t, vm_l, use_pallas,
+        sim_dtype).T                                            # [B_l, M]
 
     # 4. gather the tiny results → replicated global matrices
     s_local = jax.lax.all_gather(s_rows, axis, tiled=True)      # [B, B]

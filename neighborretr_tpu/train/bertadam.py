@@ -4,7 +4,12 @@ Faithful rebuild of the reference's optimizer stack
 (models/optimization.py:76-210 + training/optimizer.py:12-86 + trainer.py:104):
 
   1. global grad-norm clip to 1.0 over ALL parameters (trainer.py:104),
-  2. per-parameter grad-norm clip to 1.0 inside the step (optimization.py:181),
+  2. per-parameter grad-norm clip to 1.0 inside the step (optimization.py:181).
+     NOTE: with both clips at the same max-norm, stage 2 can never bind —
+     after the global clip every parameter's norm is already ≤ max_norm — so
+     applying it per stacked-layer leaf (this tree stacks the 12 transformer
+     layers into single leaves) is behaviorally identical to the reference's
+     per-torch-Parameter loop,
   3. Adam moments WITHOUT bias correction,
   4. update = m / (sqrt(v) + eps) + weight_decay * p (decoupled),
   5. lr = base_lr(param group) * schedule(step / t_total, warmup) where `step`

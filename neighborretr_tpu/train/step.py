@@ -85,10 +85,10 @@ def compute_losses(params: Params, cfg: Config, batch: Dict[str, jnp.ndarray],
     # neighbor adjusting vs the memory bank
     bank_t2v = model.local_similarity(
         params, text_feat, bank.feat_v, t_mask, bank.mask_v,
-        use_pallas_bank)                                                  # [B, M]
+        use_pallas_bank, sim_dtype=mcfg.sim_dtype)                        # [B, M]
     bank_v2t = model.local_similarity(
         params, bank.feat_t, video_feat, bank.mask_t, v_mask,
-        use_pallas_bank).T                                                # [B, M]
+        use_pallas_bank, sim_dtype=mcfg.sim_dtype).T                      # [B, M]
     neighbor_loss = 0.5 * (
         hubness.neighbor_adjusting_loss(
             s_local, bank_v2t, lcfg.num_neighbors, lcfg.temperature)

@@ -66,3 +66,34 @@ def test_padding_path(rng):
     got = pallas_interaction_similarity(*args, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_bf16_compute_close_to_fp32(rng):
+    """compute_dtype=bfloat16 (training path) stays within bf16 rounding of
+    the fp32 kernel, for values and feature gradients."""
+    import jax
+    A, B, T, V, D = 6, 10, 5, 4, 32
+    tf = jnp.asarray(rng.standard_normal((A, T, D)).astype(np.float32))
+    vf = jnp.asarray(rng.standard_normal((B, V, D)).astype(np.float32))
+    tm = jnp.ones((A, T), jnp.float32)
+    vm = jnp.ones((B, V), jnp.float32)
+    tw = jax.nn.softmax(jnp.asarray(
+        rng.standard_normal((A, T)).astype(np.float32)), -1)
+    vw = jax.nn.softmax(jnp.asarray(
+        rng.standard_normal((B, V)).astype(np.float32)), -1)
+
+    def s32(tf, vf):
+        return pallas_interaction_similarity(tf, vf, tm, vm, tw, vw,
+                                             interpret=True)
+
+    def s16(tf, vf):
+        return pallas_interaction_similarity(tf, vf, tm, vm, tw, vw,
+                                             interpret=True,
+                                             compute_dtype="bfloat16")
+
+    np.testing.assert_allclose(np.asarray(s16(tf, vf)),
+                               np.asarray(s32(tf, vf)), atol=2e-2)
+    g32 = jax.grad(lambda a, b: jnp.sum(s32(a, b) ** 2), argnums=(0, 1))(tf, vf)
+    g16 = jax.grad(lambda a, b: jnp.sum(s16(a, b) ** 2), argnums=(0, 1))(tf, vf)
+    for a, b in zip(g16, g32):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=6e-2)
