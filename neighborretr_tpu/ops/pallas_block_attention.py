@@ -255,9 +255,14 @@ def fused_attention_sublayer(h: jnp.ndarray, wqkv: jnp.ndarray,
       wout: [D, D] output projection, bout: [D].
     Returns [N, L, D] sublayer output (pre-residual), dtype of `h`.
     """
+    import os
     N, L, D = h.shape
     hd = D // n_head
-    FB = _pick_fb(N, L)
+    # own blocking default: with the projections fused in, per-cell work is
+    # dominated by the [FB·L, D]×[D, 3D] matmul, so bigger cells amortize
+    # grid overhead better than in the attention-only kernel (v5e A/B:
+    # FB=4 323 pairs/s vs FB=2 316 at batch 64); override for probing.
+    FB = _pick_fb(N, L, int(os.environ.get("NRTPU_BLOCK_FB_ROWS", "200")))
     meta = (N, L, n_head, hd, FB, interpret)
     return _block_attention_core(
         h.astype(jnp.bfloat16), wqkv.astype(jnp.bfloat16),

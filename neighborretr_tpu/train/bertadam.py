@@ -128,24 +128,35 @@ def bert_adam_update(
     progress = state.step.astype(jnp.float32) / float(t_total)
     lr_mult = sched(progress, cfg.warmup_proportion)
 
-    # frozen leaves contribute no gradient in the reference (requires_grad
-    # False → grad None); zero them before the global norm so the clip
-    # coefficient matches.
-    grads = jax.tree_util.tree_map_with_path(
-        lambda path, g: jnp.zeros_like(g) if is_frozen(_path_keys(path)) else g,
-        grads)
-    # stage 1: global clip over all grads (trainer.py:104)
-    grads = clip_by_global_norm(grads, cfg.max_grad_norm)
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    treedef = jax.tree.structure(grads)
+    m_leaves = jax.tree.leaves(state.m)
+    v_leaves = jax.tree.leaves(state.v)
+    p_leaves = jax.tree.leaves(params)
+    frozen = [is_frozen(_path_keys(path)) for path, _ in flat]
 
-    def leaf_update(path, g, m, v, p):
+    # One read of the gradients yields both clip stages analytically:
+    # per-leaf square sums → global norm → stage-1 coef; stage 2 then clips
+    # ‖coef·g‖ = coef·√sq per leaf.  The combined scale folds into the
+    # moment update below, so no scaled gradient copy is ever materialized
+    # (one full HBM pass saved vs the naive two-stage form; the math is the
+    # reference's exactly — frozen leaves contribute no gradient, matching
+    # requires_grad=False → grad None).
+    sq = [jnp.zeros(()) if fz
+          else jnp.sum(jnp.square(g.astype(jnp.float32)))
+          for (_, g), fz in zip(flat, frozen)]
+    gnorm = jnp.sqrt(sum(sq))
+    coef = jnp.minimum(cfg.max_grad_norm / (gnorm + 1e-6), 1.0)  # stage 1
+
+    def leaf_update(path, g, sq_l, m, v, p):
         keys = _path_keys(path)
-        if is_frozen(keys):
-            return p, m, v
         g = g.astype(jnp.float32)
-        # stage 2: per-parameter clip (optimization.py:181)
-        if cfg.max_grad_norm > 0:
-            pnorm = jnp.sqrt(jnp.sum(jnp.square(g)))
-            g = g * jnp.minimum(cfg.max_grad_norm / (pnorm + 1e-6), 1.0)
+        scale = coef
+        if cfg.max_grad_norm > 0:                 # stage 2 (optimization.py:181)
+            pnorm = coef * jnp.sqrt(sq_l)
+            scale = scale * jnp.minimum(
+                cfg.max_grad_norm / (pnorm + 1e-6), 1.0)
+        g = g * scale
         new_m = cfg.b1 * m + (1.0 - cfg.b1) * g
         new_v = cfg.b2 * v + (1.0 - cfg.b2) * jnp.square(g)
         update = new_m / (jnp.sqrt(new_v) + cfg.eps)
@@ -155,15 +166,13 @@ def bert_adam_update(
         new_p = p - lr * lr_mult * update
         return new_p.astype(p.dtype), new_m, new_v
 
-    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
-    treedef = jax.tree.structure(grads)
-    m_leaves = jax.tree.leaves(state.m)
-    v_leaves = jax.tree.leaves(state.v)
-    p_leaves = jax.tree.leaves(params)
-
     new_p, new_m, new_v = [], [], []
-    for (path, g), m, v, p in zip(flat, m_leaves, v_leaves, p_leaves):
-        np_, nm, nv = leaf_update(path, g, m, v, p)
+    for (path, g), sq_l, fz, m, v, p in zip(flat, sq, frozen, m_leaves,
+                                            v_leaves, p_leaves):
+        if fz:
+            np_, nm, nv = p, m, v
+        else:
+            np_, nm, nv = leaf_update(path, g, sq_l, m, v, p)
         new_p.append(np_)
         new_m.append(nm)
         new_v.append(nv)
