@@ -130,10 +130,20 @@ def encode_image(p: Params, cfg: ClipConfig, images: jnp.ndarray,
     N, H, W, _ = images.shape
     P = cfg.vision_patch_size
     gh, gw = H // P, W // P
-    # patchify: [N, gh, P, gw, P, 3] → [N, gh*gw, P*P*3] with (kh, kw, c) order
-    x = images.reshape(N, gh, P, gw, P, 3)
-    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(N, gh * gw, P * P * 3)
-    x = x.astype(dtype) @ p["patch_embed"].astype(dtype)          # [N, G, width]
+    # patch embedding as a strided VALID conv (XLA's implicit-im2col TPU
+    # lowering): 4.2 ms vs 8.0 ms for the manual patchify-transpose+matmul
+    # at the bench shape — the [..., 3]-lane relayout is what the transpose
+    # formulation pays.  The pytree keeps the flattened [P·P·3, width]
+    # matmul layout (checkpoint mapping unchanged); the HWIO reshape is free.
+    # patch_embed is FROZEN (the reference freezes visual.conv1,
+    # module_clip.py:324-326; the optimizer also masks it) — stop_gradient
+    # tells autodiff so: no weight-grad conv, no patchify residuals.
+    pe = jax.lax.stop_gradient(p["patch_embed"])
+    w = pe.reshape(P, P, 3, -1).astype(dtype)          # (kh, kw, c) → HWIO
+    x = jax.lax.conv_general_dilated(
+        images.astype(dtype), w, window_strides=(P, P), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))    # [N, gh, gw, width]
+    x = x.reshape(N, gh * gw, -1)
 
     cls = jnp.broadcast_to(p["class_embedding"].astype(dtype), (N, 1, x.shape[-1]))
     x = jnp.concatenate([cls, x], axis=1)
