@@ -25,7 +25,7 @@ import numpy as np
 
 REFERENCE_PAIRS_PER_SEC_PER_GPU = 45.0
 
-BATCH = int(__import__("os").environ.get("BENCH_BATCH", "64"))
+BATCH = int(__import__("os").environ.get("BENCH_BATCH", "96"))  # v5e sweep optimum
 MB_BATCH = int(__import__("os").environ.get("BENCH_MB", "4"))  # bank = MB*BATCH
 WARMUP_STEPS = 2
 MEASURE_STEPS = 16   # step noise is ~±3%; longer window for a stable record
