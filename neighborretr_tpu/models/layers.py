@@ -218,12 +218,17 @@ def block_apply(p: Params, x, n_head: int, attn_bias=None, dtype=jnp.float32,
     sequences fall back to the attention-only kernel)."""
     from jax.ad_checkpoint import checkpoint_name as ckpt
     h = layer_norm(p["ln_1"], x)
-    if fused_attention == "block" and attn_bias is None:
+    if fused_attention == "block":
         from ..ops.pallas_block_attention import fused_attention_sublayer
+        bias = None
+        if attn_bias is not None:
+            B, L = x.shape[0], x.shape[1]
+            bias = jnp.broadcast_to(attn_bias.astype(jnp.float32),
+                                    (B, 1, L, L))[:, 0]
         attn_out = fused_attention_sublayer(
             h.astype(dtype), p["attn"]["in_proj"]["w"],
             p["attn"]["in_proj"]["b"], p["attn"]["out_proj"]["w"],
-            p["attn"]["out_proj"]["b"], n_head,
+            p["attn"]["out_proj"]["b"], n_head, bias=bias,
             interpret=jax.default_backend() != "tpu")
     else:
         attn_out = mha(p["attn"], h, n_head, attn_bias,

@@ -119,7 +119,8 @@ def get_video_feat(params: Params, cfg: ModelConfig, video, video_mask,
         remat_skip_last=cfg.remat_skip_last, project_hidden=False)
     frame_feat = cls_feat.reshape(B, F, -1).astype(jnp.float32)
     return temporal_mod.aggregate_video_features(
-        params["temporal"], cfg, frame_feat, video_mask, dtype=dtype)
+        params["temporal"], cfg, frame_feat, video_mask, dtype=dtype,
+        fused_attention=resolve_fused_attention(cfg))
 
 
 def get_text_video_feat(params: Params, cfg: ModelConfig, text_ids, text_mask,

@@ -37,7 +37,8 @@ def init_temporal(key, cfg: ModelConfig) -> Params:
 
 def aggregate_video_features(p: Params, cfg: ModelConfig,
                              video_feat: jnp.ndarray, video_mask: jnp.ndarray,
-                             dtype=jnp.bfloat16) -> jnp.ndarray:
+                             dtype=jnp.bfloat16,
+                             fused_attention=False) -> jnp.ndarray:
     """[B, F, D] per-frame features + [B, F] mask → [B, F, D] temporal features."""
     B, F, D = video_feat.shape
     original = video_feat
@@ -45,5 +46,6 @@ def aggregate_video_features(p: Params, cfg: ModelConfig,
     # key-padding bias with the reference's -1e6 fill (modeling.py:613)
     bias = jnp.where(video_mask[:, None, None, :] > 0, 0.0, -1e6).astype(jnp.float32)
     heads = cfg.clip.transformer_heads
-    x = L.transformer_apply(p["transformer"], x, heads, bias, dtype=dtype)
+    x = L.transformer_apply(p["transformer"], x, heads, bias, dtype=dtype,
+                            fused_attention=fused_attention)
     return (x + original.astype(dtype)).astype(video_feat.dtype)

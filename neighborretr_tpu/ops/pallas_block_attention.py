@@ -46,7 +46,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_attention import _frame_diag_bias, _pick_fb, _split_heads
+from .pallas_attention import (_frame_diag_bias, _pick_fb, _split_heads,
+                               _tile_bias)
 
 
 def _qkv_tile(h_ref, wqkv_ref, bqkv_ref, rows, D):
@@ -59,12 +60,14 @@ def _qkv_tile(h_ref, wqkv_ref, bqkv_ref, rows, D):
     return h2, qkv.astype(jnp.bfloat16)
 
 
-def _attn_tile(qkv16, rows, L, H, hd, D):
+def _attn_tile(qkv16, rows, L, H, hd, D, bias=None):
     """Frame-local attention on a packed qkv tile → (q3, k3, v3, probs,
-    attn_out2 [rows, D] bf16)."""
+    attn_out2 [rows, D] bf16).  bias: [rows, rows] additive (defaults to the
+    pure frame-block-diagonal mask)."""
     scale = hd ** -0.5
     q3, k3, v3 = _split_heads(qkv16, rows, D, H, hd)
-    bias = _frame_diag_bias(rows, L)
+    if bias is None:
+        bias = _frame_diag_bias(rows, L)
     logits = jax.lax.dot_general(
         (q3.astype(jnp.float32) * scale).astype(jnp.bfloat16), k3,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
@@ -164,6 +167,92 @@ def _bwd_kernel(h_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, g_ref,
     dbout_ref[:] += dbout
 
 
+def _fwd_kernel_biased(h_ref, bias_ref, wqkv_ref, bqkv_ref, wout_ref,
+                       bout_ref, y_ref, *, L: int, H: int, hd: int):
+    """Per-sequence additive bias variant (text causal∧padding, temporal
+    key-padding masks); bias_ref [FB, L, L] tiles into the block-diagonal."""
+    FB = h_ref.shape[0]
+    rows = FB * L
+    D = H * hd
+    _, qkv16 = _qkv_tile(h_ref, wqkv_ref, bqkv_ref, rows, D)
+    bias = _tile_bias(bias_ref, FB, L)
+    _, _, _, _, attn_out2 = _attn_tile(qkv16, rows, L, H, hd, D, bias)
+    y = jax.lax.dot_general(
+        attn_out2, wout_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = y + bout_ref[:].astype(jnp.float32)
+    y_ref[:] = y.reshape(FB, L, D).astype(y_ref.dtype)
+
+
+def _bwd_kernel_biased(h_ref, bias_ref, wqkv_ref, bqkv_ref, wout_ref,
+                       bout_ref, g_ref, dh_ref, dwqkv_ref, dbqkv_ref,
+                       dwout_ref, dbout_ref, *, L: int, H: int, hd: int):
+    i = pl.program_id(0)
+    FB = h_ref.shape[0]
+    rows = FB * L
+    D = H * hd
+    scale = hd ** -0.5
+
+    h2, qkv16 = _qkv_tile(h_ref, wqkv_ref, bqkv_ref, rows, D)
+    bias = _tile_bias(bias_ref, FB, L)
+    q3, k3, v3, probs, attn_out2 = _attn_tile(qkv16, rows, L, H, hd, D, bias)
+    g = g_ref[:].reshape(rows, D).astype(jnp.float32)
+    g16 = g.astype(jnp.bfloat16)
+
+    dwout = jax.lax.dot_general(
+        attn_out2, g16, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbout = jnp.sum(g, axis=0, keepdims=True)
+    dattn2 = jax.lax.dot_general(
+        g16, wout_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    g3 = _split_heads(dattn2.astype(jnp.bfloat16), rows, D, H, hd,
+                      n_parts=1)[0]
+
+    p16 = probs.astype(jnp.bfloat16)
+    dv3 = jax.lax.dot_general(
+        p16, g3, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    dprobs = jax.lax.dot_general(
+        g3, v3, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    dlogits = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
+                                        keepdims=True))
+    dl16 = (dlogits * scale).astype(jnp.bfloat16)
+    dq3 = jax.lax.dot_general(
+        dl16, k3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    dk3 = jax.lax.dot_general(
+        dl16, q3, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    dqkv = jnp.concatenate(
+        [dq3[h] for h in range(H)] + [dk3[h] for h in range(H)]
+        + [dv3[h] for h in range(H)], axis=1)
+
+    dqkv16 = dqkv.astype(jnp.bfloat16)
+    dh = jax.lax.dot_general(
+        dqkv16, wqkv_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dwqkv = jax.lax.dot_general(
+        h2, dqkv16, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbqkv = jnp.sum(dqkv, axis=0, keepdims=True)
+
+    dh_ref[:] = dh.reshape(FB, L, D).astype(dh_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[:] = jnp.zeros_like(dbqkv_ref)
+        dwout_ref[:] = jnp.zeros_like(dwout_ref)
+        dbout_ref[:] = jnp.zeros_like(dbout_ref)
+
+    dwqkv_ref[:] += dwqkv
+    dbqkv_ref[:] += dbqkv
+    dwout_ref[:] += dwout
+    dbout_ref[:] += dbout
+
+
 # ---------------------------------------------------------------------------
 # custom-vjp wrapper
 # ---------------------------------------------------------------------------
@@ -239,6 +328,72 @@ def _block_attention_bwd(meta, res, g):
 _block_attention_core.defvjp(_block_attention_fwd, _block_attention_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _block_attention_biased_core(h, bias, wqkv, bqkv, wout, bout, meta):
+    N, L, H, hd, FB, interpret = meta
+    D = H * hd
+    kernel = functools.partial(_fwd_kernel_biased, L=L, H=H, hd=hd)
+    return pl.pallas_call(
+        kernel,
+        grid=(N // FB,),
+        in_specs=[pl.BlockSpec((FB, L, D), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((FB, L, L), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)] + _weight_specs(D),
+        out_specs=pl.BlockSpec((FB, L, D), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, L, D), h.dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(h, bias, wqkv, bqkv, wout, bout)
+
+
+def _block_attention_biased_fwd(h, bias, wqkv, bqkv, wout, bout, meta):
+    return _block_attention_biased_core(h, bias, wqkv, bqkv, wout, bout,
+                                        meta), (h, bias, wqkv, bqkv, wout,
+                                                bout)
+
+
+def _block_attention_biased_bwd(meta, res, g):
+    N, L, H, hd, FB, interpret = meta
+    D = H * hd
+    h, bias, wqkv, bqkv, wout, bout = res
+    kernel = functools.partial(_bwd_kernel_biased, L=L, H=H, hd=hd)
+    dh, dwqkv, dbqkv, dwout, dbout = pl.pallas_call(
+        kernel,
+        grid=(N // FB,),
+        in_specs=[pl.BlockSpec((FB, L, D), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((FB, L, L), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)] + _weight_specs(D)
+        + [pl.BlockSpec((FB, L, D), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((FB, L, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + _weight_specs(D),
+        out_shape=[
+            jax.ShapeDtypeStruct((N, L, D), h.dtype),
+            jax.ShapeDtypeStruct((D, 3 * D), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * D), jnp.float32),
+            jax.ShapeDtypeStruct((D, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(h, bias, wqkv, bqkv, wout, bout, g)
+    # the bias is mask-derived — no cotangent owed
+    return (dh, jnp.zeros_like(bias), dwqkv.astype(wqkv.dtype),
+            dbqkv.astype(bqkv.dtype), dwout.astype(wout.dtype),
+            dbout.astype(bout.dtype))
+
+
+_block_attention_biased_core.defvjp(_block_attention_biased_fwd,
+                                    _block_attention_biased_bwd)
+
+
 # ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
@@ -246,6 +401,7 @@ _block_attention_core.defvjp(_block_attention_fwd, _block_attention_bwd)
 def fused_attention_sublayer(h: jnp.ndarray, wqkv: jnp.ndarray,
                              bqkv: jnp.ndarray, wout: jnp.ndarray,
                              bout: jnp.ndarray, n_head: int,
+                             bias=None,
                              interpret: bool = False) -> jnp.ndarray:
     """Whole attention sublayer on packed inputs.
 
@@ -253,6 +409,8 @@ def fused_attention_sublayer(h: jnp.ndarray, wqkv: jnp.ndarray,
       h:    [N, L, D] post-LN1 hidden (any float dtype; computed in bf16).
       wqkv: [D, 3D] input-major qkv projection, bqkv: [3D].
       wout: [D, D] output projection, bout: [D].
+      bias: optional per-sequence additive attention bias broadcastable to
+        [N, L, L] fp32 (causal∧padding masks; constant — no cotangent).
     Returns [N, L, D] sublayer output (pre-residual), dtype of `h`.
     """
     import os
@@ -264,7 +422,11 @@ def fused_attention_sublayer(h: jnp.ndarray, wqkv: jnp.ndarray,
     # FB=4 323 pairs/s vs FB=2 316 at batch 64); override for probing.
     FB = _pick_fb(N, L, int(os.environ.get("NRTPU_BLOCK_FB_ROWS", "200")))
     meta = (N, L, n_head, hd, FB, interpret)
-    return _block_attention_core(
-        h.astype(jnp.bfloat16), wqkv.astype(jnp.bfloat16),
-        bqkv.reshape(1, -1), wout.astype(jnp.bfloat16),
-        bout.reshape(1, -1), meta).astype(h.dtype)
+    args = (h.astype(jnp.bfloat16), wqkv.astype(jnp.bfloat16),
+            bqkv.reshape(1, -1), wout.astype(jnp.bfloat16),
+            bout.reshape(1, -1))
+    if bias is None:
+        return _block_attention_core(*args, meta).astype(h.dtype)
+    bias = jnp.broadcast_to(bias.astype(jnp.float32), (N, L, L))
+    return _block_attention_biased_core(
+        args[0], bias, *args[1:], meta).astype(h.dtype)

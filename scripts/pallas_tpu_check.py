@@ -80,6 +80,48 @@ def bench_attention(N=768, L=50, H=12, hd=64):
         print(f"[attn {N}x{L} H{H}] {name}: {dt*1e3:.2f} ms/fwd+bwd", flush=True)
 
 
+def bench_block_attention(N=768, L=50, H=12, hd=64):
+    """Fused SUBLAYER kernel (qkv+attn+out) vs einsum mha at the bench shape."""
+    from neighborretr_tpu.models import layers as Lmod
+    from neighborretr_tpu.ops.pallas_block_attention import fused_attention_sublayer
+    rng = np.random.default_rng(0)
+    D = H * hd
+    p = {"in_proj": {"w": jnp.asarray(rng.normal(0, .02, (D, 3 * D)).astype(np.float32)),
+                     "b": jnp.zeros((3 * D,), jnp.float32)},
+         "out_proj": {"w": jnp.asarray(rng.normal(0, .02, (D, D)).astype(np.float32)),
+                      "b": jnp.zeros((D,), jnp.float32)}}
+    h = jnp.asarray(rng.normal(size=(N, L, D)).astype(np.float32))
+
+    def f_kernel(p, h):
+        return jnp.sum(fused_attention_sublayer(
+            h, p["in_proj"]["w"], p["in_proj"]["b"],
+            p["out_proj"]["w"], p["out_proj"]["b"], H).astype(jnp.float32))
+
+    def f_xla(p, h):
+        return jnp.sum(Lmod.mha(p, h, H, None, jnp.bfloat16, fused=False)
+                       .astype(jnp.float32))
+
+    gk = jax.jit(jax.grad(f_kernel))(p, h)
+    gx = jax.jit(jax.grad(f_xla))(p, h)
+    for k1 in ("in_proj", "out_proj"):
+        for k2 in ("w", "b"):
+            err = float(jnp.max(jnp.abs(gk[k1][k2].astype(jnp.float32)
+                                        - gx[k1][k2].astype(jnp.float32))))
+            ref = float(jnp.max(jnp.abs(gx[k1][k2]))) or 1.0
+            print(f"[block] grad {k1}.{k2} rel err {err/ref:.4f}", flush=True)
+            assert err / ref < 0.05, (k1, k2)
+    for name, f in (("kernel", f_kernel), ("xla", f_xla)):
+        fn = jax.jit(jax.value_and_grad(f))
+        v, g = fn(p, h)
+        _ = float(v)
+        tic = time.perf_counter()
+        for _ in range(8):
+            v, g = fn(p, h)
+        _ = float(v)
+        print(f"[block {N}x{L} H{H}] {name}: "
+              f"{(time.perf_counter()-tic)/8*1e3:.2f} ms/f+b", flush=True)
+
+
 if __name__ == "__main__":
     from neighborretr_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -87,6 +129,8 @@ if __name__ == "__main__":
     import sys as _sys
     if "attn" in _sys.argv:
         bench_attention()
+    elif "block" in _sys.argv:
+        bench_block_attention()
     else:
         check(128, 128, 24, 12, 512, "batch 128x128")
         check(128, 1920, 24, 12, 512, "bank 128x1920")

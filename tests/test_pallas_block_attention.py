@@ -80,3 +80,51 @@ def test_block_apply_block_impl_matches_einsum(setup):
                         fused_attention="block")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=6e-2, rtol=6e-2)
+
+
+def test_biased_sublayer_matches_einsum(setup):
+    """Per-sequence biased path (text causal∧padding) vs einsum mha."""
+    p, h = setup
+    rng = np.random.default_rng(7)
+    # causal + key-padding bias per sequence
+    causal = L.causal_bias(SEQ)                       # [1, 1, SEQ, SEQ]
+    mask = (rng.random((N, SEQ)) > 0.25).astype(np.float32)
+    mask[:, 0] = 1
+    bias4 = causal + L.padding_bias(jnp.asarray(mask))  # [N, 1, SEQ, SEQ]
+
+    want = L.mha(p, h, H, bias4, dtype=jnp.float32, fused=False)
+    got = fused_attention_sublayer(
+        h, p["in_proj"]["w"], p["in_proj"]["b"],
+        p["out_proj"]["w"], p["out_proj"]["b"], H,
+        bias=jnp.broadcast_to(bias4.astype(jnp.float32),
+                              (N, 1, SEQ, SEQ))[:, 0],
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=6e-2, rtol=6e-2)
+
+    g_out = jnp.asarray(rng.standard_normal((N, SEQ, D)).astype(np.float32))
+    gh_w = jax.grad(lambda x: jnp.sum(
+        L.mha(p, x, H, bias4, dtype=jnp.float32, fused=False) * g_out))(h)
+    gh_k = jax.grad(lambda x: jnp.sum(fused_attention_sublayer(
+        x, p["in_proj"]["w"], p["in_proj"]["b"],
+        p["out_proj"]["w"], p["out_proj"]["b"], H,
+        bias=jnp.broadcast_to(bias4.astype(jnp.float32),
+                              (N, 1, SEQ, SEQ))[:, 0],
+        interpret=True) * g_out))(h)
+    np.testing.assert_allclose(np.asarray(gh_k), np.asarray(gh_w),
+                               atol=8e-2, rtol=8e-2)
+
+
+def test_block_apply_biased_block_impl_matches_einsum(setup):
+    p_blk = L.block_init(jax.random.PRNGKey(5), D)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((N, SEQ, D)).astype(np.float32))
+    mask = np.ones((N, SEQ), np.float32)
+    mask[:, SEQ // 2:] = 0
+    bias = L.causal_bias(SEQ) + L.padding_bias(jnp.asarray(mask))
+    want = L.block_apply(p_blk, x, H, bias, dtype=jnp.float32,
+                         fused_attention=False)
+    got = L.block_apply(p_blk, x, H, bias, dtype=jnp.float32,
+                        fused_attention="block")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=6e-2, rtol=6e-2)
