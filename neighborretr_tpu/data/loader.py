@@ -90,27 +90,53 @@ class BatchLoader:
         slices = [order[i: i + self.batch_size]
                   for i in range(0, limit, self.batch_size)]
 
-        with cf.ThreadPoolExecutor(self.workers) as pool:
-            if self.prefetch <= 0:
+        pool = cf.ThreadPoolExecutor(self.workers)
+        if self.prefetch <= 0:
+            try:
                 for s in slices:
                     yield self._assemble(s, pool)
-                return
+            finally:
+                pool.shutdown(wait=False, cancel_futures=True)
+            return
 
-            q: Queue = Queue(maxsize=self.prefetch)
-            stop = object()
+        # Early termination is normal (bounded memory-bank fills, benches,
+        # generator GC) — the producer must never submit to a shut-down pool
+        # or block forever on a full queue, so every put is stop-aware.
+        from queue import Full
+        q: Queue = Queue(maxsize=self.prefetch)
+        stop = object()
+        stopping = threading.Event()
 
-            def producer():
+        def _put(item) -> bool:
+            while not stopping.is_set():
                 try:
-                    for s in slices:
-                        q.put(self._assemble(s, pool))
-                finally:
-                    q.put(stop)
+                    q.put(item, timeout=0.1)
+                    return True
+                except Full:
+                    continue
+            return False
 
-            t = threading.Thread(target=producer, daemon=True)
-            t.start()
+        def producer():
+            try:
+                for s in slices:
+                    if stopping.is_set():
+                        return
+                    if not _put(self._assemble(s, pool)):
+                        return
+            except RuntimeError:   # pool shut down mid-assemble
+                return
+            finally:
+                _put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
             while True:
                 item = q.get()
                 if item is stop:
                     break
                 yield item
+        finally:
+            stopping.set()
             t.join()
+            pool.shutdown(wait=False, cancel_futures=True)

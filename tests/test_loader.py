@@ -112,3 +112,15 @@ def test_device_prefetch_empty_and_short_iterators():
     one = [{"idx": np.arange(4)}]
     out = list(prefetch_to_device(iter(one), size=4))
     assert len(out) == 1
+
+
+def test_early_termination_is_clean():
+    """Breaking out of iteration (bounded bank fills, benches) must not crash
+    the producer or leak 'cannot schedule new futures' errors."""
+    import itertools
+    ds = _ToyDataset(64)
+    loader = BatchLoader(ds, 8, shuffle=False, workers=4, prefetch=2)
+    got = list(itertools.islice(iter(loader), 2))
+    assert len(got) == 2
+    # a subsequent full iteration over the same loader still works
+    assert len(_collect(loader)) == 8
