@@ -6,6 +6,12 @@ cv2 decode, so the numbers isolate (a) batch assembly + threading, (b)
 RandAugment cost per clip, (c) the device-prefetch upload path. For decode
 throughput on real files, point --video_dir at a directory of mp4s.
 
+NOTE: the round-1 dev box exposes ONE CPU core (nproc=1 container limit), so
+its numbers (28 clips/s synthetic, 13 with RandAugment) measure single-core
+Python/PIL cost, not the pipeline design — threads cannot help without
+cores.  Budget ~0.07 core-seconds/clip for augmentation when sizing real
+TPU-VM hosts (100+ cores feed ~1400+ clips/s).
+
 Usage: python scripts/data_bench.py [--workers N] [--video_dir DIR]
 """
 import argparse
