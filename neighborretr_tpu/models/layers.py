@@ -217,23 +217,25 @@ def block_apply(p: Params, x, n_head: int, attn_bias=None, dtype=jnp.float32,
     attention + out proj in one Pallas call; unbiased path only — biased
     sequences fall back to the attention-only kernel)."""
     from jax.ad_checkpoint import checkpoint_name as ckpt
-    h = layer_norm(p["ln_1"], x)
     if fused_attention == "block":
-        from ..ops.pallas_block_attention import fused_attention_sublayer
+        # whole pre-LN attention sublayer (LN1 + qkv + attention + out proj
+        # + residual) in one Pallas kernel — x touches HBM once
+        from ..ops.pallas_block_attention import fused_ln_attention_residual
         bias = None
         if attn_bias is not None:
             B, L = x.shape[0], x.shape[1]
             bias = jnp.broadcast_to(attn_bias.astype(jnp.float32),
                                     (B, 1, L, L))[:, 0]
-        attn_out = fused_attention_sublayer(
-            h.astype(dtype), p["attn"]["in_proj"]["w"],
-            p["attn"]["in_proj"]["b"], p["attn"]["out_proj"]["w"],
-            p["attn"]["out_proj"]["b"], n_head, bias=bias,
-            interpret=jax.default_backend() != "tpu")
+        x = ckpt(fused_ln_attention_residual(
+            x.astype(dtype), p["ln_1"]["scale"], p["ln_1"]["bias"],
+            p["attn"]["in_proj"]["w"], p["attn"]["in_proj"]["b"],
+            p["attn"]["out_proj"]["w"], p["attn"]["out_proj"]["b"], n_head,
+            bias=bias, interpret=jax.default_backend() != "tpu"),
+            "attn_out")
     else:
-        attn_out = mha(p["attn"], h, n_head, attn_bias,
-                       dtype, fused=bool(fused_attention))
-    x = x + ckpt(attn_out, "attn_out")
+        attn_out = mha(p["attn"], layer_norm(p["ln_1"], x), n_head,
+                       attn_bias, dtype, fused=bool(fused_attention))
+        x = x + ckpt(attn_out, "attn_out")
     h = linear(p["mlp"]["c_fc"], layer_norm(p["ln_2"], x), dtype=dtype)
     h = ckpt(quick_gelu(h), "mlp_hidden")
     x = x + ckpt(linear(p["mlp"]["c_proj"], h, dtype=dtype), "mlp_out")

@@ -395,6 +395,271 @@ _block_attention_biased_core.defvjp(_block_attention_biased_fwd,
 
 
 # ---------------------------------------------------------------------------
+# LN1 + residual folded in: y = x + Attn(LN(x)) in one kernel
+# ---------------------------------------------------------------------------
+
+_LN_EPS = 1e-5   # layers.layer_norm default
+
+
+def _ln_tile(x_ref, gs_ref, gb_ref, rows, D):
+    """In-kernel fp32-island LayerNorm of the x tile → (x32, xhat, rstd, h16)."""
+    x32 = x_ref[:].reshape(rows, D).astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + _LN_EPS)
+    xhat = xc * rstd
+    h32 = xhat * gs_ref[:].astype(jnp.float32) + gb_ref[:].astype(jnp.float32)
+    return x32, xhat, rstd, h32.astype(jnp.bfloat16)
+
+
+def _qkv_from_h16(h16, wqkv_ref, bqkv_ref):
+    qkv = jax.lax.dot_general(
+        h16, wqkv_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return (qkv + bqkv_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
+
+
+def _make_fwd_ln_kernel(biased: bool):
+    def kernel(*refs, L: int, H: int, hd: int):
+        if biased:
+            (x_ref, bias_ref, gs_ref, gb_ref, wqkv_ref, bqkv_ref, wout_ref,
+             bout_ref, y_ref) = refs
+        else:
+            (x_ref, gs_ref, gb_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+             y_ref) = refs
+        FB = x_ref.shape[0]
+        rows = FB * L
+        D = H * hd
+        x32, _, _, h16 = _ln_tile(x_ref, gs_ref, gb_ref, rows, D)
+        qkv16 = _qkv_from_h16(h16, wqkv_ref, bqkv_ref)
+        bias = _tile_bias(bias_ref, FB, L) if biased else None
+        _, _, _, _, attn_out2 = _attn_tile(qkv16, rows, L, H, hd, D, bias)
+        y = jax.lax.dot_general(
+            attn_out2, wout_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y = y + bout_ref[:].astype(jnp.float32) + x32          # residual
+        y_ref[:] = y.reshape(FB, L, D).astype(y_ref.dtype)
+    return kernel
+
+
+def _make_bwd_ln_kernel(biased: bool):
+    def kernel(*refs, L: int, H: int, hd: int):
+        if biased:
+            (x_ref, bias_ref, gs_ref, gb_ref, wqkv_ref, bqkv_ref, wout_ref,
+             bout_ref, g_ref, dx_ref, dgs_ref, dgb_ref, dwqkv_ref, dbqkv_ref,
+             dwout_ref, dbout_ref) = refs
+        else:
+            (x_ref, gs_ref, gb_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+             g_ref, dx_ref, dgs_ref, dgb_ref, dwqkv_ref, dbqkv_ref,
+             dwout_ref, dbout_ref) = refs
+        i = pl.program_id(0)
+        FB = x_ref.shape[0]
+        rows = FB * L
+        D = H * hd
+        scale = hd ** -0.5
+
+        _, xhat, rstd, h16 = _ln_tile(x_ref, gs_ref, gb_ref, rows, D)
+        qkv16 = _qkv_from_h16(h16, wqkv_ref, bqkv_ref)
+        bias = _tile_bias(bias_ref, FB, L) if biased else None
+        q3, k3, v3, probs, attn_out2 = _attn_tile(qkv16, rows, L, H, hd, D,
+                                                  bias)
+        g = g_ref[:].reshape(rows, D).astype(jnp.float32)        # dy
+        g16 = g.astype(jnp.bfloat16)
+
+        dwout = jax.lax.dot_general(
+            attn_out2, g16, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbout = jnp.sum(g, axis=0, keepdims=True)
+        dattn2 = jax.lax.dot_general(
+            g16, wout_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        g3 = _split_heads(dattn2.astype(jnp.bfloat16), rows, D, H, hd,
+                          n_parts=1)[0]
+
+        p16 = probs.astype(jnp.bfloat16)
+        dv3 = jax.lax.dot_general(
+            p16, g3, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dprobs = jax.lax.dot_general(
+            g3, v3, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dlogits = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
+                                            keepdims=True))
+        dl16 = (dlogits * scale).astype(jnp.bfloat16)
+        dq3 = jax.lax.dot_general(
+            dl16, k3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dk3 = jax.lax.dot_general(
+            dl16, q3, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dqkv = jnp.concatenate(
+            [dq3[h] for h in range(H)] + [dk3[h] for h in range(H)]
+            + [dv3[h] for h in range(H)], axis=1)                # f32
+
+        dqkv16 = dqkv.astype(jnp.bfloat16)
+        dh = jax.lax.dot_general(                                # [rows, D] f32
+            dqkv16, wqkv_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dwqkv = jax.lax.dot_general(
+            h16, dqkv16, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbqkv = jnp.sum(dqkv, axis=0, keepdims=True)
+
+        # LayerNorm backward (layers._layer_norm_bwd math) + residual
+        dgs = jnp.sum(dh * xhat, axis=0, keepdims=True)          # [1, D]
+        dgb = jnp.sum(dh, axis=0, keepdims=True)
+        gdh = dh * gs_ref[:].astype(jnp.float32)
+        dx_ln = rstd * (gdh - jnp.mean(gdh, axis=-1, keepdims=True)
+                        - xhat * jnp.mean(gdh * xhat, axis=-1, keepdims=True))
+        dx = g + dx_ln
+        dx_ref[:] = dx.reshape(FB, L, D).astype(dx_ref.dtype)
+
+        @pl.when(i == 0)
+        def _():
+            dgs_ref[:] = jnp.zeros_like(dgs_ref)
+            dgb_ref[:] = jnp.zeros_like(dgb_ref)
+            dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
+            dbqkv_ref[:] = jnp.zeros_like(dbqkv_ref)
+            dwout_ref[:] = jnp.zeros_like(dwout_ref)
+            dbout_ref[:] = jnp.zeros_like(dbout_ref)
+
+        dgs_ref[:] += dgs
+        dgb_ref[:] += dgb
+        dwqkv_ref[:] += dwqkv
+        dbqkv_ref[:] += dbqkv
+        dwout_ref[:] += dwout
+        dbout_ref[:] += dbout
+    return kernel
+
+
+def _ln_param_specs(D):
+    return [
+        pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+
+
+def _ln_core_call(x, bias, gs, gb, wqkv, bqkv, wout, bout, meta):
+    N, L, H, hd, FB, interpret = meta
+    D = H * hd
+    biased = bias is not None
+    x_spec = [pl.BlockSpec((FB, L, D), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)]
+    bias_spec = ([pl.BlockSpec((FB, L, L), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)] if biased else [])
+    kernel = functools.partial(_make_fwd_ln_kernel(biased), L=L, H=H, hd=hd)
+    args = (x,) + ((bias,) if biased else ()) + (gs, gb, wqkv, bqkv, wout,
+                                                bout)
+    return pl.pallas_call(
+        kernel,
+        grid=(N // FB,),
+        in_specs=x_spec + bias_spec + _ln_param_specs(D) + _weight_specs(D),
+        out_specs=pl.BlockSpec((FB, L, D), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, L, D), x.dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _ln_block_core(x, gs, gb, wqkv, bqkv, wout, bout, meta):
+    return _ln_core_call(x, None, gs, gb, wqkv, bqkv, wout, bout, meta)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def _ln_block_biased_core(x, bias, gs, gb, wqkv, bqkv, wout, bout, meta):
+    return _ln_core_call(x, bias, gs, gb, wqkv, bqkv, wout, bout, meta)
+
+
+def _ln_bwd_call(x, bias, gs, gb, wqkv, bqkv, wout, bout, g, meta):
+    N, L, H, hd, FB, interpret = meta
+    D = H * hd
+    biased = bias is not None
+    x_spec = [pl.BlockSpec((FB, L, D), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)]
+    bias_spec = ([pl.BlockSpec((FB, L, L), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)] if biased else [])
+    kernel = functools.partial(_make_bwd_ln_kernel(biased), L=L, H=H, hd=hd)
+    args = (x,) + ((bias,) if biased else ()) + (gs, gb, wqkv, bqkv, wout,
+                                                bout, g)
+    dx, dgs, dgb, dwqkv, dbqkv, dwout, dbout = pl.pallas_call(
+        kernel,
+        grid=(N // FB,),
+        in_specs=(x_spec + bias_spec + _ln_param_specs(D) + _weight_specs(D)
+                  + x_spec),
+        out_specs=[x_spec[0]] + _ln_param_specs(D) + _weight_specs(D),
+        out_shape=[
+            jax.ShapeDtypeStruct((N, L, D), x.dtype),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((D, 3 * D), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * D), jnp.float32),
+            jax.ShapeDtypeStruct((D, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*args)
+    return (dx, dgs.astype(gs.dtype), dgb.astype(gb.dtype),
+            dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),
+            dwout.astype(wout.dtype), dbout.astype(bout.dtype))
+
+
+def _ln_block_fwd(x, gs, gb, wqkv, bqkv, wout, bout, meta):
+    y = _ln_block_core(x, gs, gb, wqkv, bqkv, wout, bout, meta)
+    return y, (x, gs, gb, wqkv, bqkv, wout, bout)
+
+
+def _ln_block_bwd(meta, res, g):
+    x, gs, gb, wqkv, bqkv, wout, bout = res
+    return _ln_bwd_call(x, None, gs, gb, wqkv, bqkv, wout, bout, g, meta)
+
+
+_ln_block_core.defvjp(_ln_block_fwd, _ln_block_bwd)
+
+
+def _ln_block_biased_fwd(x, bias, gs, gb, wqkv, bqkv, wout, bout, meta):
+    y = _ln_block_biased_core(x, bias, gs, gb, wqkv, bqkv, wout, bout, meta)
+    return y, (x, bias, gs, gb, wqkv, bqkv, wout, bout)
+
+
+def _ln_block_biased_bwd(meta, res, g):
+    x, bias, gs, gb, wqkv, bqkv, wout, bout = res
+    out = _ln_bwd_call(x, bias, gs, gb, wqkv, bqkv, wout, bout, g, meta)
+    return (out[0], jnp.zeros_like(bias)) + out[1:]
+
+
+_ln_block_biased_core.defvjp(_ln_block_biased_fwd, _ln_block_biased_bwd)
+
+
+def fused_ln_attention_residual(x: jnp.ndarray, ln_scale, ln_bias,
+                                wqkv, bqkv, wout, bout, n_head: int,
+                                bias=None,
+                                interpret: bool = False) -> jnp.ndarray:
+    """y = x + Attn(LN(x)) — the complete pre-LN attention sublayer in one
+    kernel (LN fp32 island, qkv proj, frame-local attention, out proj,
+    residual).  x is read from HBM exactly once; the post-LN hidden and qkv
+    never exist outside VMEM."""
+    import os
+    N, L, D = x.shape
+    hd = D // n_head
+    FB = _pick_fb(N, L, int(os.environ.get("NRTPU_BLOCK_FB_ROWS", "200")))
+    meta = (N, L, n_head, hd, FB, interpret)
+    x16 = x.astype(jnp.bfloat16)
+    args = (ln_scale.reshape(1, -1), ln_bias.reshape(1, -1),
+            wqkv.astype(jnp.bfloat16), bqkv.reshape(1, -1),
+            wout.astype(jnp.bfloat16), bout.reshape(1, -1))
+    if bias is None:
+        return _ln_block_core(x16, *args, meta).astype(x.dtype)
+    bias = jnp.broadcast_to(bias.astype(jnp.float32), (N, L, L))
+    return _ln_block_biased_core(x16, bias, *args, meta).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
 
