@@ -1,39 +1,41 @@
-"""Fully-fused attention sublayer (Pallas TPU kernel): qkv projection →
-frame-local multi-head attention → output projection, one kernel.
+"""Fully-fused pre-LN attention sublayer (Pallas TPU kernels).
 
-Motivation (measured on v5e, batch 64, ViT-B/32 12-frame config): with the
-frame-local attention kernel (ops/pallas_attention.py) the attention SUBLAYER
-— qkv matmul, kernel, out matmul — still costs 88 ms fwd+bwd of a 221 ms
-train step (40%), running at ~⅓ the MXU efficiency of the MLP.  The losses
-are HBM round-trips (the [N, L, 3D] qkv tensor is written by XLA and re-read
-by the kernel — ~350 MB per layer fwd) and the XLA↔kernel boundary.
+The production entry point is `fused_ln_attention_residual`:
 
-This kernel takes the POST-LN1 hidden `h` and the four projection tensors and
-produces the sublayer output directly:
+    y = x + AttnSublayer(LayerNorm(x))
 
-    out[n] = softmax(scale · q_h k_hᵀ + frame_diag) v_h  (per head, per frame)
-    y      = concat_heads(out) @ W_out + b_out
-    qkv    = h @ W_qkv + b_qkv          (computed per tile, never in HBM)
+in ONE kernel — fp32-island LayerNorm, qkv projection, frame-local
+multi-head attention, output projection, and the residual add.  `x` is read
+from HBM exactly once per sublayer; the post-LN hidden, qkv, logits and
+probs never leave VMEM.  `fused_attention_sublayer` (qkv→attn→out on a
+pre-normalized input, no residual) remains as the tested building block.
+Both have biased variants serving the text tower's causal∧padding mask and
+the temporal tower's key-padding mask; layers.block_apply routes all three
+towers here under attention_impl="block" ("auto" on a single TPU chip).
 
-Per grid cell (FB frames), the qkv projection is a [FB·L, D] × [D, 3D] MXU
-matmul — large and efficient, unlike XLA's layer-wide qkv which pays HBM both
-ways.  The weight blocks use constant index maps, so Mosaic keeps them
-resident in VMEM across the whole grid.
+Motivation (measured on v5e, ViT-B/32 12-frame config): with only the
+frame-local attention kernel (ops/pallas_attention.py) the attention
+sublayer — qkv matmul, kernel, out matmul — cost 88 ms fwd+bwd of a 221 ms
+batch-64 train step (40%), at ~⅓ the MXU efficiency of the MLP; the losses
+are HBM round-trips around the kernel and the XLA↔kernel boundaries.
+Fusing the projections took 289 → 319 pairs/s; folding LN1+residual in took
+338 → 349 at batch 96.  Per grid cell (FB frames), the qkv projection is a
+[FB·L, D] × [D, 3D] MXU matmul — large and efficient; weight blocks use
+constant index maps so Mosaic keeps them resident in VMEM across the grid.
 
-Backward: custom VJP, tile-local recompute of qkv/probs/attn_out, standard
-softmax/attention backward, then
-    dW_qkv += h2ᵀ dqkv,   dW_out += attn_outᵀ dy,   db += row-sums,
+Backward: custom VJP, tile-local recompute of LN/qkv/probs/attn_out (an A/B
+that saved the qkv tile as a residual instead measured SLOWER — 320 vs 338 —
+the extra HBM write disrupts an already-balanced pipeline), standard
+softmax/attention/LN backward, then
+    dW_qkv += hᵀ dqkv,  dW_out += attn_outᵀ dy,  dscale += Σ dh·x̂,  db += Σ,
 accumulated across grid cells in fp32 output blocks (constant index maps,
 zero-initialized at cell 0 — same pattern as ops/pallas_similarity.py's
 backward).  Weight cotangents are cast to the primal (bf16) dtype at the
 wrapper, matching what XLA's einsum path produces for bf16 operands.
 
-Semantics identical to layers.mha(fused=False, attn_bias=None) modulo fp
-rounding; validated fwd+grad in tests/test_pallas_block_attention.py
-(interpret mode on CPU, compiled on TPU).
-
-Unbiased (vision) path only — the text tower's causal∧padding variant stays
-on ops/pallas_attention.py; its sequences are tiny (text fwd ≈ 3 ms).
+Semantics identical to layer_norm + layers.mha(fused=False) + residual,
+modulo fp rounding; validated fwd+grad in
+tests/test_pallas_block_attention.py (interpret on CPU, compiled on TPU).
 """
 
 from __future__ import annotations
