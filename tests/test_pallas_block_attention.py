@@ -128,3 +128,51 @@ def test_block_apply_biased_block_impl_matches_einsum(setup):
                         fused_attention="block")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=6e-2, rtol=6e-2)
+
+
+def test_ln_fused_residual_full_gradient_parity():
+    """fused_ln_attention_residual vs layer_norm+mha+residual autodiff:
+    forward and every cotangent including the in-kernel LN backward."""
+    from neighborretr_tpu.ops.pallas_block_attention import (
+        fused_ln_attention_residual)
+
+    p_blk = L.block_init(jax.random.PRNGKey(9), D)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((N, SEQ, D)).astype(np.float32))
+    g_out = jnp.asarray(rng.standard_normal((N, SEQ, D)).astype(np.float32))
+    # non-trivial LN params so dscale/dbias are meaningfully tested
+    p_blk["ln_1"]["scale"] = jnp.asarray(
+        1.0 + 0.3 * rng.standard_normal(D).astype(np.float32))
+    p_blk["ln_1"]["bias"] = jnp.asarray(
+        0.1 * rng.standard_normal(D).astype(np.float32))
+
+    def ref(p, x):
+        h = L.layer_norm(p["ln_1"], x)
+        return x + L.mha(p["attn"], h, H, None, dtype=jnp.float32, fused=False)
+
+    def ker(p, x):
+        return fused_ln_attention_residual(
+            x, p["ln_1"]["scale"], p["ln_1"]["bias"],
+            p["attn"]["in_proj"]["w"], p["attn"]["in_proj"]["b"],
+            p["attn"]["out_proj"]["w"], p["attn"]["out_proj"]["b"], H,
+            interpret=True)
+
+    np.testing.assert_allclose(np.asarray(ker(p_blk, x)),
+                               np.asarray(ref(p_blk, x)), atol=6e-2, rtol=6e-2)
+
+    gp_r, gx_r = jax.grad(lambda p, x: jnp.sum(ref(p, x) * g_out),
+                          argnums=(0, 1))(p_blk, x)
+    gp_k, gx_k = jax.grad(lambda p, x: jnp.sum(ker(p, x) * g_out),
+                          argnums=(0, 1))(p_blk, x)
+
+    np.testing.assert_allclose(np.asarray(gx_k), np.asarray(gx_r),
+                               atol=1e-1, rtol=1e-1)
+    for path in (("ln_1", "scale"), ("ln_1", "bias"),
+                 ("attn", "in_proj"), ("attn", "out_proj")):
+        a = gp_k[path[0]][path[1]]
+        b = gp_r[path[0]][path[1]]
+        for leaf_a, leaf_b in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            la = np.asarray(leaf_a, np.float64)
+            lb = np.asarray(leaf_b, np.float64)
+            denom = max(np.abs(lb).max(), 1e-6)
+            assert np.max(np.abs(la - lb)) / denom < 6e-2, path
