@@ -28,6 +28,8 @@ def main():
     p.add_argument("--max_frames", type=int, default=12)
     p.add_argument("--video_framerate", type=int, default=1)
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--num_devices", type=int, default=None,
+                   help="devices in the eval data mesh (None = all)")
     args = p.parse_args()
 
     import jax
@@ -70,7 +72,19 @@ def main():
         params = ckpt.load_params(args.checkpoint, params)
         logger.info("Loaded checkpoint %s", args.checkpoint)
 
-    evaluate(params, cfg, loader, dataset=ds, logger=logger)
+    from neighborretr_tpu.parallel import mesh as pmesh
+    mesh = None
+    if len(jax.devices()) > 1 or args.num_devices:
+        mesh = pmesh.make_mesh(num_devices=args.num_devices)
+        if args.batch_size_val % mesh.devices.size != 0:
+            logger.warning("batch_size_val %d not divisible by %d devices; "
+                           "running single-device eval",
+                           args.batch_size_val, mesh.devices.size)
+            mesh = None
+        else:
+            params = pmesh.replicate_tree(params, mesh)
+
+    evaluate(params, cfg, loader, dataset=ds, logger=logger, mesh=mesh)
 
 
 if __name__ == "__main__":

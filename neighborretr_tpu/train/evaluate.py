@@ -43,21 +43,31 @@ def _sim_block(params, cfg: Config, t_feat, v_feat, t_mask, v_mask):
                                   model.resolve_use_pallas(cfg.model))
 
 
-def extract_features(params: Params, cfg: Config, loader
+def extract_features(params: Params, cfg: Config, loader, mesh=None
                      ) -> Tuple[jnp.ndarray, np.ndarray, jnp.ndarray, np.ndarray]:
     """Cache all text/video features.
 
     Feature tensors STAY ON DEVICE (device→host→device round-trips per eval
     cost seconds through remote-attached TPUs); padded/duplicate rows are
     dropped and dataset order restored with one device gather.  Masks are
-    small and returned as numpy."""
+    small and returned as numpy.  With a mesh, eval batches are sharded over
+    the data axis so encoding runs data-parallel (the reference's multi-GPU
+    eval gather, evaluator.py:158-189, without the reorder dance)."""
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding
+        sharding = batch_sharding(mesh)
+
+        def place(v):
+            return jax.device_put(np.asarray(v), sharding)
+    else:
+        place = jnp.asarray
     t_feats, t_masks, v_feats, v_masks, ids, valids = [], [], [], [], [], []
     for batch in loader:
         tf, vf = _encode_batch(params, cfg,
-                               jnp.asarray(batch["text_ids"]),
-                               jnp.asarray(batch["text_mask"]),
-                               jnp.asarray(batch["video"]),
-                               jnp.asarray(batch["video_mask"]))
+                               place(batch["text_ids"]),
+                               place(batch["text_mask"]),
+                               place(batch["video"]),
+                               place(batch["video_mask"]))
         t_feats.append(tf)
         v_feats.append(vf)
         t_masks.append(batch["text_mask"])
@@ -130,14 +140,16 @@ def reshape_multi_sentence(sim: np.ndarray, cut_off_points) -> np.ndarray:
 
 
 def evaluate(params: Params, cfg: Config, loader, dataset=None,
-             logger=None) -> Tuple[Dict[str, float], Dict[str, float]]:
+             logger=None, mesh=None
+             ) -> Tuple[Dict[str, float], Dict[str, float]]:
     """Full evaluation; returns (t2v_metrics, v2t_metrics)."""
     import time
     dataset = dataset if dataset is not None else loader.dataset
     multi = getattr(dataset, "multi_sentence_per_video", False)
 
     tic = time.time()
-    t_feat, t_mask, v_feat, v_mask = extract_features(params, cfg, loader)
+    t_feat, t_mask, v_feat, v_mask = extract_features(params, cfg, loader,
+                                                      mesh=mesh)
     feat_time = time.time() - tic
 
     if multi:

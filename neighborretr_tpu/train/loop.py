@@ -142,7 +142,8 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
                     global_step % (cfg.train.n_display * 3) == 0
                     or global_step == 1):
                 t2v, v2t = evaluate(state.params, cfg, test_loader,
-                                    dataset=test_ds, logger=logger)
+                                    dataset=test_ds, logger=logger,
+                                    mesh=mesh)
                 if tracker.update(t2v, v2t) and cfg.train.save_checkpoints:
                     ckpt.save_params(best_path, state.params)
                     logger.info("Saved best checkpoint (mean R@1 %.2f)",
@@ -150,7 +151,7 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
 
         # per-epoch eval + checkpoint (main.py:333-365)
         t2v, v2t = evaluate(state.params, cfg, test_loader, dataset=test_ds,
-                            logger=logger)
+                            logger=logger, mesh=mesh)
         if tracker.update(t2v, v2t) and cfg.train.save_checkpoints:
             ckpt.save_params(best_path, state.params)
             logger.info("Saved best checkpoint (mean R@1 %.2f)",
@@ -174,6 +175,7 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
         if mesh is not None:
             best_params = pmesh.replicate_tree(best_params, mesh)
         logger.info("Final test on best checkpoint:")
-        evaluate(best_params, cfg, test_loader, dataset=test_ds, logger=logger)
+        evaluate(best_params, cfg, test_loader, dataset=test_ds,
+                 logger=logger, mesh=mesh)
 
     return state, tracker

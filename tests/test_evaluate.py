@@ -87,3 +87,19 @@ def test_reshape_multi_sentence_padding():
     np.testing.assert_allclose(out[1, 0], sim[2])
     assert np.all(np.isinf(out[1, 1:]))
     np.testing.assert_allclose(out[2], sim[3:6])
+
+
+def test_evaluate_mesh_matches_single_device(cfg, params, dataset):
+    """Data-parallel eval over the 8-device mesh reproduces single-device
+    metrics exactly (same features, same ranking)."""
+    from neighborretr_tpu.parallel import mesh as pmesh
+    loader = BatchLoader(dataset, 8, shuffle=False, drop_last=False,
+                         workers=2, pad_to_batch=True)
+    t2v_1, v2t_1 = evaluate(params, cfg, loader, dataset=dataset)
+
+    mesh = pmesh.make_mesh()
+    params_r = pmesh.replicate_tree(params, mesh)
+    t2v_m, v2t_m = evaluate(params_r, cfg, loader, dataset=dataset, mesh=mesh)
+    for a, b in ((t2v_1, t2v_m), (v2t_1, v2t_m)):
+        for k in ("R1", "R5", "R10", "MR", "MeanR"):
+            assert abs(a[k] - b[k]) < 1e-6, k
