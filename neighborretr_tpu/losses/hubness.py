@@ -47,12 +47,21 @@ def centrality_weighting_loss(similarity: jnp.ndarray,
 def centrality_weights(
     text_feat: jnp.ndarray,          # [B, T, D]
     video_feat: jnp.ndarray,         # [B, V, D]
-    global_text_feat: jnp.ndarray,   # [B, 1, D]
-    global_video_feat: jnp.ndarray,  # [B, 1, D]
+    global_text_feat: jnp.ndarray,   # [B, T1, D] (T1=1 at default config)
+    global_video_feat: jnp.ndarray,  # [B, V1, D]
     centrality_scale: float,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """exp(scale · mean_j <ĝ_i, token_j>) over ALL batch tokens
-    (modeling.py:403-430 reshapes token feats to [B·T, D] before the matmul)."""
+    (modeling.py:403-430 reshapes token feats to [B·T, D] before the matmul).
+
+    Multi-token globals (64-word/64-frame configs merge to 3/6 tokens):
+    centralities are additionally averaged over the global tokens, yielding
+    [B] weights.  DOCUMENTED DEVIATION: the reference keeps the per-token
+    [B, n1] weights (its squeeze(1) is a no-op for n1>1) and then CRASHES in
+    CentralityWeightingLoss on the [B]×[B, n1] broadcast — its own
+    ActivityNet recipe (README.md:113-133) hits this; averaging is the
+    minimal consistent completion of Eq. 3's "centrality of entity i".
+    """
 
     def norm(x):
         return x / jnp.maximum(
@@ -61,11 +70,11 @@ def centrality_weights(
     B, T, D = text_feat.shape
     t_tokens = norm(text_feat.reshape(-1, D).astype(jnp.float32))
     v_tokens = norm(video_feat.reshape(-1, D).astype(jnp.float32))
-    g_t = norm(jnp.squeeze(global_text_feat, 1).astype(jnp.float32))
-    g_v = norm(jnp.squeeze(global_video_feat, 1).astype(jnp.float32))
-
-    t_centrality = jnp.mean(g_t @ t_tokens.T, axis=-1)
-    v_centrality = jnp.mean(g_v @ v_tokens.T, axis=-1)
+    g_t = norm(global_text_feat.astype(jnp.float32))   # [B, T1, D]
+    g_v = norm(global_video_feat.astype(jnp.float32))
+    # mean_j <g, t̂_j> = <g, mean_j t̂_j>; then mean over the global tokens
+    t_centrality = jnp.mean(g_t @ jnp.mean(t_tokens, axis=0), axis=-1)  # [B]
+    v_centrality = jnp.mean(g_v @ jnp.mean(v_tokens, axis=0), axis=-1)
     return (jnp.exp(t_centrality * centrality_scale),
             jnp.exp(v_centrality * centrality_scale))
 

@@ -206,9 +206,19 @@ def merge_global_features(params: Params, cfg: ModelConfig, t_feat, v_feat,
     return g_t, g_v
 
 
-def global_level(t_global: jnp.ndarray, v_global: jnp.ndarray) -> jnp.ndarray:
-    """Global similarity (weight nets are forward no-ops on 1 token)."""
-    return global_similarity(t_global, v_global)
+def global_level(params: Params, t_global: jnp.ndarray,
+                 v_global: jnp.ndarray) -> jnp.ndarray:
+    """Global similarity over merged tokens (modeling.py:516-539): the
+    `*_fc1` weight nets produce softmax token weights (NO mask — all merged
+    tokens are real), then unnormalized token-interaction.  Single-token
+    merges (the default config) reduce to a plain dot where the weight nets
+    are forward no-ops."""
+    T1, V1 = t_global.shape[1], v_global.shape[1]
+    if T1 == 1 and V1 == 1:
+        return global_similarity(t_global, v_global)
+    tw = token_weights(params["text_weight_fc1"], t_global, None)
+    vw = token_weights(params["video_weight_fc1"], v_global, None)
+    return global_similarity(t_global, v_global, tw, vw)
 
 
 def get_similarity_logits(params: Params, t_feat, v_feat, t_mask, v_mask,

@@ -144,7 +144,7 @@ def _fwd_pallas(tn3, vn3, tw3, vw2, *, A, B, T, V, D, BA, BB, interpret,
         out_shape=jax.ShapeDtypeStruct((A, B), jnp.float32),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * A * T * B * V * D, transcendentals=0,
             bytes_accessed=(A * T * D + B * V * D) * 4 + A * B * 4),
@@ -334,7 +334,7 @@ def _similarity_bwd(meta, res, g):
         ],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(tn3, vn3, tw3, vw2, g)
 
     # column-tile-major grid: swap index-map argument order
@@ -359,7 +359,7 @@ def _similarity_bwd(meta, res, g):
         ],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(tn3, vn3, tw3, vw2, g)
 
     return dtn3, dvn3, dtw3, dvw2

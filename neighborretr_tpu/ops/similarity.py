@@ -18,6 +18,8 @@ ops/pallas_similarity.py and is selected via `use_pallas`.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 
@@ -67,17 +69,41 @@ def interaction_similarity(
     return 0.5 * (sim_t + sim_v)
 
 
-def global_similarity(t_global: jnp.ndarray, v_global: jnp.ndarray) -> jnp.ndarray:
-    """Global-level similarity for single-token merged features.
+def global_similarity(t_global: jnp.ndarray, v_global: jnp.ndarray,
+                      t_weight: Optional[jnp.ndarray] = None,
+                      v_weight: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Global-level similarity over merged tokens (modeling.py:516-539).
 
-    The reference's `global_level` (modeling.py:516-539) applies weight nets to
-    single tokens; a softmax over one element is identically 1, so the math
-    reduces to a plain (unnormalized!) dot product with the symmetric average a
-    no-op. We implement exactly that reduction.
+    The reference's `global_level` is token-interaction over the MERGED
+    tokens with the `*_fc1` weight nets — but unlike `local_level` it applies
+    NO mask and does NOT normalize the features.  At the default config the
+    CTM stacks merge to a single token per modality (24→4→1, 12→3→1), where
+    softmax(1)=1 and max-over-1 are identities and everything reduces to a
+    plain unnormalized dot; longer configs (e.g. the 64-word/64-frame
+    ActivityNet recipe: 64→11→3 text, 64→16→6 video tokens) take the general
+    path.
+
+    t_weight/v_weight: softmax token weights [A, T1] / [B, V1] from the
+    `*_fc1` nets; None is valid only for single-token inputs.
     """
-    t = jnp.squeeze(t_global, axis=1)   # [A, D]
-    v = jnp.squeeze(v_global, axis=1)   # [B, D]
-    return jax.lax.dot_general(
-        t, v, dimension_numbers=(((1,), (1,)), ((), ())),
+    A, T1, D = t_global.shape
+    B, V1, _ = v_global.shape
+    if T1 == 1 and V1 == 1:
+        t = jnp.squeeze(t_global, axis=1)   # [A, D]
+        v = jnp.squeeze(v_global, axis=1)   # [B, D]
+        return jax.lax.dot_general(
+            t, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    t = t_global.astype(jnp.float32)
+    v = v_global.astype(jnp.float32)
+    logits = jax.lax.dot_general(                      # [A, T1, B, V1]
+        t.reshape(A * T1, D), v.reshape(B * V1, D),
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    ).reshape(A, T1, B, V1)
+    t2v = jnp.max(logits, axis=3)                      # [A, T1, B]
+    sim_t = jnp.einsum("atb,at->ab", t2v, t_weight.astype(jnp.float32))
+    v2t = jnp.max(logits, axis=1)                      # [A, B, V1]
+    sim_v = jnp.einsum("abv,bv->ab", v2t, v_weight.astype(jnp.float32))
+    return 0.5 * (sim_t + sim_v)

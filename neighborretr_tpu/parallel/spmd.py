@@ -122,7 +122,7 @@ def compute_losses_spmd(params: Params, cfg: Config,
     # global path + losses: tiny replicated compute, single-chip code verbatim
     g_t, g_v = model.merge_global_features(
         params, cfg.model, t_feat, v_feat, t_mask, v_mask, key)
-    s_global = model.global_level(g_t, g_v)
+    s_global = model.global_level(params, g_t, g_v)
 
     uniform_loss = 0.5 * (
         hubness.uniform_regularization_loss(

@@ -78,7 +78,7 @@ def test_similarity_levels(tiny_cfg, tiny_params, rng):
         batch["video_mask"], jax.random.PRNGKey(1))
     assert g_t.shape == (B, 1, tiny_cfg.model.clip.embed_dim)
     assert g_v.shape == (B, 1, tiny_cfg.model.clip.embed_dim)
-    sg = model.global_level(g_t, g_v)
+    sg = model.global_level(tiny_params, g_t, g_v)
     assert sg.shape == (B, B)
     assert np.all(np.isfinite(np.asarray(sg)))
 
@@ -168,3 +168,42 @@ def test_loss_decreases_on_repeated_batch(tiny_cfg, tiny_params, rng):
                                     cfg, t_total=200)
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[1], losses
+
+
+def test_multi_token_global_configs(rng):
+    """64-word/64-frame-style configs merge to MULTIPLE global tokens
+    (64→11→3 text, 64→16→6 video); the general global level + centrality
+    averaging must produce finite losses.  (The reference itself crashes
+    here — see losses/hubness.py::centrality_weights.)"""
+    import dataclasses
+    from neighborretr_tpu.core.config import Config, LossConfig, TrainConfig
+    from neighborretr_tpu.train import memory_bank as mb
+    from neighborretr_tpu.train.step import compute_losses, fill_bank_step
+
+    mcfg = dataclasses.replace(
+        ModelConfig.tiny(max_words=12, max_frames=6),
+        text_merge_ratios=(0.5, 0.5),      # 12→6→3 global text tokens
+        video_merge_ratios=(0.5, 0.5))     # 6→3→2 global video tokens
+    assert mcfg.text_merge_sizes[1] > 1 and mcfg.video_merge_sizes[1] > 1
+    cfg = Config(model=mcfg, loss=LossConfig(num_neighbors=3),
+                 train=TrainConfig(batch_size=8, mb_batch=1))
+
+    params = model.init_params(jax.random.PRNGKey(0), mcfg)
+    batch = make_batch(rng, cfg, batch=8)
+    bank = mb.create(cfg.train.memory_bank_capacity, mcfg.max_words,
+                     mcfg.max_frames, mcfg.clip.embed_dim)
+    bank = fill_bank_step(params, bank, batch, cfg, 0)
+
+    total, aux = compute_losses(params, cfg, batch, bank,
+                                jax.random.PRNGKey(2))
+    assert np.isfinite(float(total))
+    for k in ("centrality_loss", "uniform_loss", "neighbor_loss", "kl_loss"):
+        assert np.isfinite(float(aux[k])), k
+
+    # gradients flow through the general global path (incl. the *_fc1 nets,
+    # which are no-ops only in the single-token case)
+    g = jax.grad(lambda p: compute_losses(p, cfg, batch, bank,
+                                          jax.random.PRNGKey(2))[0])(params)
+    fc1_grad = float(sum(jnp.sum(jnp.abs(x))
+                         for x in jax.tree.leaves(g["text_weight_fc1"])))
+    assert np.isfinite(fc1_grad) and fc1_grad > 0
