@@ -184,9 +184,20 @@ def local_similarity(params: Params, t_feat, v_feat, t_mask, v_mask,
 
     sim_dtype: MXU operand dtype for the fused kernel's dots ("bfloat16" on
     the training path, fp32 accumulation either way); the XLA einsum path
-    and the eval harness stay fp32."""
+    and the eval harness stay fp32.
+
+    Long-token shapes (T·V ≥ ~2k, the 64-word/64-frame configs) route to the
+    chunked XLA form: the fused kernel's backward register-spills there
+    (pallas_similarity._choose_bwd_blocks), and the one-shot einsum's
+    [A,T,B,V] logits would not fit HBM against a production-size bank.
+    """
     tw = token_weights(params["text_weight_fc"], t_feat, t_mask)
     vw = token_weights(params["video_weight_fc"], v_feat, v_mask)
+    T, V = t_feat.shape[1], v_feat.shape[1]
+    if T * V >= 2048:
+        from ..ops.similarity import interaction_similarity_chunked
+        return interaction_similarity_chunked(t_feat, v_feat, t_mask, v_mask,
+                                              tw, vw)
     if use_pallas:
         from ..ops.pallas_similarity import pallas_interaction_similarity
         return pallas_interaction_similarity(t_feat, v_feat, t_mask, v_mask,

@@ -297,8 +297,12 @@ def _choose_bwd_blocks(A: int, B: int, T: int, V: int, D: int
                        ) -> Tuple[int, int]:
     """Backward tiles hold logits + indicator temporaries + grad accumulators
     + double-buffered operands; shrink the ROW block only (the column block
-    must stay 128-divisible for the 2D operands g/vw per Mosaic block rules)
-    and rely on the raised vmem_limit_bytes for the rest."""
+    must stay 128-divisible or full-extent for the 2D operands g/vw per
+    Mosaic block rules) and rely on the raised vmem_limit_bytes for the
+    rest.  KNOWN LIMIT: at long-token shapes (T·V ≥ ~4k) the unrolled t/v
+    loops spill registers regardless of BA — callers route those shapes to
+    ops.similarity.interaction_similarity_chunked instead (see
+    models.neighborretr.local_similarity)."""
     BB = 128 if B >= 128 else max(8, B)
     BA = 16 if A >= 16 else max(8, A)
     while BA > 8 and BA * T * V * BB * 4 > (3 << 20):
@@ -310,6 +314,12 @@ def _similarity_bwd(meta, res, g):
     A, B, T, V, D, _, _, interpret, dtype_str = meta
     dot_dtype = jnp.dtype(dtype_str)
     BA, BB = _choose_bwd_blocks(A, B, T, V, D)
+    # the padded extents are multiples of the FORWARD blocks — the backward
+    # blocks must divide them or grid coverage silently drops rows/columns
+    while A % BA:
+        BA //= 2
+    while B % BB:
+        BB //= 2
     tn3, vn3, tw3, vw2 = res
     g = g.astype(jnp.float32)
 

@@ -69,6 +69,45 @@ def interaction_similarity(
     return 0.5 * (sim_t + sim_v)
 
 
+def interaction_similarity_chunked(
+    t_feat: jnp.ndarray,   # [A, T, D]
+    v_feat: jnp.ndarray,   # [B, V, D]
+    t_mask: jnp.ndarray,
+    v_mask: jnp.ndarray,
+    t_weight: jnp.ndarray,
+    v_weight: jnp.ndarray,
+    chunk: int = 128,
+) -> jnp.ndarray:
+    """interaction_similarity computed in video-side column chunks under
+    lax.map, bounding the [A, T, chunk, V] logits intermediate.
+
+    Serves the long-token configs (e.g. 64 words × 64 frames against a
+    1920-entry memory bank, where the full [A,T,B,V] tensor would be >100 GB
+    and the fused Pallas kernel's backward register-spills — see
+    pallas_similarity._choose_bwd_blocks).  Differentiable (lax.map is a
+    scan); ~`B/chunk` sequential steps.
+    """
+    B = v_feat.shape[0]
+    nc = (B + chunk - 1) // chunk
+    pad = nc * chunk - B
+
+    def pad0(x):
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1)) if pad else x
+
+    vf = pad0(v_feat).reshape(nc, chunk, *v_feat.shape[1:])
+    vm = pad0(v_mask).reshape(nc, chunk, v_mask.shape[1])
+    vw = pad0(v_weight).reshape(nc, chunk, v_weight.shape[1])
+
+    def one_chunk(args):
+        vf_c, vm_c, vw_c = args
+        return interaction_similarity(t_feat, vf_c, t_mask, vm_c,
+                                      t_weight, vw_c)            # [A, chunk]
+
+    cols = jax.lax.map(one_chunk, (vf, vm, vw))                  # [nc, A, chunk]
+    sim = jnp.transpose(cols, (1, 0, 2)).reshape(t_feat.shape[0], nc * chunk)
+    return sim[:, :B]
+
+
 def global_similarity(t_global: jnp.ndarray, v_global: jnp.ndarray,
                       t_weight: Optional[jnp.ndarray] = None,
                       v_weight: Optional[jnp.ndarray] = None) -> jnp.ndarray:

@@ -1,6 +1,7 @@
 """Token-interaction similarity vs a direct torch transcription of the
 reference's local_level math (modeling.py:483-514)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import torch
@@ -77,3 +78,28 @@ def test_global_similarity_is_plain_dot(rng):
     v = rng.normal(size=(5, 1, 8)).astype(np.float32)
     got = np.asarray(global_similarity(jnp.array(t), jnp.array(v)))
     np.testing.assert_allclose(got, t[:, 0] @ v[:, 0].T, atol=1e-5)
+
+
+def test_chunked_matches_full(rng):
+    from neighborretr_tpu.ops.similarity import interaction_similarity_chunked
+    A, B, T, V, D = 6, 19, 5, 4, 16
+    tf = jnp.asarray(rng.standard_normal((A, T, D)).astype(np.float32))
+    vf = jnp.asarray(rng.standard_normal((B, V, D)).astype(np.float32))
+    tm = jnp.asarray((rng.random((A, T)) > 0.2).astype(np.float32))
+    vm = jnp.asarray((rng.random((B, V)) > 0.2).astype(np.float32))
+    tw = jax.nn.softmax(jnp.asarray(rng.standard_normal((A, T)).astype(np.float32)), -1)
+    vw = jax.nn.softmax(jnp.asarray(rng.standard_normal((B, V)).astype(np.float32)), -1)
+
+    full = interaction_similarity(tf, vf, tm, vm, tw, vw)
+    chunked = interaction_similarity_chunked(tf, vf, tm, vm, tw, vw, chunk=7)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                               atol=1e-5)
+
+    # gradients flow through the scan
+    g_full = jax.grad(lambda a, b: jnp.sum(jnp.square(
+        interaction_similarity(a, b, tm, vm, tw, vw))), argnums=(0, 1))(tf, vf)
+    g_chk = jax.grad(lambda a, b: jnp.sum(jnp.square(
+        interaction_similarity_chunked(a, b, tm, vm, tw, vw, chunk=7))),
+        argnums=(0, 1))(tf, vf)
+    for a, b in zip(g_chk, g_full):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
