@@ -97,7 +97,7 @@ def ctm_apply(
     x: jnp.ndarray,                     # [B, N, C]
     cluster_num: int,
     k: int,
-    key: jax.Array,
+    key: Optional[jax.Array] = None,
     mask: Optional[jnp.ndarray] = None,  # [B, N] {0,1} or None
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (merged [B, cluster_num, C], kv_tokens [B, N, C], token_score [B, N])."""
@@ -151,10 +151,12 @@ def merge_to_global(
     sizes: Tuple[int, int],   # static cluster counts per stage
     k: int,
     num_heads: int,
-    key: jax.Array,
+    key: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
-    """Two-stage merge to `sizes[1]` global tokens (typically 1)."""
-    k0, k1 = jax.random.split(key)
+    """Two-stage merge to `sizes[1]` global tokens (typically 1).
+
+    key=None → deterministic clustering (no density tie-break noise)."""
+    k0, k1 = jax.random.split(key) if key is not None else (None, None)
     merged0, kv0, score0 = ctm_apply(p["ctm0"], feat, sizes[0], k, k0, mask)
     x0 = tc_block_apply(p["block0"], merged0, kv0, score0, num_heads)
 

@@ -206,10 +206,12 @@ def local_similarity(params: Params, t_feat, v_feat, t_mask, v_mask,
 
 
 def merge_global_features(params: Params, cfg: ModelConfig, t_feat, v_feat,
-                          t_mask, v_mask, key: jax.Array
+                          t_mask, v_mask, key: Optional[jax.Array] = None
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Two-stage CTM merge per modality → [B, 1, E] global tokens."""
-    k_t, k_v = jax.random.split(key)
+    """Two-stage CTM merge per modality → [B, 1, E] global tokens.
+
+    key=None → deterministic DPC-KNN (no density tie-break noise)."""
+    k_t, k_v = jax.random.split(key) if key is not None else (None, None)
     g_t = ctm.merge_to_global(params["text_merge"], t_feat, t_mask,
                               cfg.text_merge_sizes, cfg.ctm_k, cfg.ctm_heads, k_t)
     g_v = ctm.merge_to_global(params["video_merge"], v_feat, v_mask,

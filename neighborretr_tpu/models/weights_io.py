@@ -121,6 +121,92 @@ def clip_params_from_state_dict(sd: Dict[str, np.ndarray]) -> Params:
             "logit_scale": jnp.asarray(sd["logit_scale"]).reshape(())}
 
 
+def _weight_mlp_from_torch(sd: Dict[str, np.ndarray], prefix: str) -> Params:
+    """nn.Sequential(Linear d→2d, ReLU, Linear 2d→1) → {fc1, fc2} pytree
+    (modeling.py:149-153)."""
+    return {
+        "fc1": {"w": jnp.asarray(sd[f"{prefix}.0.weight"].T),
+                "b": jnp.asarray(sd[f"{prefix}.0.bias"])},
+        "fc2": {"w": jnp.asarray(sd[f"{prefix}.2.weight"].T),
+                "b": jnp.asarray(sd[f"{prefix}.2.bias"])},
+    }
+
+
+def _ctm_from_torch(sd: Dict[str, np.ndarray], prefix: str) -> Params:
+    """CTM: TokenConv (Conv1d [C_out, C_in, K] → [K, C_in, C_out]) + LN +
+    score head (cluster.py:686-717)."""
+    return {
+        "conv": {"w": jnp.asarray(sd[f"{prefix}.conv.conv.weight"]
+                                  .transpose(2, 1, 0))},
+        "norm": {"scale": jnp.asarray(sd[f"{prefix}.norm.weight"]),
+                 "bias": jnp.asarray(sd[f"{prefix}.norm.bias"])},
+        "score": {"w": jnp.asarray(sd[f"{prefix}.score.weight"].T),
+                  "b": jnp.asarray(sd[f"{prefix}.score.bias"])},
+    }
+
+
+def _tc_block_from_torch(sd: Dict[str, np.ndarray], prefix: str) -> Params:
+    """TCBlock: norm1 + TCAttention q/kv/proj linears (cluster.py:892-921)."""
+    return {
+        "norm1": {"scale": jnp.asarray(sd[f"{prefix}.norm1.weight"]),
+                  "bias": jnp.asarray(sd[f"{prefix}.norm1.bias"])},
+        "q": {"w": jnp.asarray(sd[f"{prefix}.attn.q.weight"].T),
+              "b": jnp.asarray(sd[f"{prefix}.attn.q.bias"])},
+        "kv": {"w": jnp.asarray(sd[f"{prefix}.attn.kv.weight"].T),
+               "b": jnp.asarray(sd[f"{prefix}.attn.kv.bias"])},
+        "proj": {"w": jnp.asarray(sd[f"{prefix}.attn.proj.weight"].T),
+                 "b": jnp.asarray(sd[f"{prefix}.attn.proj.bias"])},
+    }
+
+
+def _merge_stack_from_torch(sd: Dict[str, np.ndarray], modality: str) -> Params:
+    return {
+        "ctm0": _ctm_from_torch(sd, f"{modality}_ctm0"),
+        "block0": _tc_block_from_torch(sd, f"{modality}_block0"),
+        "ctm1": _ctm_from_torch(sd, f"{modality}_ctm1"),
+        "block1": _tc_block_from_torch(sd, f"{modality}_block1"),
+    }
+
+
+def params_from_reference_state_dict(sd: Dict[str, np.ndarray],
+                                     cfg: ModelConfig) -> Params:
+    """Convert a FULL reference NeighborRetr state dict (modeling.py:46-220's
+    module layout, e.g. a trained `best.pth`) into this framework's pytree.
+
+    Migration path for reference-trained checkpoints; also the anchor for the
+    golden model-parity tests.  The reference's dead weighting nets
+    (*_fc0/*_intra, modeling.py:141-146) are intentionally not mapped."""
+    clip_sd = {k[len("clip."):]: v for k, v in sd.items()
+               if k.startswith("clip.")}
+    return {
+        "clip": clip_params_from_state_dict(clip_sd),
+        "temporal": {
+            "frame_position_embeddings": jnp.asarray(
+                sd["frame_position_embeddings.weight"]),
+            "transformer": _stack_blocks([
+                _block_from_torch(sd, f"transformerClip.resblocks.{i}")
+                for i in range(cfg.temporal_layers)]),
+        },
+        "text_weight_fc": _weight_mlp_from_torch(sd, "text_weight_fc"),
+        "video_weight_fc": _weight_mlp_from_torch(sd, "video_weight_fc"),
+        "text_weight_fc1": _weight_mlp_from_torch(sd, "text_weight_fc1"),
+        "video_weight_fc1": _weight_mlp_from_torch(sd, "video_weight_fc1"),
+        "text_merge": _merge_stack_from_torch(sd, "text"),
+        "video_merge": _merge_stack_from_torch(sd, "video"),
+    }
+
+
+def load_reference_checkpoint_into(params: Params, cfg: ModelConfig,
+                                   ckpt_path: str) -> Params:
+    """Warm-start from a reference-trained full-model checkpoint
+    (`best.pth` / `pytorch_model.bin.*`, main.py:161-187)."""
+    sd = read_torch_state_dict(ckpt_path)
+    converted = params_from_reference_state_dict(sd, cfg)
+    params = dict(params)
+    params.update(converted)
+    return params
+
+
 def load_openai_clip_into(params: Params, cfg: ModelConfig,
                           ckpt_path: str) -> Params:
     """Replace the clip subtree with checkpoint weights and re-seed the

@@ -49,10 +49,14 @@ def cluster_dpc_knn(
     x: jnp.ndarray,                 # [B, N, C]
     cluster_num: int,
     k: int,
-    key: jax.Array,
+    key: Optional[jax.Array] = None,
     token_mask: Optional[jnp.ndarray] = None,   # [B, N] {0,1}
 ) -> jnp.ndarray:
-    """Returns idx_cluster [B, N] int32 — cluster id per token."""
+    """Returns idx_cluster [B, N] int32 — cluster id per token.
+
+    key=None skips the reference's U[0,1)·1e-6 density tie-break noise
+    (cluster.py:483-484): fully deterministic clustering for eval and for
+    golden parity against the reference with its noise patched out."""
     x = jax.lax.stop_gradient(x.astype(jnp.float32))
     B, N, C = x.shape
     # static clamps for tiny token counts (k-NN density needs k ≤ N and at
@@ -70,7 +74,8 @@ def cluster_dpc_knn(
     # local density from k nearest (smallest distances): topk of -dist
     neg_nearest, _ = jax.lax.top_k(-dist, k)              # [B, N, k]
     density = jnp.exp(-jnp.mean(jnp.square(neg_nearest), axis=-1))
-    density = density + jax.random.uniform(key, density.shape, jnp.float32) * 1e-6
+    if key is not None:
+        density = density + jax.random.uniform(key, density.shape, jnp.float32) * 1e-6
     if token_mask is not None:
         density = density * token_mask.astype(jnp.float32)
 
