@@ -26,22 +26,45 @@ def flatten_tree(tree) -> Dict[str, np.ndarray]:
     return flat
 
 
-def unflatten_into(tree_like, flat: Dict[str, np.ndarray]):
-    """Rebuild a pytree with tree_like's structure from flat arrays."""
+def unflatten_into(tree_like, flat: Dict[str, np.ndarray], strict: bool = True):
+    """Rebuild a pytree with tree_like's structure from flat arrays.
+
+    strict=False mirrors the reference's `load_state_dict(..., strict=False)`
+    warm-start contract (main.py:60-66): leaves missing from the checkpoint
+    or with mismatched shapes keep their current (init) values, extra
+    checkpoint keys are ignored, and the diff is returned for logging.
+    Returns the tree when strict, else (tree, report dict with
+    'missing'/'mismatched'/'unexpected' key lists)."""
     leaves_with_path = jax.tree_util.tree_flatten_with_path(tree_like)
     treedef = jax.tree_util.tree_structure(tree_like)
     new_leaves = []
+    seen = set()
+    missing, mismatched = [], []
     for path, leaf in leaves_with_path[0]:
         key = _SEP.join(str(getattr(k, "key", getattr(k, "idx", k)))
                         for k in path)
+        seen.add(key)
         if key not in flat:
-            raise KeyError(f"checkpoint missing leaf: {key}")
+            if strict:
+                raise KeyError(f"checkpoint missing leaf: {key}")
+            missing.append(key)
+            new_leaves.append(leaf)
+            continue
         arr = flat[key]
         if arr.shape != leaf.shape:
-            raise ValueError(
-                f"shape mismatch for {key}: ckpt {arr.shape} vs model {leaf.shape}")
+            if strict:
+                raise ValueError(
+                    f"shape mismatch for {key}: ckpt {arr.shape} vs model {leaf.shape}")
+            mismatched.append(f"{key} (ckpt {arr.shape} vs model {leaf.shape})")
+            new_leaves.append(leaf)
+            continue
         new_leaves.append(arr.astype(np.asarray(leaf).dtype))
-    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+    tree = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    if strict:
+        return tree
+    report = {"missing": missing, "mismatched": mismatched,
+              "unexpected": sorted(set(flat) - seen)}
+    return tree, report
 
 
 def save_params(path: str, params) -> None:
@@ -49,10 +72,12 @@ def save_params(path: str, params) -> None:
     np.savez(path, **flatten_tree(params))
 
 
-def load_params(path: str, params_like):
+def load_params(path: str, params_like, strict: bool = True):
+    """strict=True → params; strict=False → (params, report) with the
+    missing/mismatched/unexpected leaf diff (reference main.py:60-66)."""
     with np.load(path, allow_pickle=False) as data:
         flat = {k: data[k] for k in data.files}
-    return unflatten_into(params_like, flat)
+    return unflatten_into(params_like, flat, strict=strict)
 
 
 def save_train_state(path: str, state) -> None:

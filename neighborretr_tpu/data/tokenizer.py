@@ -86,8 +86,6 @@ def default_vocab_path() -> Optional[str]:
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "bpe_simple_vocab_16e6.txt.gz"),
         os.path.expanduser("~/.cache/clip/bpe_simple_vocab_16e6.txt.gz"),
-        # external data asset (OpenAI CLIP distribution), not vendored here
-        "/root/reference/NeighborRetr/models/bpe_simple_vocab_16e6.txt.gz",
     ]
     for c in candidates:
         if c and os.path.exists(c):

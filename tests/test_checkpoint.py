@@ -84,3 +84,40 @@ def test_full_train_state_resume(cfg, tmp_path, rng):
                                rtol=1e-6)
     _trees_equal(cont.params, res.params)
     _trees_equal(tuple(cont.bank), tuple(res.bank))
+
+
+def test_partial_load_strict_false(cfg, tmp_path):
+    """strict=False warm start (reference --init_model, main.py:60-66):
+    missing / shape-mismatched leaves keep init values, extra keys are
+    ignored, and the diff report names each."""
+    params = model.init_params(jax.random.PRNGKey(0), cfg.model)
+    flat = ckpt.flatten_tree(params)
+
+    missing_key = "text_weight_fc//fc1//w"
+    mismatch_key = "video_weight_fc//fc1//b"
+    del flat[missing_key]
+    flat[mismatch_key] = np.zeros((3,), np.float32)    # wrong shape
+    flat["not_a_leaf//extra"] = np.ones((2,), np.float32)
+    path = str(tmp_path / "partial.npz")
+    np.savez(path, **flat)
+
+    like = model.init_params(jax.random.PRNGKey(1), cfg.model)
+    loaded, report = ckpt.load_params(path, like, strict=False)
+
+    assert report["missing"] == [missing_key]
+    assert report["mismatched"] and mismatch_key in report["mismatched"][0]
+    assert report["unexpected"] == ["not_a_leaf//extra"]
+    # present leaves come from the checkpoint...
+    np.testing.assert_array_equal(
+        np.asarray(loaded["text_weight_fc"]["fc2"]["w"]),
+        np.asarray(params["text_weight_fc"]["fc2"]["w"]))
+    # ...missing/mismatched leaves keep the like-tree's init values
+    np.testing.assert_array_equal(
+        np.asarray(loaded["text_weight_fc"]["fc1"]["w"]),
+        np.asarray(like["text_weight_fc"]["fc1"]["w"]))
+    np.testing.assert_array_equal(
+        np.asarray(loaded["video_weight_fc"]["fc1"]["b"]),
+        np.asarray(like["video_weight_fc"]["fc1"]["b"]))
+    # strict mode still refuses
+    with pytest.raises(KeyError):
+        ckpt.load_params(path, like)
