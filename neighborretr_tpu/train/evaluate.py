@@ -38,12 +38,23 @@ def _encode_batch(params, cfg: Config, text_ids, text_mask, video, video_mask):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def _encode_text_batch(params, cfg: Config, text_ids, text_mask):
+    return model.get_text_feat(params, cfg.model, text_ids, text_mask)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _encode_video_batch(params, cfg: Config, video, video_mask):
+    return model.get_video_feat(params, cfg.model, video, video_mask)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def _sim_block(params, cfg: Config, t_feat, v_feat, t_mask, v_mask):
     return model.local_similarity(params, t_feat, v_feat, t_mask, v_mask,
                                   model.resolve_use_pallas(cfg.model))
 
 
-def extract_features(params: Params, cfg: Config, loader, mesh=None
+def extract_features(params: Params, cfg: Config, loader, mesh=None,
+                     video_keep: Optional[np.ndarray] = None
                      ) -> Tuple[jnp.ndarray, np.ndarray, jnp.ndarray, np.ndarray]:
     """Cache all text/video features.
 
@@ -52,7 +63,15 @@ def extract_features(params: Params, cfg: Config, loader, mesh=None
     dropped and dataset order restored with one device gather.  Masks are
     small and returned as numpy.  With a mesh, eval batches are sharded over
     the data axis so encoding runs data-parallel (the reference's multi-GPU
-    eval gather, evaluator.py:158-189, without the reorder dance)."""
+    eval gather, evaluator.py:158-189, without the reorder dance).
+
+    video_keep: dataset-order row indices whose videos to encode (the
+    multi-sentence protocol: one video per caption group).  The reference
+    runs the ViT for every caption row and discards all but one row per
+    group (evaluator.py:115-156 — MSVD: ~41 captions/video → ~40× redundant
+    vision forwards); here only the kept rows' videos are encoded, batched
+    back to the loader's batch size.  Returned v_feat/v_mask follow
+    video_keep's order."""
     if mesh is not None:
         from ..parallel.mesh import batch_sharding
         sharding = batch_sharding(mesh)
@@ -61,17 +80,37 @@ def extract_features(params: Params, cfg: Config, loader, mesh=None
             return jax.device_put(np.asarray(v), sharding)
     else:
         place = jnp.asarray
-    t_feats, t_masks, v_feats, v_masks, ids, valids = [], [], [], [], [], []
+
+    keep_pos = None
+    if video_keep is not None:
+        video_keep = np.asarray(video_keep)
+        keep_pos = {int(r): j for j, r in enumerate(video_keep)}
+
+    t_feats, t_masks, v_masks, ids, valids = [], [], [], [], []
+    v_feats = []
+    kept = {}          # keep-order position → (video, mask) host arrays
+    batch_size = None
     for batch in loader:
-        tf, vf = _encode_batch(params, cfg,
-                               place(batch["text_ids"]),
-                               place(batch["text_mask"]),
-                               place(batch["video"]),
-                               place(batch["video_mask"]))
+        batch_size = len(batch["idx"])
+        if keep_pos is None:
+            tf, vf = _encode_batch(params, cfg,
+                                   place(batch["text_ids"]),
+                                   place(batch["text_mask"]),
+                                   place(batch["video"]),
+                                   place(batch["video_mask"]))
+            v_feats.append(vf)
+            v_masks.append(batch["video_mask"])
+        else:
+            tf = _encode_text_batch(params, cfg,
+                                    place(batch["text_ids"]),
+                                    place(batch["text_mask"]))
+            for i, (gid, ok) in enumerate(zip(batch["idx"], batch["valid"])):
+                j = keep_pos.get(int(gid)) if ok else None
+                if j is not None:
+                    kept[j] = (np.asarray(batch["video"][i]),
+                               np.asarray(batch["video_mask"][i]))
         t_feats.append(tf)
-        v_feats.append(vf)
         t_masks.append(batch["text_mask"])
-        v_masks.append(batch["video_mask"])
         ids.append(batch["idx"])
         valids.append(batch["valid"])
 
@@ -81,23 +120,44 @@ def extract_features(params: Params, cfg: Config, loader, mesh=None
     row_index = np.nonzero(valid)[0][np.argsort(ids[valid])]
     gather = jnp.asarray(row_index)
     t_feat = jnp.concatenate(t_feats)[gather]
-    v_feat = jnp.concatenate(v_feats)[gather]
     t_mask = np.concatenate(t_masks)[row_index]
-    v_mask = np.concatenate(v_masks)[row_index]
+
+    if keep_pos is None:
+        v_feat = jnp.concatenate(v_feats)[gather]
+        v_mask = np.concatenate(v_masks)[row_index]
+        return t_feat, t_mask, v_feat, v_mask
+
+    # encode the unique kept videos, re-batched to the loader's batch size
+    K = len(video_keep)
+    assert len(kept) == K, f"missing kept video rows: {K - len(kept)}"
+    videos = np.stack([kept[j][0] for j in range(K)])
+    v_mask = np.stack([kept[j][1] for j in range(K)])
+    pad = (-K) % batch_size
+    if pad:
+        videos_p = np.concatenate([videos, np.repeat(videos[-1:], pad, 0)])
+        v_mask_p = np.concatenate([v_mask, np.repeat(v_mask[-1:], pad, 0)])
+    else:
+        videos_p, v_mask_p = videos, v_mask
+    chunks = []
+    for s in range(0, len(videos_p), batch_size):
+        chunks.append(_encode_video_batch(
+            params, cfg, place(videos_p[s:s + batch_size]),
+            place(v_mask_p[s:s + batch_size])))
+    v_feat = jnp.concatenate(chunks)[:K]
     return t_feat, t_mask, v_feat, v_mask
 
 
-def similarity_matrix(params: Params, cfg: Config,
-                      t_feat: np.ndarray, t_mask: np.ndarray,
-                      v_feat: np.ndarray, v_mask: np.ndarray,
-                      block: int = 128) -> np.ndarray:
-    """Full [N_text, N_video] similarity.
+def similarity_matrix_device(params: Params, cfg: Config,
+                             t_feat, t_mask, v_feat, v_mask,
+                             block: int = 128) -> jnp.ndarray:
+    """Full [N_text, N_video] similarity, DEVICE-RESIDENT.
 
     Features move to the device ONCE (host↔device transfer per block was the
-    eval bottleneck: 2.4 s → ~0.1 s for 1000×1000 on a tunneled v5e).  The
-    fused Pallas kernel never materializes the [N,T,N,V] logits, so it takes
-    the whole matrix in one call; the XLA einsum path is row-blocked on
-    device only when the logits intermediate would exceed ~2 GB."""
+    eval bottleneck: 2.4 s → ~0.1 s for 1000×1000 on a tunneled v5e), and the
+    result stays in HBM for on-device ranking.  The fused Pallas kernel never
+    materializes the [N,T,N,V] logits, so it takes the whole matrix in one
+    call; the XLA einsum path is row-blocked on device only when the logits
+    intermediate would exceed ~2 GB."""
     n_t, T = t_feat.shape[:2]
     V = v_feat.shape[1]
     t_feat_d = jnp.asarray(t_feat)
@@ -108,8 +168,7 @@ def similarity_matrix(params: Params, cfg: Config,
     logits_bytes = n_t * T * v_feat.shape[0] * V * 4
     if (model.resolve_use_pallas(cfg.model)
             or logits_bytes <= 2 * 1024 ** 3):
-        sim = _sim_block(params, cfg, t_feat_d, v_feat_d, t_mask_d, v_mask_d)
-        return np.asarray(sim)
+        return _sim_block(params, cfg, t_feat_d, v_feat_d, t_mask_d, v_mask_d)
 
     rows = []
     pad = (-n_t) % block
@@ -122,8 +181,17 @@ def similarity_matrix(params: Params, cfg: Config,
         sim = _sim_block(params, cfg, jax.lax.dynamic_slice_in_dim(
             t_feat_d, s, block), v_feat_d,
             jax.lax.dynamic_slice_in_dim(t_mask_d, s, block), v_mask_d)
-        rows.append(np.asarray(sim)[: min(block, n_t - s)])
-    return np.concatenate(rows, axis=0)
+        rows.append(sim[: min(block, n_t - s)])
+    return jnp.concatenate(rows, axis=0)
+
+
+def similarity_matrix(params: Params, cfg: Config,
+                      t_feat: np.ndarray, t_mask: np.ndarray,
+                      v_feat: np.ndarray, v_mask: np.ndarray,
+                      block: int = 128) -> np.ndarray:
+    """Host-array wrapper around similarity_matrix_device."""
+    return np.asarray(similarity_matrix_device(
+        params, cfg, t_feat, t_mask, v_feat, v_mask, block))
 
 
 def reshape_multi_sentence(sim: np.ndarray, cut_off_points) -> np.ndarray:
@@ -139,6 +207,22 @@ def reshape_multi_sentence(sim: np.ndarray, cut_off_points) -> np.ndarray:
     return np.stack(out, axis=0)
 
 
+def reshape_multi_sentence_device(sim: jnp.ndarray, cut_off_points) -> jnp.ndarray:
+    """Device-resident reshape_multi_sentence: one gather with a -inf
+    sentinel row for the caption padding (only the small index matrix is
+    built on host)."""
+    ends = list(cut_off_points)
+    starts = [0] + ends[:-1]
+    max_len = max(e - s for s, e in zip(starts, ends))
+    n_caps, n_vid = sim.shape
+    idx = np.full((len(ends), max_len), n_caps, np.int32)   # sentinel
+    for v, (s, e) in enumerate(zip(starts, ends)):
+        idx[v, : e - s] = np.arange(s, e, dtype=np.int32)
+    ext = jnp.concatenate(
+        [sim, jnp.full((1, n_vid), -jnp.inf, sim.dtype)], axis=0)
+    return ext[jnp.asarray(idx)]
+
+
 def evaluate(params: Params, cfg: Config, loader, dataset=None,
              logger=None, mesh=None
              ) -> Tuple[Dict[str, float], Dict[str, float]]:
@@ -148,29 +232,31 @@ def evaluate(params: Params, cfg: Config, loader, dataset=None,
     multi = getattr(dataset, "multi_sentence_per_video", False)
 
     tic = time.time()
+    # multi-sentence: encode only one video per caption group (the rows at
+    # cut_off_points - 1) instead of discarding redundant ViT forwards
+    keep = (np.asarray(dataset.cut_off_points) - 1) if multi else None
     t_feat, t_mask, v_feat, v_mask = extract_features(params, cfg, loader,
-                                                      mesh=mesh)
+                                                      mesh=mesh,
+                                                      video_keep=keep)
     feat_time = time.time() - tic
 
-    if multi:
-        # keep one video per caption group: rows at cut_off_points - 1
-        keep = np.asarray(dataset.cut_off_points) - 1
-        v_feat = v_feat[keep]
-        v_mask = v_mask[keep]
-
     tic = time.time()
-    sim = similarity_matrix(params, cfg, t_feat, t_mask, v_feat, v_mask)
-    sim_time = time.time() - tic
+    sim = similarity_matrix_device(params, cfg, t_feat, t_mask, v_feat, v_mask)
 
+    # ranking runs on device: only the [N] int rank vectors leave HBM
+    # (reference pulls the full matrix to numpy, metrics.py:57-66)
     if multi:
         # the reference reshapes the SAME caption-grouped matrix for both
         # directions (evaluator.py:219-243: v2t = sim.T.T)
-        sim_3d = reshape_multi_sentence(sim, dataset.cut_off_points)
-        t2v = M.tensor_text_to_video_metrics(sim_3d)
-        v2t = M.compute_metrics(M.tensor_video_to_text_sim(sim_3d))
+        sim_3d = reshape_multi_sentence_device(sim, dataset.cut_off_points)
+        ranks, valid = M.device_multi_sentence_ranks(sim_3d)
+        t2v = M.metrics_from_ranks(np.asarray(ranks)[np.asarray(valid)])
+        v2t = M.metrics_from_ranks(
+            np.asarray(M.device_video_to_text_ranks(sim_3d)))
     else:
-        t2v = M.compute_metrics(sim)
-        v2t = M.compute_metrics(sim.T)
+        t2v = M.metrics_from_ranks(np.asarray(M.device_ranks(sim)))
+        v2t = M.metrics_from_ranks(np.asarray(M.device_ranks(sim.T)))
+    sim_time = time.time() - tic
 
     if logger is not None:
         # per-phase timing breakdown (evaluator.py:266-271)

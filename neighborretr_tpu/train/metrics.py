@@ -40,6 +40,28 @@ def device_ranks(similarity: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(similarity > diag, axis=1)
 
 
+def device_multi_sentence_ranks(sim_3d: jnp.ndarray):
+    """On-device t2v ranks for the [V, max_caps, V] caption-grouped tensor.
+
+    Rank of caption (v, c) = count of videos scored strictly above its own
+    video (equal to the reference's double-argsort diagonal, metrics.py:99-110,
+    for continuous scores).  Returns (ranks [V, C], valid [V, C]) — padded
+    caption slots carry a -inf diagonal and are masked out, mirroring the
+    reference's isinf/isnan filter (metrics.py:112-116)."""
+    V = sim_3d.shape[0]
+    own = jnp.take_along_axis(
+        sim_3d, jnp.arange(V, dtype=jnp.int32)[:, None, None], axis=2)
+    ranks = jnp.sum(sim_3d > own, axis=-1)
+    valid = jnp.isfinite(own[..., 0])
+    return ranks, valid
+
+
+def device_video_to_text_ranks(sim_3d: jnp.ndarray) -> jnp.ndarray:
+    """On-device v2t ranks: max-over-captions matrix transposed, then
+    rank-of-diagonal (metrics.py:125-145 + compute_metrics)."""
+    return device_ranks(jnp.max(sim_3d, axis=1).T)
+
+
 def metrics_from_ranks(ranks: np.ndarray) -> Dict[str, float]:
     ranks = np.asarray(ranks)
     return {

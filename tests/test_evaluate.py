@@ -103,3 +103,61 @@ def test_evaluate_mesh_matches_single_device(cfg, params, dataset):
     for a, b in ((t2v_1, t2v_m), (v2t_1, v2t_m)):
         for k in ("R1", "R5", "R10", "MR", "MeanR"):
             assert abs(a[k] - b[k]) < 1e-6, k
+
+
+def test_device_ranking_matches_host_paths():
+    """On-device ranking (metrics.device_*) reproduces the reference-exact
+    host numpy path on continuous (tie-free) similarities, both protocols."""
+    import jax.numpy as jnp
+    from neighborretr_tpu.train import metrics as M
+    from neighborretr_tpu.train.evaluate import reshape_multi_sentence_device
+
+    rng = np.random.default_rng(0)
+    sim = rng.normal(size=(20, 9)).astype(np.float32)
+    cut_offs = [2, 5, 9, 11, 12, 15, 17, 18, 20]
+
+    # single-sentence
+    sq = rng.normal(size=(15, 15)).astype(np.float32)
+    host = M.compute_metrics(sq)
+    dev = M.metrics_from_ranks(np.asarray(M.device_ranks(jnp.asarray(sq))))
+    for k in ("R1", "R5", "R10", "R50", "MR", "MeanR"):
+        assert dev[k] == pytest.approx(host[k]), k
+
+    # multi-sentence reshape parity
+    sim3d_host = reshape_multi_sentence(sim, cut_offs)
+    sim3d_dev = reshape_multi_sentence_device(jnp.asarray(sim), cut_offs)
+    np.testing.assert_array_equal(np.asarray(sim3d_dev), sim3d_host)
+
+    # multi-sentence t2v
+    host_t2v = M.tensor_text_to_video_metrics(sim3d_host)
+    ranks, valid = M.device_multi_sentence_ranks(sim3d_dev)
+    dev_t2v = M.metrics_from_ranks(np.asarray(ranks)[np.asarray(valid)])
+    for k in ("R1", "R5", "R10", "R50", "MedianR", "MeanR"):
+        assert dev_t2v[k] == pytest.approx(host_t2v[k]), k
+
+    # multi-sentence v2t
+    host_v2t = M.compute_metrics(M.tensor_video_to_text_sim(sim3d_host))
+    dev_v2t = M.metrics_from_ranks(
+        np.asarray(M.device_video_to_text_ranks(sim3d_dev)))
+    for k in ("R1", "R5", "R10", "R50", "MR", "MeanR"):
+        assert dev_v2t[k] == pytest.approx(host_v2t[k]), k
+
+
+def test_video_keep_dedup_matches_full_encode(cfg, params, dataset):
+    """extract_features(video_keep=...) encodes only the kept rows' videos
+    and reproduces the full-encode path's features for those rows."""
+    keep = np.array([1, 4, 8, 13, 19])
+    loader = BatchLoader(dataset, 8, shuffle=False, drop_last=False,
+                         workers=2, pad_to_batch=True)
+    tf_full, tm_full, vf_full, vm_full = extract_features(
+        params, cfg, loader)
+    tf_keep, tm_keep, vf_keep, vm_keep = extract_features(
+        params, cfg, loader, video_keep=keep)
+
+    np.testing.assert_allclose(np.asarray(tf_keep), np.asarray(tf_full),
+                               atol=1e-5)
+    np.testing.assert_array_equal(tm_keep, tm_full)
+    assert vf_keep.shape[0] == len(keep)
+    np.testing.assert_allclose(np.asarray(vf_keep),
+                               np.asarray(vf_full)[keep], atol=1e-5)
+    np.testing.assert_array_equal(vm_keep, vm_full[keep])
