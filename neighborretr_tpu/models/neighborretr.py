@@ -195,6 +195,17 @@ def local_similarity(params: Params, t_feat, v_feat, t_mask, v_mask,
     vw = token_weights(params["video_weight_fc"], v_feat, v_mask)
     T, V = t_feat.shape[1], v_feat.shape[1]
     if T * V >= 2048:
+        # 64w/64f recipes: the blocked two-level kernel (v-chunk grid axis)
+        # replaces both the flat kernel (register-spills here) and the
+        # sequential lax.map fallback whenever a single TPU chip runs the
+        # program (same predicate as resolve_use_pallas)
+        if use_pallas or (jax.default_backend() == "tpu"
+                          and jax.device_count() == 1):
+            from ..ops.pallas_similarity_blocked import (
+                pallas_interaction_similarity_blocked)
+            return pallas_interaction_similarity_blocked(
+                t_feat, v_feat, t_mask, v_mask, tw, vw,
+                compute_dtype=sim_dtype)
         from ..ops.similarity import interaction_similarity_chunked
         return interaction_similarity_chunked(t_feat, v_feat, t_mask, v_mask,
                                               tw, vw)
@@ -203,6 +214,26 @@ def local_similarity(params: Params, t_feat, v_feat, t_mask, v_mask,
         return pallas_interaction_similarity(t_feat, v_feat, t_mask, v_mask,
                                              tw, vw, compute_dtype=sim_dtype)
     return interaction_similarity(t_feat, v_feat, t_mask, v_mask, tw, vw)
+
+
+def bank_fusion_supported(cfg: ModelConfig) -> bool:
+    """The fused similarity→mean kernel (loss-side fusion) currently covers
+    the flat-kernel shapes; long-token (T·V ≥ 2048) configs use the blocked
+    kernel which emits the full matrix (its mean is cheap there anyway)."""
+    return cfg.max_words * cfg.max_frames < 2048
+
+
+def bank_centrality(params: Params, t_feat, v_feat, t_mask, v_mask,
+                    axis: int = 1, sim_dtype: str = "float32") -> jnp.ndarray:
+    """Fused bank centrality: mean of the token-interaction similarity over
+    `axis` (1 → per-text row mean against a video bank, 0 → per-video column
+    mean against a text bank) WITHOUT materializing the [B, M] matrix — the
+    neighbor loss's only use of it (until_module.py:181)."""
+    from ..ops.pallas_similarity import pallas_interaction_mean
+    tw = token_weights(params["text_weight_fc"], t_feat, t_mask)
+    vw = token_weights(params["video_weight_fc"], v_feat, v_mask)
+    return pallas_interaction_mean(t_feat, v_feat, t_mask, v_mask, tw, vw,
+                                   axis=axis, compute_dtype=sim_dtype)
 
 
 def merge_global_features(params: Params, cfg: ModelConfig, t_feat, v_feat,
