@@ -48,9 +48,17 @@ def prefetch_to_device(
     else:
         sharding = None
 
+    multiprocess = jax.process_count() > 1
+
     def put(batch: Dict) -> Dict:
-        batch = {k: v for k, v in batch.items() if k not in drop_keys}
+        batch = {k: v for k, v in batch.items()
+                 if k not in drop_keys and not k.startswith("global_")}
         if sharding is not None:
+            if multiprocess:
+                # local rows from the process-sharded loader → global Array
+                import numpy as np
+                return {k: jax.make_array_from_process_local_data(
+                    sharding, np.asarray(v)) for k, v in batch.items()}
             return {k: jax.device_put(v, sharding) for k, v in batch.items()}
         return {k: jax.device_put(v) for k, v in batch.items()}
 

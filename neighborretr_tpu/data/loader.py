@@ -41,7 +41,8 @@ class BatchLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, workers: int = 8, seed: int = 42,
-                 pad_to_batch: bool = False, prefetch: int = 2):
+                 pad_to_batch: bool = False, prefetch: int = 2,
+                 process_index: int = 0, process_count: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -51,6 +52,24 @@ class BatchLoader:
         self.pad_to_batch = pad_to_batch
         self.prefetch = prefetch
         self.epoch = 0
+        # Multi-host: every process runs this loader with the SAME seed and
+        # epoch, derives the identical global batch plan, and assembles only
+        # its contiguous row block (reference counterpart: DistributedSampler
+        # per-rank shards, data_dataloaders.py:32-38).  Tensor keys come out
+        # LOCAL ([batch/process_count, ...], matching this process's
+        # addressable shards for make_array_from_process_local_data); the
+        # host-only global_idx/global_valid keys carry the full batch plan so
+        # eval bookkeeping needs no collectives.
+        self.process_index = process_index
+        self.process_count = max(1, process_count)
+        if batch_size % self.process_count:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by process_count "
+                f"{self.process_count}")
+        if self.process_count > 1 and not (drop_last or pad_to_batch):
+            raise ValueError(
+                "multi-process loading requires drop_last (train) or "
+                "pad_to_batch (eval) so every process sees full batches")
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -69,18 +88,28 @@ class BatchLoader:
         return order
 
     def _assemble(self, idxs, pool) -> Dict[str, np.ndarray]:
-        items = list(pool.map(self.dataset.item, idxs))
-        batch = _stack(items)
+        idxs = np.asarray(idxs)
         real = len(idxs)
         if self.pad_to_batch and real < self.batch_size:
-            pad = self.batch_size - real
-            for k, v in batch.items():
-                batch[k] = np.concatenate(
-                    [v, np.repeat(v[-1:], pad, axis=0)], axis=0)
-            # padded rows are marked invalid downstream via `valid`
-        batch["valid"] = np.concatenate(
+            # pad the GLOBAL plan (padded rows marked invalid via `valid`)
+            g_idx = np.concatenate(
+                [idxs, np.repeat(idxs[-1:], self.batch_size - real)])
+        else:
+            g_idx = idxs
+        g_valid = np.concatenate(
             [np.ones(real, np.bool_),
-             np.zeros(batch["idx"].shape[0] - real, np.bool_)])
+             np.zeros(len(g_idx) - real, np.bool_)])
+
+        per = len(g_idx) // self.process_count
+        lo = self.process_index * per
+        local_idx = g_idx[lo:lo + per]
+
+        items = list(pool.map(self.dataset.item, local_idx))
+        batch = _stack(items)
+        batch["valid"] = g_valid[lo:lo + per]
+        if self.process_count > 1:
+            batch["global_idx"] = g_idx
+            batch["global_valid"] = g_valid
         return batch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

@@ -59,9 +59,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "data"):
-    """Place a global numpy batch with axis-0 sharded across the mesh."""
+    """Place a batch with axis-0 sharded across the mesh.
+
+    Single-process: `batch` holds GLOBAL arrays → device_put splits them.
+    Multi-process: `batch` holds this process's LOCAL rows (see
+    data/loader.py process sharding) → jax.make_array_from_process_local_data
+    assembles the global jax.Array from per-process shards (the reference's
+    DistributedSampler + NCCL all-gather, without the gather).  Host-only
+    `global_*` bookkeeping keys are stripped either way."""
     sh = batch_sharding(mesh, axis)
-    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+    arrays = {k: v for k, v in batch.items() if not k.startswith("global_")}
+    if jax.process_count() > 1:
+        return {k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+                for k, v in arrays.items()}
+    return {k: jax.device_put(v, sh) for k, v in arrays.items()}
 
 
 def replicate_tree(tree, mesh: Mesh):

@@ -81,8 +81,14 @@ def extract_features(params: Params, cfg: Config, loader, mesh=None,
     else:
         place = jnp.asarray
 
+    multiprocess = jax.process_count() > 1
     keep_pos = None
     if video_keep is not None:
+        if multiprocess:
+            raise ValueError(
+                "video_keep dedup is single-process (each process holds "
+                "different kept rows → divergent SPMD shapes); callers fall "
+                "back to full encode + row select on multi-host runs")
         video_keep = np.asarray(video_keep)
         keep_pos = {int(r): j for j, r in enumerate(video_keep)}
 
@@ -92,27 +98,30 @@ def extract_features(params: Params, cfg: Config, loader, mesh=None,
     batch_size = None
     for batch in loader:
         batch_size = len(batch["idx"])
+        # multi-process: masks ride the device (global arrays assembled from
+        # local rows); single-process keeps them as cheap host numpy
+        tm_in = place(batch["text_mask"])
+        vm_in = place(batch["video_mask"])
         if keep_pos is None:
             tf, vf = _encode_batch(params, cfg,
-                                   place(batch["text_ids"]),
-                                   place(batch["text_mask"]),
-                                   place(batch["video"]),
-                                   place(batch["video_mask"]))
+                                   place(batch["text_ids"]), tm_in,
+                                   place(batch["video"]), vm_in)
             v_feats.append(vf)
-            v_masks.append(batch["video_mask"])
+            v_masks.append(vm_in if multiprocess else batch["video_mask"])
         else:
             tf = _encode_text_batch(params, cfg,
-                                    place(batch["text_ids"]),
-                                    place(batch["text_mask"]))
+                                    place(batch["text_ids"]), tm_in)
             for i, (gid, ok) in enumerate(zip(batch["idx"], batch["valid"])):
                 j = keep_pos.get(int(gid)) if ok else None
                 if j is not None:
                     kept[j] = (np.asarray(batch["video"][i]),
                                np.asarray(batch["video_mask"][i]))
         t_feats.append(tf)
-        t_masks.append(batch["text_mask"])
-        ids.append(batch["idx"])
-        valids.append(batch["valid"])
+        t_masks.append(tm_in if multiprocess else batch["text_mask"])
+        # multi-process loaders carry the full global plan per batch; the
+        # tensor keys are local rows (see data/loader.py)
+        ids.append(batch.get("global_idx", batch["idx"]))
+        valids.append(batch.get("global_valid", batch["valid"]))
 
     ids = np.concatenate(ids)
     valid = np.concatenate(valids)
@@ -120,11 +129,17 @@ def extract_features(params: Params, cfg: Config, loader, mesh=None,
     row_index = np.nonzero(valid)[0][np.argsort(ids[valid])]
     gather = jnp.asarray(row_index)
     t_feat = jnp.concatenate(t_feats)[gather]
-    t_mask = np.concatenate(t_masks)[row_index]
+    if multiprocess:
+        t_mask = jnp.concatenate(t_masks)[gather]
+    else:
+        t_mask = np.concatenate(t_masks)[row_index]
 
     if keep_pos is None:
         v_feat = jnp.concatenate(v_feats)[gather]
-        v_mask = np.concatenate(v_masks)[row_index]
+        if multiprocess:
+            v_mask = jnp.concatenate(v_masks)[gather]
+        else:
+            v_mask = np.concatenate(v_masks)[row_index]
         return t_feat, t_mask, v_feat, v_mask
 
     # encode the unique kept videos, re-batched to the loader's batch size
@@ -233,11 +248,18 @@ def evaluate(params: Params, cfg: Config, loader, dataset=None,
 
     tic = time.time()
     # multi-sentence: encode only one video per caption group (the rows at
-    # cut_off_points - 1) instead of discarding redundant ViT forwards
+    # cut_off_points - 1) instead of discarding redundant ViT forwards.
+    # Multi-host runs keep the full SPMD encode and select rows after
+    # (per-process kept-row counts diverge; see extract_features).
     keep = (np.asarray(dataset.cut_off_points) - 1) if multi else None
-    t_feat, t_mask, v_feat, v_mask = extract_features(params, cfg, loader,
-                                                      mesh=mesh,
-                                                      video_keep=keep)
+    multiprocess = jax.process_count() > 1
+    t_feat, t_mask, v_feat, v_mask = extract_features(
+        params, cfg, loader, mesh=mesh,
+        video_keep=None if multiprocess else keep)
+    if multi and multiprocess:
+        v_feat = v_feat[jnp.asarray(keep)]
+        v_mask = v_mask[jnp.asarray(keep)] if hasattr(v_mask, "devices") \
+            else v_mask[keep]
     feat_time = time.time() - tic
 
     tic = time.time()
@@ -245,17 +267,25 @@ def evaluate(params: Params, cfg: Config, loader, dataset=None,
 
     # ranking runs on device: only the [N] int rank vectors leave HBM
     # (reference pulls the full matrix to numpy, metrics.py:57-66)
+    def fetch(x):
+        """Host-fetch a (possibly multi-host sharded) rank vector: replicate
+        through one jitted identity so every process can read it."""
+        if multiprocess and mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            x = jax.jit(lambda a: a, out_shardings=NamedSharding(
+                mesh, PartitionSpec()))(x)
+        return np.asarray(x)
+
     if multi:
         # the reference reshapes the SAME caption-grouped matrix for both
         # directions (evaluator.py:219-243: v2t = sim.T.T)
         sim_3d = reshape_multi_sentence_device(sim, dataset.cut_off_points)
         ranks, valid = M.device_multi_sentence_ranks(sim_3d)
-        t2v = M.metrics_from_ranks(np.asarray(ranks)[np.asarray(valid)])
-        v2t = M.metrics_from_ranks(
-            np.asarray(M.device_video_to_text_ranks(sim_3d)))
+        t2v = M.metrics_from_ranks(fetch(ranks)[fetch(valid)])
+        v2t = M.metrics_from_ranks(fetch(M.device_video_to_text_ranks(sim_3d)))
     else:
-        t2v = M.metrics_from_ranks(np.asarray(M.device_ranks(sim)))
-        v2t = M.metrics_from_ranks(np.asarray(M.device_ranks(sim.T)))
+        t2v = M.metrics_from_ranks(fetch(M.device_ranks(sim)))
+        v2t = M.metrics_from_ranks(fetch(M.device_ranks(sim.T)))
     sim_time = time.time() - tic
 
     if logger is not None:

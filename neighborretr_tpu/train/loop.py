@@ -48,15 +48,19 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
     logger = logger or setup_logger(output_dir=cfg.train.output_dir)
     workers = workers if workers is not None else cfg.data.workers
 
+    # per-process data sharding on multi-host runs (every process assembles
+    # its block of the same seeded global plan; see data/loader.py)
+    proc = dict(process_index=jax.process_index(),
+                process_count=jax.process_count())
     train_loader = BatchLoader(train_ds, cfg.train.batch_size, shuffle=True,
                                drop_last=True, workers=workers,
-                               seed=cfg.train.seed)
+                               seed=cfg.train.seed, **proc)
     bank_loader = BatchLoader(train_ds, cfg.train.batch_size, shuffle=True,
                               drop_last=True, workers=workers,
-                              seed=cfg.train.seed + 7919)
+                              seed=cfg.train.seed + 7919, **proc)
     test_loader = BatchLoader(test_ds, cfg.train.batch_size_val,
                               shuffle=False, drop_last=False,
-                              workers=workers, pad_to_batch=True)
+                              workers=workers, pad_to_batch=True, **proc)
 
     steps_per_epoch = len(train_loader)
     t_total = max(steps_per_epoch * cfg.train.epochs, 1)
@@ -152,7 +156,8 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
                 t2v, v2t = evaluate(state.params, cfg, test_loader,
                                     dataset=test_ds, logger=logger,
                                     mesh=mesh)
-                if tracker.update(t2v, v2t) and cfg.train.save_checkpoints:
+                if tracker.update(t2v, v2t) and cfg.train.save_checkpoints \
+                        and jax.process_index() == 0:
                     ckpt.save_params(best_path, state.params)
                     logger.info("Saved best checkpoint (mean R@1 %.2f)",
                                 tracker.best_mean_r1)
@@ -160,11 +165,15 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
         # per-epoch eval + checkpoint (main.py:333-365)
         t2v, v2t = evaluate(state.params, cfg, test_loader, dataset=test_ds,
                             logger=logger, mesh=mesh)
-        if tracker.update(t2v, v2t) and cfg.train.save_checkpoints:
+        if tracker.update(t2v, v2t) and cfg.train.save_checkpoints \
+                and jax.process_index() == 0:
             ckpt.save_params(best_path, state.params)
             logger.info("Saved best checkpoint (mean R@1 %.2f)",
                         tracker.best_mean_r1)
-        if cfg.train.save_checkpoints:
+        # checkpoint IO is process-0 only (reference rank-0 saves,
+        # main.py:161-187); params/state are replicated so process 0 holds
+        # the full copy
+        if cfg.train.save_checkpoints and jax.process_index() == 0:
             ckpt.save_train_state(
                 os.path.join(cfg.train.output_dir, f"state_epoch{epoch}.npz"),
                 jax.device_get(state))
