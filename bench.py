@@ -56,17 +56,25 @@ def main():
     rng = np.random.default_rng(0)
     W, F, R = mcfg.max_words, mcfg.max_frames, mcfg.clip.image_resolution
     vocab = mcfg.clip.vocab_size
-    text_ids = rng.integers(1, vocab - 1, size=(BATCH, W)).astype(np.int32)
-    text_mask = np.ones((BATCH, W), np.float32)
-    text_ids[:, -1] = vocab - 1
-    batch = {
-        "text_ids": jnp.asarray(text_ids),
-        "text_mask": jnp.asarray(text_mask),
-        "video": jnp.asarray(
-            rng.integers(0, 256, size=(BATCH, F, R, R, 3)).astype(np.uint8)),
-        "video_mask": jnp.ones((BATCH, F), jnp.float32),
-        "idx": jnp.arange(BATCH, dtype=jnp.int32),
-    }
+
+    def make_batch(seed):
+        r = np.random.default_rng(seed)
+        text_ids = r.integers(1, vocab - 1, size=(BATCH, W)).astype(np.int32)
+        text_ids[:, -1] = vocab - 1
+        return {
+            "text_ids": jnp.asarray(text_ids),
+            "text_mask": jnp.ones((BATCH, W), jnp.float32),
+            "video": jnp.asarray(
+                r.integers(0, 256, size=(BATCH, F, R, R, 3)).astype(np.uint8)),
+            "video_mask": jnp.ones((BATCH, F), jnp.float32),
+            "idx": jnp.arange(BATCH, dtype=jnp.int32),
+        }
+
+    # rotate distinct device-resident batches so the measurement can't
+    # degenerate to a single cached input (input variation without H2D cost
+    # in the loop — scripts/data_bench.py covers the host pipeline itself)
+    batches = [make_batch(s) for s in range(4)]
+    batch = batches[0]
 
     params = model.init_params(jax.random.PRNGKey(0), mcfg)
     bank = mb.create(cfg.train.memory_bank_capacity, W, F, mcfg.clip.embed_dim)
@@ -85,7 +93,8 @@ def main():
 
     tic = time.perf_counter()
     for i in range(MEASURE_STEPS):
-        state, metrics = train_step(state, batch, jax.random.PRNGKey(100 + i),
+        state, metrics = train_step(state, batches[i % len(batches)],
+                                    jax.random.PRNGKey(100 + i),
                                     cfg, t_total)
     # One host fetch of the LAST step's loss: each step consumes the previous
     # step's state, so this value transferring implies the whole chain ran.

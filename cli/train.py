@@ -26,6 +26,9 @@ def parse_args():
     p.add_argument("--base_encoder", default="ViT-B/32",
                    choices=["ViT-B/32", "ViT-B/16"])
     p.add_argument("--clip_checkpoint", default=None)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny towers for smoke runs (also implied by "
+                        "--datatype synthetic without --clip_checkpoint)")
     p.add_argument("--init_checkpoint", default=None)
     p.add_argument("--resume", default=None, dest="resume_checkpoint",
                    help="state_epochN.npz to resume from (full TrainState)")
@@ -142,13 +145,16 @@ def main():
     logger.info("Devices: %s", jax.devices())
     logger.info("Config:\n%s", cfg.to_json())
 
-    if args.datatype == "synthetic":
+    if args.tiny or (args.datatype == "synthetic"
+                     and args.clip_checkpoint is None):
+        # small towers for smoke runs (explicit --tiny, or implied by
+        # synthetic data with no checkpoint to match)
         import dataclasses as dc
+        cfg = dc.replace(cfg, model=ModelConfig.tiny(
+            max_words=args.max_words, max_frames=args.max_frames))
+        logger.info("Using tiny model architecture (--tiny/smoke run)")
+    if args.datatype == "synthetic":
         from neighborretr_tpu.data.datasets.synthetic import SyntheticDataset
-        if args.clip_checkpoint is None:
-            # small towers for smoke runs without a checkpoint
-            cfg = dc.replace(cfg, model=ModelConfig.tiny(
-                max_words=args.max_words, max_frames=args.max_frames))
         kw = dict(max_words=args.max_words, max_frames=args.max_frames,
                   resolution=cfg.model.clip.image_resolution,
                   vocab_size=cfg.model.clip.vocab_size)

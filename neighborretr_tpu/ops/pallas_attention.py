@@ -73,7 +73,16 @@ def _frame_diag_bias(rows: int, L: int, n_stack: int = 1) -> jnp.ndarray:
 def _split_heads(x, rows, D, H, hd, n_parts: int = 3):
     """[rows, n_parts·D] → n_parts tensors [H, rows, hd] (bf16), built by
     stacking per-head lane slices along a new leading axis — feeds Mosaic's
-    batched 3D dot so each attention matmul is ONE op instead of H."""
+    batched 3D dot so each attention matmul is ONE op instead of H.
+
+    NRTPU_SPLIT_HEADS=transpose swaps the 3·H slice-concats for one
+    minor-dim reshape + transpose per part (A/B probe for the relayout cost
+    — the identified gap between the kernel forward and its FLOP bound)."""
+    import os
+    if os.environ.get("NRTPU_SPLIT_HEADS") == "transpose":
+        x3 = x.astype(jnp.bfloat16).reshape(rows, n_parts * H, hd)
+        x3 = x3.transpose(1, 0, 2)                 # [n_parts·H, rows, hd]
+        return [x3[p * H:(p + 1) * H] for p in range(n_parts)]
     outs = []
     for part in range(n_parts):
         base = part * D
@@ -81,6 +90,14 @@ def _split_heads(x, rows, D, H, hd, n_parts: int = 3):
                  for h in range(H)]
         outs.append(jnp.concatenate(heads, axis=0))
     return outs
+
+
+def _merge_heads(out3, rows, D, H):
+    """[H, rows, hd] → [rows, D]: the inverse relayout (same A/B switch)."""
+    import os
+    if os.environ.get("NRTPU_SPLIT_HEADS") == "transpose":
+        return out3.transpose(1, 0, 2).reshape(rows, D)
+    return jnp.concatenate([out3[h] for h in range(H)], axis=1)
 
 
 def _tile_bias(bias_ref, FB: int, L: int) -> jnp.ndarray:
@@ -117,7 +134,7 @@ def _fwd_kernel(qkv_ref, out_ref, *, L: int, H: int, hd: int, scale: float):
     out3 = jax.lax.dot_general(
         probs, v3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)                  # [H, rows, hd]
-    out = jnp.concatenate([out3[h] for h in range(H)], axis=1)   # [rows, D]
+    out = _merge_heads(out3, rows, D, H)   # [rows, D]
     out_ref[:] = out.reshape(FB, L, D).astype(out_ref.dtype)
 
 
@@ -180,7 +197,7 @@ def _fwd_kernel_biased(qkv_ref, bias_ref, out_ref, *, L: int, H: int,
     out3 = jax.lax.dot_general(
         probs, v3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    out = jnp.concatenate([out3[h] for h in range(H)], axis=1)
+    out = _merge_heads(out3, rows, D, H)
     out_ref[:] = out.reshape(FB, L, D).astype(out_ref.dtype)
 
 

@@ -48,8 +48,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_attention import (_frame_diag_bias, _pick_fb, _split_heads,
-                               _tile_bias)
+from .pallas_attention import (_frame_diag_bias, _merge_heads, _pick_fb,
+                               _split_heads, _tile_bias)
 
 
 def _qkv_tile(h_ref, wqkv_ref, bqkv_ref, rows, D):
@@ -79,8 +79,7 @@ def _attn_tile(qkv16, rows, L, H, hd, D, bias=None):
         probs.astype(jnp.bfloat16), v3,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)                   # [H, rows, hd]
-    attn_out2 = jnp.concatenate(
-        [out3[h] for h in range(H)], axis=1).astype(jnp.bfloat16)
+    attn_out2 = _merge_heads(out3, rows, D, H).astype(jnp.bfloat16)
     return q3, k3, v3, probs, attn_out2
 
 

@@ -81,7 +81,9 @@ def _prep(tn_ref, vn_ref, dot_dtype):
 
 
 def _chunk_max_v(logits, VC, BB):
-    """Max over the chunk's v slices → [T*BA, BB]."""
+    """Max over the chunk's v slices → [T*BA, BB].  VC is small (≤8); the
+    lane-group slices stay unrolled (lane-dim reshapes are not
+    layout-preserving)."""
     m = logits[:, 0:BB]
     for v in range(1, VC):
         m = jnp.maximum(m, logits[:, v * BB:(v + 1) * BB])
@@ -96,20 +98,33 @@ def _chunk_first_v(logits, m1c, VC, BB):
     return win
 
 
+def _row_t_index(T, BA, C):
+    """[T*BA, C] fp32: the t index of each row group (leading-dim iota//BA —
+    replaces T-unrolled loops: t is the sublane-group coordinate)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (T * BA, C), 0)
+    return (r // BA).astype(jnp.float32)
+
+
 def _chunk_max_t(logits, T, BA):
-    """Max over t row groups → [BA, VC*BB]."""
-    m = logits[0:BA, :]
-    for t in range(1, T):
-        m = jnp.maximum(m, logits[t * BA:(t + 1) * BA, :])
-    return m
+    """Max over t row groups → [BA, C].  Leading-dim expand [T*BA, C] →
+    [T, BA, C] is layout-preserving; the axis-0 reduction compiles to one
+    Mosaic reduce instead of T unrolled maximums."""
+    C = logits.shape[1]
+    return jnp.max(logits.reshape(T, BA, C), axis=0)
 
 
 def _chunk_first_t(logits, m2, T, BA):
-    """FIRST t index achieving m2 → [BA, VC*BB]."""
-    win = jnp.full(m2.shape, float(T - 1), jnp.float32)
-    for t in range(T - 2, -1, -1):
-        win = jnp.where(logits[t * BA:(t + 1) * BA, :] == m2, float(t), win)
-    return win
+    """FIRST t index achieving m2 → [BA, C] (min over matching t)."""
+    C = logits.shape[1]
+    t_idx = _row_t_index(T, BA, C)
+    cand = jnp.where(logits == _rep_rows(m2, T, BA, C), t_idx, float(T))
+    return jnp.min(cand.reshape(T, BA, C), axis=0)
+
+
+def _rep_rows(x, T, BA, C):
+    """[BA, C] → [T*BA, C] by broadcasting over the t row groups (one
+    broadcast + leading collapse — replaces T-piece concats)."""
+    return jnp.broadcast_to(x[None], (T, BA, C)).reshape(T * BA, C)
 
 
 # ---------------------------------------------------------------------------
@@ -152,9 +167,8 @@ def _fwd_kernel(tn_ref, vn_ref, tw_ref, vw_ref, *refs,
     @pl.when(c == NC - 1)
     def _():
         m1 = m1_acc[:]
-        s_t = m1[0:BA, :] * tw_ref[0]
-        for t in range(1, T):
-            s_t = s_t + m1[t * BA:(t + 1) * BA, :] * tw_ref[t]
+        tw_flat = tw_ref[:].reshape(T * BA, 1)
+        s_t = jnp.sum((m1 * tw_flat).reshape(T, BA, BB), axis=0)
         out_ref[:] = 0.5 * (s_t + sv_acc[:])
         if save_residuals:
             m1_ref[:] = m1.reshape(m1_ref.shape)
@@ -214,10 +228,11 @@ def _fwd_pallas(tn3, vn3, tw3, vw2, *, A, B, T, V, D, BA, BB, VC,
 # backward (order-free: t2v routed by the saved winner index; v2t chunk-local)
 # ---------------------------------------------------------------------------
 
-def _coeffs(g, tw_ref, vw_ref, T, VC, BB):
+def _coeffs(g, tw_ref, vw_ref, T, VC, BA, BB):
     """coeff1 [T*BA, BB] = 0.5·g·tw (rows per t);
     coeff2 [BA, VC*BB] = 0.5·g·vw (lane slices per v)."""
-    coeff1 = jnp.concatenate([0.5 * g * tw_ref[t] for t in range(T)], axis=0)
+    tw_flat = tw_ref[:].reshape(T * BA, 1)
+    coeff1 = 0.5 * _rep_rows(g, T, BA, BB) * tw_flat
     coeff2 = jnp.concatenate(
         [0.5 * g * vw_ref[v:v + 1, :] for v in range(VC)], axis=1)
     return coeff1, coeff2
@@ -228,17 +243,20 @@ def _grad_slab(logits, g, tw_ref, vw_ref, win, c, T, VC, BA, BB):
 
     D1 (t2v): winner-routed — (win == global v) picks exactly the forward's
     first-argmax column, no recompute consistency needed.
-    D2 (v2t): chunk-local first-argmax over t from recomputed logits."""
-    coeff1, coeff2 = _coeffs(g, tw_ref, vw_ref, T, VC, BB)
+    D2 (v2t): chunk-local first-argmax over t from recomputed logits.
+    All T-extent structure is built by broadcast/iota over the row groups,
+    not unrolled loops (compile-time and VPU-op-count critical at T=64)."""
+    coeff1, coeff2 = _coeffs(g, tw_ref, vw_ref, T, VC, BA, BB)
     c_f = c.astype(jnp.float32) * jnp.float32(VC)
     d1 = jnp.concatenate(
         [jnp.where(win == c_f + float(v), coeff1, 0.0) for v in range(VC)],
         axis=1)
 
+    C = VC * BB
     m2 = _chunk_max_t(logits, T, BA)
     win2 = _chunk_first_t(logits, m2, T, BA)
-    d2 = jnp.concatenate(
-        [jnp.where(win2 == float(t), coeff2, 0.0) for t in range(T)], axis=0)
+    d2 = jnp.where(_rep_rows(win2, T, BA, C) == _row_t_index(T, BA, C),
+                   _rep_rows(coeff2, T, BA, C), 0.0)
     return d1 + d2, m2
 
 
@@ -267,7 +285,7 @@ def _bwd_text_kernel(tn_ref, vn_ref, tw_ref, vw_ref, g_ref, m1_ref, win_ref,
     @pl.when(c == 0)
     def _():
         m1 = m1_ref[:].reshape(T * BA, BB)
-        g_rep = jnp.concatenate([g] * T, axis=0)
+        g_rep = _rep_rows(g, T, BA, BB)
         dtw_ref[:] += (0.5 * jnp.sum(g_rep * m1, axis=1, keepdims=True)
                        ).reshape(dtw_ref.shape)
 

@@ -19,6 +19,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache: the suite's dominant cost is repeated jit
+# compiles of tiny-model train steps across modules; cached executables
+# make re-runs several times faster (VERDICT r1 weak #7)
+from neighborretr_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
