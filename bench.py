@@ -12,6 +12,12 @@ repo publishes no throughput numbers (BASELINE.md), so this is a documented
 engineering estimate for the PyTorch reference on a single modern GPU (global
 batch 128 on 4 GPUs, CLIP4Clip-lineage trainers measure ~30-60 pairs/s/GPU);
 we use the midpoint.  The north-star target is ≥5× (BASELINE.json).
+
+The estimate is bracketed by a MEASURED same-hardware ratio
+(scripts/baseline_cpu_measure.py, 2026-08-17, this machine's CPU, fp32,
+identical shapes): reference torch 101.2 s/step vs ours 50.1 s/step at
+batch 8 — this framework is 2.02× the reference on identical silicon
+before any TPU-kernel advantage; see BASELINE.md.
 """
 
 import dataclasses
