@@ -118,13 +118,26 @@ def neighbor_adjusting_loss(
     num_neighbors: int,
     temperature: float,
 ) -> jnp.ndarray:
+    # column-entity centrality from the bank: row-mean of [B, M] — the ONLY
+    # use of the bank matrix (until_module.py:181); the fused-kernel path
+    # computes this mean in-kernel and calls the _from_centrality form
+    centrality = jnp.mean(memory_bank_matrix.astype(jnp.float32), axis=-1)
+    return neighbor_adjusting_loss_from_centrality(
+        similarity, centrality, num_neighbors, temperature)
+
+
+def neighbor_adjusting_loss_from_centrality(
+    similarity: jnp.ndarray,   # [B, B] cross-modal similarity
+    centrality: jnp.ndarray,   # [B] column-entity bank centrality
+    num_neighbors: int,
+    temperature: float,
+) -> jnp.ndarray:
     similarity = similarity.astype(jnp.float32)
     B = similarity.shape[0]
     neighbor, extended = neighbor_masks(similarity, num_neighbors)
 
-    # column-entity centrality from the bank: row-mean of [B, M]
-    centrality = jnp.mean(memory_bank_matrix.astype(jnp.float32), axis=-1)  # [B]
-    centrality = jnp.broadcast_to(centrality[None, :], (B, B))
+    centrality = jnp.broadcast_to(centrality.astype(jnp.float32)[None, :],
+                                  (B, B))
 
     norm_sim = _minmax_normalize(similarity, extended)
     norm_cent = _minmax_normalize(centrality, extended)

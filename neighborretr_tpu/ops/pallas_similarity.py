@@ -379,6 +379,148 @@ _similarity_core.defvjp(_similarity_fwd, _similarity_bwd)
 
 
 # ---------------------------------------------------------------------------
+# fused similarity → mean reduction (the loss-side fusion)
+#
+# The [B, M] memory-bank matrices feed the neighbor loss ONLY through a
+# mean over the bank axis (until_module.py:181: memory_centrality =
+# matrix.sum(-1)/size).  These kernels emit that mean directly, so the bank
+# matrices never materialize in HBM at all — the bank features stream from
+# HBM through the tile computation into a [N, 1] accumulator.  The backward
+# reuses the full [A, B] gradient kernels with the rank-1 cotangent
+# g/|reduced axis| (a ~1 MB array at the 128×1920 recipe — nothing like the
+# [A, T, B, V] logits object).
+# ---------------------------------------------------------------------------
+
+def _fwd_rowmean_kernel(tn_ref, vn_ref, tw_ref, vw_ref, out_ref,
+                        *, T: int, V: int, n_real: int, axis: int,
+                        dot_dtype=jnp.float32):
+    """axis=1: out[i] += Σ_j tile (grid (i, j));
+    axis=0: out[j] += Σ_i tile (grid (j, i)).  Padded rows/cols masked."""
+    k = pl.program_id(1)
+    BA = tw_ref.shape[1]
+    BB = vw_ref.shape[1]
+    _, _, logits = _tile_logits(tn_ref, vn_ref, dot_dtype)
+
+    m1 = _max_over_v(logits, V, BB)
+    s_t = m1[0:BA, :] * tw_ref[0]
+    for t in range(1, T):
+        s_t = s_t + m1[t * BA:(t + 1) * BA, :] * tw_ref[t]
+    m2 = _max_over_t(logits, T, BA)
+    s_v = m2[:, 0:BB] * vw_ref[0:1, :]
+    for v in range(1, V):
+        s_v = s_v + m2[:, v * BB:(v + 1) * BB] * vw_ref[v:v + 1, :]
+    tile = 0.5 * (s_t + s_v)                                  # [BA, BB]
+
+    # mask padded positions of the REDUCED axis, then reduce it
+    pos = jax.lax.broadcasted_iota(jnp.int32, (BA, BB), axis)
+    tile = jnp.where(pos + k * (BB if axis == 1 else BA) < n_real, tile, 0.0)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+    # axis=1 → [BA, 1] into a (BA, 1) block; axis=0 → [1, BB] into a (1, BB)
+    # block (keepdims sums match the block layouts — no lane↔sublane moves)
+    out_ref[:] += jnp.sum(tile, axis=axis, keepdims=True)
+
+
+def _rowmean_meta(meta):
+    A, B, T, V, D, BA, BB, interpret, dtype_str, A_real, B_real, axis = meta
+    return (A, B, T, V, D, BA, BB, interpret, dtype_str), (A_real, B_real,
+                                                           axis)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _rowmean_core(tn3, vn3, tw3, vw2, meta):
+    (A, B, T, V, D, BA, BB, interpret, dtype_str), (A_real, B_real, axis) = \
+        _rowmean_meta(meta)
+    n_real = B_real if axis == 1 else A_real
+    n_out = A if axis == 1 else B
+    if axis == 1:
+        grid = (A // BA, B // BB)
+        imap_t = lambda i, j: (0, i, 0)          # noqa: E731
+        imap_v = lambda i, j: (0, j, 0)          # noqa: E731
+        out_spec = pl.BlockSpec((BA, 1), lambda i, j: (i, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        grid = (B // BB, A // BA)
+        imap_t = lambda j, i: (0, i, 0)          # noqa: E731
+        imap_v = lambda j, i: (0, j, 0)          # noqa: E731
+        out_spec = pl.BlockSpec((1, BB), lambda j, i: (0, j),
+                                memory_space=pltpu.VMEM)
+    sums = pl.pallas_call(
+        functools.partial(_fwd_rowmean_kernel, T=T, V=V, n_real=n_real,
+                          axis=axis, dot_dtype=jnp.dtype(dtype_str)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((T, BA, D), imap_t, memory_space=pltpu.VMEM),
+            pl.BlockSpec((V, BB, D), imap_v, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, BA, 1), imap_t, memory_space=pltpu.VMEM),
+            pl.BlockSpec((V, BB), lambda *a: imap_v(*a)[:2],
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_out, 1) if axis == 1 else (1, n_out), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "arbitrary")),
+    )(tn3, vn3, tw3, vw2)
+    return (sums[:, 0] if axis == 1 else sums[0, :]) / n_real
+
+
+def _rowmean_fwd(tn3, vn3, tw3, vw2, meta):
+    return _rowmean_core(tn3, vn3, tw3, vw2, meta), (tn3, vn3, tw3, vw2)
+
+
+def _rowmean_bwd(meta, res, g):
+    sim_meta, (A_real, B_real, axis) = _rowmean_meta(meta)
+    A, B = sim_meta[0], sim_meta[1]
+    n_real = B_real if axis == 1 else A_real
+    row = jax.lax.broadcasted_iota(jnp.int32, (A, B), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (A, B), 1)
+    valid = (row < A_real) & (col < B_real)
+    g = g.astype(jnp.float32) / n_real
+    g_full = jnp.where(valid, g[:, None] if axis == 1 else g[None, :], 0.0)
+    return _similarity_bwd(sim_meta, res, g_full)
+
+
+_rowmean_core.defvjp(_rowmean_fwd, _rowmean_bwd)
+
+
+def pallas_interaction_mean(
+    t_feat, v_feat, t_mask, v_mask, t_weight, v_weight,
+    axis: int = 1,
+    interpret: bool = False,
+    compute_dtype: str = "float32",
+):
+    """Mean of the interaction similarity matrix over `axis` without
+    materializing it: axis=1 → [A] row means, axis=0 → [B] column means.
+    Differentiable; the cotangent re-expands to the rank-1 [A, B] form."""
+    A, T, D = t_feat.shape
+    B, V, _ = v_feat.shape
+
+    tn = l2_normalize(t_feat).astype(jnp.float32) * \
+        t_mask.astype(jnp.float32)[:, :, None]
+    vn = l2_normalize(v_feat).astype(jnp.float32) * \
+        v_mask.astype(jnp.float32)[:, :, None]
+
+    BA, BB = _choose_blocks(A, B, T, V, D)
+    A_pad = ((A + BA - 1) // BA) * BA
+    B_pad = ((B + BB - 1) // BB) * BB
+
+    tn3 = _pad_to(tn, A_pad, 0).transpose(1, 0, 2)
+    tw3 = _pad_to(t_weight.astype(jnp.float32), A_pad, 0).T[:, :, None]
+    vn3 = _pad_to(vn, B_pad, 0).transpose(1, 0, 2)
+    vw2 = _pad_to(v_weight.astype(jnp.float32), B_pad, 0).T
+
+    meta = (A_pad, B_pad, T, V, D, BA, BB, interpret, compute_dtype, A, B,
+            axis)
+    out = _rowmean_core(tn3, vn3, tw3, vw2, meta)
+    return out[:A] if axis == 1 else out[:B]
+
+
+# ---------------------------------------------------------------------------
 # public API — drop-in for ops.similarity.interaction_similarity
 # ---------------------------------------------------------------------------
 

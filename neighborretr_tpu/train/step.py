@@ -82,18 +82,35 @@ def compute_losses(params: Params, cfg: Config, batch: Dict[str, jnp.ndarray],
         hubness.centrality_weighting_loss(s_local * scale, t_w)
         + hubness.centrality_weighting_loss(s_local.T * scale, v_w))
 
-    # neighbor adjusting vs the memory bank
-    bank_t2v = model.local_similarity(
-        params, text_feat, bank.feat_v, t_mask, bank.mask_v,
-        use_pallas_bank, sim_dtype=mcfg.sim_dtype)                        # [B, M]
-    bank_v2t = model.local_similarity(
-        params, bank.feat_t, video_feat, bank.mask_t, v_mask,
-        use_pallas_bank, sim_dtype=mcfg.sim_dtype).T                      # [B, M]
-    neighbor_loss = 0.5 * (
-        hubness.neighbor_adjusting_loss(
-            s_local, bank_v2t, lcfg.num_neighbors, lcfg.temperature)
-        + hubness.neighbor_adjusting_loss(
-            s_local.T, bank_t2v, lcfg.num_neighbors, lcfg.temperature))
+    # neighbor adjusting vs the memory bank.  The bank matrices feed the
+    # loss ONLY through a mean over the bank axis (until_module.py:181), so
+    # the fused path computes similarity + that reduction in ONE kernel with
+    # the bank features resident in HBM — the [B, M] matrices never
+    # materialize (loss-side fusion per the north-star contract).
+    if use_pallas_bank and model.bank_fusion_supported(mcfg):
+        cent_t = model.bank_centrality(                    # mean_m S(text, bank_v)
+            params, text_feat, bank.feat_v, t_mask, bank.mask_v,
+            axis=1, sim_dtype=mcfg.sim_dtype)
+        cent_v = model.bank_centrality(                    # mean_m S(bank_t, video)
+            params, bank.feat_t, video_feat, bank.mask_t, v_mask,
+            axis=0, sim_dtype=mcfg.sim_dtype)
+        neighbor_loss = 0.5 * (
+            hubness.neighbor_adjusting_loss_from_centrality(
+                s_local, cent_v, lcfg.num_neighbors, lcfg.temperature)
+            + hubness.neighbor_adjusting_loss_from_centrality(
+                s_local.T, cent_t, lcfg.num_neighbors, lcfg.temperature))
+    else:
+        bank_t2v = model.local_similarity(
+            params, text_feat, bank.feat_v, t_mask, bank.mask_v,
+            use_pallas_bank, sim_dtype=mcfg.sim_dtype)                    # [B, M]
+        bank_v2t = model.local_similarity(
+            params, bank.feat_t, video_feat, bank.mask_t, v_mask,
+            use_pallas_bank, sim_dtype=mcfg.sim_dtype).T                  # [B, M]
+        neighbor_loss = 0.5 * (
+            hubness.neighbor_adjusting_loss(
+                s_local, bank_v2t, lcfg.num_neighbors, lcfg.temperature)
+            + hubness.neighbor_adjusting_loss(
+                s_local.T, bank_t2v, lcfg.num_neighbors, lcfg.temperature))
 
     total = (centrality_loss
              + uniform_loss * lcfg.uniform_weight

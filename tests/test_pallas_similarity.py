@@ -97,3 +97,48 @@ def test_bf16_compute_close_to_fp32(rng):
     g16 = jax.grad(lambda a, b: jnp.sum(s16(a, b) ** 2), argnums=(0, 1))(tf, vf)
     for a, b in zip(g16, g32):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=6e-2)
+
+
+# ---------------------------------------------------------------------------
+# fused similarity → mean (loss-side fusion: bank centrality without the
+# [B, M] matrix)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("axis", [0, 1])
+@pytest.mark.parametrize("A,B,T,V,D", [(8, 16, 12, 6, 32),
+                                       (5, 19, 24, 12, 32)])
+def test_interaction_mean_forward(axis, A, B, T, V, D):
+    from neighborretr_tpu.ops.pallas_similarity import pallas_interaction_mean
+    rng = np.random.default_rng(0)
+    args = make_inputs(rng, A, B, T, V, D)
+    # axis=1: [A] row means; axis=0: [B] column means
+    ref = jnp.mean(interaction_similarity(*args), axis=axis)
+    out = pallas_interaction_mean(*args, axis=axis, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("axis", [0, 1])
+def test_interaction_mean_gradients(axis):
+    from neighborretr_tpu.ops.pallas_similarity import pallas_interaction_mean
+    A, B, T, V, D = 8, 16, 12, 6, 32
+    rng = np.random.default_rng(1)
+    tf, vf, tm, vm, tw, vw = make_inputs(rng, A, B, T, V, D)
+    probe = jnp.asarray(rng.normal(size=(A if axis == 1 else B,))
+                        .astype(np.float32))
+
+    def loss_ref(tf, vf, tw, vw):
+        m = jnp.mean(interaction_similarity(tf, vf, tm, vm, tw, vw),
+                     axis=axis)
+        return jnp.sum(m * probe)
+
+    def loss_ker(tf, vf, tw, vw):
+        m = pallas_interaction_mean(tf, vf, tm, vm, tw, vw, axis=axis,
+                                    interpret=True)
+        return jnp.sum(m * probe)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(tf, vf, tw, vw)
+    gk = jax.grad(loss_ker, argnums=(0, 1, 2, 3))(tf, vf, tw, vw)
+    for r, k, name in zip(gr, gk, ("t_feat", "v_feat", "t_weight", "v_weight")):
+        np.testing.assert_allclose(np.asarray(k), np.asarray(r),
+                                   rtol=2e-4, atol=1e-6, err_msg=name)
