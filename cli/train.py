@@ -67,6 +67,11 @@ def parse_args():
     p.add_argument("--explicit_spmd", action="store_true",
                    help="shard_map row-sharded losses instead of GSPMD "
                         "auto-partitioning (enables Pallas kernels on meshes)")
+    p.add_argument("--video_chunk_frames", type=int, default=0,
+                   help="encode the vision tower in sequential frame chunks "
+                        "of this size, each fully rematerialized (bounds "
+                        "activations by one chunk; enables batch-128 64f "
+                        "on one chip). 0 = off")
     p.add_argument("--remat_skip_last", type=int, default=0,
                    help="with --remat --unroll_layers: save-all for the last "
                         "N vision layers (~2.6 GB HBM each, ~4.5 ms/step)")
@@ -107,7 +112,8 @@ def main():
                           attention_impl=args.attention_impl,
                           use_pallas=args.use_pallas,
                           unroll_layers=args.unroll_layers,
-                          remat_skip_last=args.remat_skip_last),
+                          remat_skip_last=args.remat_skip_last,
+                          video_chunk_frames=args.video_chunk_frames),
         loss=LossConfig(centrality_scale=args.centrality_scale,
                         kl_weight=args.kl_weight,
                         uniform_weight=args.uniform_weight,

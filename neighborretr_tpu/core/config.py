@@ -116,6 +116,12 @@ class ModelConfig:
     # with remat+unroll: save-all (skip remat) for the last N encoder layers —
     # each skipped layer trades ~2.6 GB HBM for ~4.5 ms/step on v5e
     remat_skip_last: int = 0
+    # vision tower frame chunking: encode B·F frames in sequential chunks of
+    # this many frames, each wrapped in jax.checkpoint.  Unlike per-layer
+    # remat (whose lax.scan carry saves [layers, B·F, L, D] boundaries —
+    # 7.9 GB at the 64-frame batch-128 recipe), only chunk inputs/outputs
+    # persist; activations are bounded by ONE chunk.  0 = off.
+    video_chunk_frames: int = 0
 
     def __post_init__(self):
         # The temporal transformer, weighting nets and CTM stacks all operate

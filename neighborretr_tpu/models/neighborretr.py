@@ -112,11 +112,28 @@ def get_video_feat(params: Params, cfg: ModelConfig, video, video_mask,
     remat = cfg.remat if remat is None else remat
     B, F = video_mask.shape
     frames = video.reshape((B * F,) + video.shape[2:])
-    cls_feat, _ = clip_mod.encode_image(
-        params["clip"]["visual"], cfg.clip, frames, dtype=dtype, remat=remat,
-        unroll=cfg.unroll_layers, remat_policy=cfg.remat_policy,
-        fused_attention=resolve_fused_attention(cfg),
-        remat_skip_last=cfg.remat_skip_last, project_hidden=False)
+
+    def encode_frames(fr, chunk_remat):
+        cls_feat, _ = clip_mod.encode_image(
+            params["clip"]["visual"], cfg.clip, fr, dtype=dtype,
+            remat=chunk_remat, unroll=cfg.unroll_layers,
+            remat_policy=cfg.remat_policy,
+            fused_attention=resolve_fused_attention(cfg),
+            remat_skip_last=cfg.remat_skip_last, project_hidden=False)
+        return cls_feat
+
+    chunk = cfg.video_chunk_frames
+    if chunk and B * F > chunk and (B * F) % chunk == 0:
+        # sequential frame chunks, each fully rematerialized: activations
+        # are bounded by one chunk and no per-layer scan boundaries are
+        # saved (config.video_chunk_frames) — per-layer remat inside the
+        # chunk is off since the chunk's recompute already fits
+        chunked = frames.reshape((B * F // chunk, chunk) + frames.shape[1:])
+        cls_feat = jax.lax.map(
+            jax.checkpoint(lambda fr: encode_frames(fr, False)), chunked)
+        cls_feat = cls_feat.reshape((B * F,) + cls_feat.shape[2:])
+    else:
+        cls_feat = encode_frames(frames, remat)
     frame_feat = cls_feat.reshape(B, F, -1).astype(jnp.float32)
     return temporal_mod.aggregate_video_features(
         params["temporal"], cfg, frame_feat, video_mask, dtype=dtype,

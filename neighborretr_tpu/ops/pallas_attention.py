@@ -77,7 +77,12 @@ def _split_heads(x, rows, D, H, hd, n_parts: int = 3):
 
     NRTPU_SPLIT_HEADS=transpose swaps the 3·H slice-concats for one
     minor-dim reshape + transpose per part (A/B probe for the relayout cost
-    — the identified gap between the kernel forward and its FLOP bound)."""
+    — the identified gap between the kernel forward and its FLOP bound).
+    NEGATIVE RESULT (v5e, 2026-08): Mosaic cannot lower the lane-split
+    reshape vector<rows×3D> → vector<rows×3H×hd> in compiled mode (works in
+    interpret only) — the slice-concat relayout stands as the best known
+    formulation; the remaining fwd gap vs the FLOP bound is this relayout
+    plus the fp32 softmax VPU work."""
     import os
     if os.environ.get("NRTPU_SPLIT_HEADS") == "transpose":
         x3 = x.astype(jnp.bfloat16).reshape(rows, n_parts * H, hd)

@@ -24,6 +24,7 @@ import numpy as np
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 MB_BATCH = int(os.environ.get("BENCH_MB", "2"))      # bank = MB*BATCH
 REMAT = os.environ.get("BENCH_REMAT", "1") == "1"
+CHUNK = int(os.environ.get("BENCH_CHUNK", "0"))   # frame-chunked remat
 MEASURE_STEPS = int(os.environ.get("BENCH_STEPS", "8"))
 
 
@@ -38,7 +39,8 @@ def main():
                                              fill_bank_step, train_step)
 
     mcfg = dataclasses.replace(ModelConfig(), max_words=64, max_frames=64,
-                               remat=REMAT, unroll_layers=not REMAT)
+                               remat=REMAT, unroll_layers=not REMAT,
+                               video_chunk_frames=CHUNK)
     cfg = Config(model=mcfg, loss=LossConfig(),
                  train=TrainConfig(batch_size=BATCH, mb_batch=MB_BATCH))
     print(f"# device: {jax.devices()[0]}  batch={BATCH} bank="

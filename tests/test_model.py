@@ -207,3 +207,36 @@ def test_multi_token_global_configs(rng):
     fc1_grad = float(sum(jnp.sum(jnp.abs(x))
                          for x in jax.tree.leaves(g["text_weight_fc1"])))
     assert np.isfinite(fc1_grad) and fc1_grad > 0
+
+
+def test_video_chunk_frames_matches_unchunked(rng):
+    """Frame-chunked video encoding (config.video_chunk_frames: sequential
+    jax.checkpoint'd chunks) is numerically identical to the one-shot path,
+    forward and gradient."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    cfg = ModelConfig.tiny(max_words=8, max_frames=4)
+    cfg_chunked = dataclasses.replace(cfg, video_chunk_frames=8)
+    params = model.init_params(jax.random.PRNGKey(0), cfg)
+    B, F, R = 6, 4, cfg.clip.image_resolution
+    video = jnp.asarray(rng.normal(size=(B, F, R, R, 3)).astype(np.float32))
+    mask = jnp.ones((B, F), jnp.float32)
+
+    out_plain = model.get_video_feat(params, cfg, video, mask)
+    out_chunk = model.get_video_feat(params, cfg_chunked, video, mask)
+    np.testing.assert_allclose(np.asarray(out_chunk), np.asarray(out_plain),
+                               atol=1e-5)
+
+    def loss(cfg_):
+        def f(p):
+            return jnp.sum(model.get_video_feat(p, cfg_, video, mask) ** 2)
+        return f
+
+    g_plain = jax.grad(loss(cfg))(params)
+    g_chunk = jax.grad(loss(cfg_chunked))(params)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_chunk)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-4)
