@@ -284,8 +284,9 @@ def evaluate(params: Params, cfg: Config, loader, dataset=None,
         t2v = M.metrics_from_ranks(fetch(ranks)[fetch(valid)])
         v2t = M.metrics_from_ranks(fetch(M.device_video_to_text_ranks(sim_3d)))
     else:
-        t2v = M.metrics_from_ranks(fetch(M.device_ranks(sim)))
-        v2t = M.metrics_from_ranks(fetch(M.device_ranks(sim.T)))
+        r_t2v, r_v2t = M.device_ranks_both(sim)
+        t2v = M.metrics_from_ranks(fetch(r_t2v))
+        v2t = M.metrics_from_ranks(fetch(r_v2t))
     sim_time = time.time() - tic
 
     if logger is not None:

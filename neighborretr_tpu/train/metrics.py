@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Sequence, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,6 +41,19 @@ def device_ranks(similarity: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(similarity > diag, axis=1)
 
 
+@jax.jit
+def device_ranks_both(similarity: jnp.ndarray):
+    """Both-direction diagonal ranks in ONE compiled dispatch (t2v rows,
+    v2t columns) — a single kernel over the matrix, two [N] int vectors out.
+    One dispatch matters on remote-device transports where each eager jnp
+    op pays a round trip."""
+    diag = jnp.diagonal(similarity)
+    t2v = jnp.sum(similarity > diag[:, None], axis=1)
+    v2t = jnp.sum(similarity > diag[None, :], axis=0)
+    return t2v, v2t
+
+
+@jax.jit
 def device_multi_sentence_ranks(sim_3d: jnp.ndarray):
     """On-device t2v ranks for the [V, max_caps, V] caption-grouped tensor.
 
@@ -56,6 +70,7 @@ def device_multi_sentence_ranks(sim_3d: jnp.ndarray):
     return ranks, valid
 
 
+@jax.jit
 def device_video_to_text_ranks(sim_3d: jnp.ndarray) -> jnp.ndarray:
     """On-device v2t ranks: max-over-captions matrix transposed, then
     rank-of-diagonal (metrics.py:125-145 + compute_metrics)."""

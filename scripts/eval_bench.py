@@ -16,7 +16,9 @@ enable_compilation_cache()
 
 from neighborretr_tpu.core.config import Config, ModelConfig
 from neighborretr_tpu.models import neighborretr as model
-from neighborretr_tpu.train.evaluate import similarity_matrix
+from neighborretr_tpu.train import metrics as M
+from neighborretr_tpu.train.evaluate import (similarity_matrix,
+                                             similarity_matrix_device)
 
 
 def main():
@@ -57,6 +59,42 @@ def main():
         out = enc(params, ids, tmask, batch_video, vmask)
     _ = float(out[0].sum())
     dt = (time.perf_counter() - tic) / 5
+    # phase 3: ranking — round-2 device path (only [N] int rank vectors
+    # leave HBM) vs the round-1 host path (full fp32 matrix transfer +
+    # numpy argsort); the device numbers match on tie-free floats
+    sim_d = similarity_matrix_device(params, cfg, t_feat, t_mask,
+                                     v_feat, v_mask)
+    _ = jax.block_until_ready(M.device_ranks_both(sim_d))   # compile
+    tic = time.perf_counter()
+    for _ in range(5):
+        r_t2v, r_v2t = M.device_ranks_both(sim_d)
+        t2v = M.metrics_from_ranks(np.asarray(r_t2v))
+        v2t = M.metrics_from_ranks(np.asarray(r_v2t))
+    dt_dev = (time.perf_counter() - tic) / 5
+    tic = time.perf_counter()
+    for _ in range(5):
+        sim_h = np.asarray(sim_d)
+        t2v_h = M.compute_metrics(sim_h)
+        v2t_h = M.compute_metrics(sim_h.T)
+    dt_host = (time.perf_counter() - tic) / 5
+    # Agreement check, tie-aware: the reference's np.where(sx - d == 0)
+    # emits MULTIPLE rank entries for a row whose diagonal ties another
+    # column exactly (metrics.py:38-79 quirk; bf16 MXU products make such
+    # ties real on TPU — 2/1000 rows on this matrix).  device_ranks is the
+    # first-occurrence rank, so compare per-row first occurrences.
+    for sim_np, ranks_np in ((sim_h, np.asarray(r_t2v)),
+                             (sim_h.T, np.asarray(r_v2t))):
+        sx = np.sort(-sim_np, axis=1)
+        d = np.diag(-sim_np)[:, None]
+        rows, cols = np.where(sx - d == 0)
+        _, first_idx = np.unique(rows, return_index=True)
+        assert np.array_equal(cols[first_idx], ranks_np)
+    print(f"ranking {N}x{N}: device {dt_dev*1e3:.1f} ms vs "
+          f"host-transfer {dt_host*1e3:.1f} ms "
+          f"({dt_host/dt_dev:.1f}x); host R1 {t2v_h['R1']:.1f}/"
+          f"{v2t_h['R1']:.1f} dev {t2v['R1']:.1f}/{v2t['R1']:.1f}",
+          flush=True)
+
     print(f"eval encode: {dt*1e3:.1f} ms/batch-{B} ({B/dt:.0f} pairs/s)",
           flush=True)
 
