@@ -104,8 +104,11 @@ class BatchLoader:
         lo = self.process_index * per
         local_idx = g_idx[lo:lo + per]
 
-        items = list(pool.map(self.dataset.item, local_idx))
-        batch = _stack(items)
+        # fetch each unique index once: pad slots repeat the last real index
+        # and must not re-decode its video per slot
+        uniq, inv = np.unique(local_idx, return_inverse=True)
+        fetched = list(pool.map(self.dataset.item, uniq))
+        batch = _stack([fetched[j] for j in inv])
         batch["valid"] = g_valid[lo:lo + per]
         if self.process_count > 1:
             batch["global_idx"] = g_idx

@@ -123,11 +123,15 @@ def get_video_feat(params: Params, cfg: ModelConfig, video, video_mask,
         return cls_feat
 
     chunk = cfg.video_chunk_frames
-    if chunk and B * F > chunk and (B * F) % chunk == 0:
+    if chunk and B * F > chunk:
         # sequential frame chunks, each fully rematerialized: activations
         # are bounded by one chunk and no per-layer scan boundaries are
         # saved (config.video_chunk_frames) — per-layer remat inside the
-        # chunk is off since the chunk's recompute already fits
+        # chunk is off since the chunk's recompute already fits.  A chunk
+        # that does not divide B·F is rounded down to the largest divisor
+        # so the memory bound still holds (never silently unchunked).
+        if (B * F) % chunk:
+            chunk = max(d for d in range(1, chunk + 1) if (B * F) % d == 0)
         chunked = frames.reshape((B * F // chunk, chunk) + frames.shape[1:])
         cls_feat = jax.lax.map(
             jax.checkpoint(lambda fr: encode_frames(fr, False)), chunked)
@@ -213,11 +217,10 @@ def local_similarity(params: Params, t_feat, v_feat, t_mask, v_mask,
     T, V = t_feat.shape[1], v_feat.shape[1]
     if T * V >= 2048:
         # 64w/64f recipes: the blocked two-level kernel (v-chunk grid axis)
-        # replaces both the flat kernel (register-spills here) and the
-        # sequential lax.map fallback whenever a single TPU chip runs the
-        # program (same predicate as resolve_use_pallas)
-        if use_pallas or (jax.default_backend() == "tpu"
-                          and jax.device_count() == 1):
+        # replaces the flat kernel (which register-spills here); callers pass
+        # the resolve_use_pallas(cfg) verdict, so an explicit
+        # use_pallas="off" really does route to the chunked XLA form
+        if use_pallas:
             from ..ops.pallas_similarity_blocked import (
                 pallas_interaction_similarity_blocked)
             return pallas_interaction_similarity_blocked(

@@ -40,16 +40,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_similarity import _pad_to
 from .similarity import l2_normalize
-
-
-def _pad_to(x, size, axis):
-    pad = size - x.shape[axis]
-    if pad == 0:
-        return x
-    widths = [(0, 0)] * x.ndim
-    widths[axis] = (0, pad)
-    return jnp.pad(x, widths)
 
 
 def _choose_blocks(A: int, B: int, T: int, V: int, D: int

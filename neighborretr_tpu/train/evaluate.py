@@ -47,6 +47,15 @@ def _encode_video_batch(params, cfg: Config, video, video_mask):
     return model.get_video_feat(params, cfg.model, video, video_mask)
 
 
+@functools.lru_cache(maxsize=8)
+def _replicator(mesh):
+    """Jitted identity that reshards to fully-replicated, cached per mesh so
+    repeated evaluate() calls reuse one traced program."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    return jax.jit(lambda a: a,
+                   out_shardings=NamedSharding(mesh, PartitionSpec()))
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _sim_block(params, cfg: Config, t_feat, v_feat, t_mask, v_mask):
     return model.local_similarity(params, t_feat, v_feat, t_mask, v_mask,
@@ -75,9 +84,16 @@ def extract_features(params: Params, cfg: Config, loader, mesh=None,
     if mesh is not None:
         from ..parallel.mesh import batch_sharding
         sharding = batch_sharding(mesh)
-
-        def place(v):
-            return jax.device_put(np.asarray(v), sharding)
+        if jax.process_count() > 1:
+            # local loader rows → global array, same assembly as
+            # mesh.shard_batch (device_put would treat the local rows as the
+            # whole global batch and corrupt the feature cache)
+            def place(v):
+                return jax.make_array_from_process_local_data(
+                    sharding, np.asarray(v))
+        else:
+            def place(v):
+                return jax.device_put(np.asarray(v), sharding)
     else:
         place = jnp.asarray
 
@@ -94,8 +110,26 @@ def extract_features(params: Params, cfg: Config, loader, mesh=None,
 
     t_feats, t_masks, v_masks, ids, valids = [], [], [], [], []
     v_feats = []
-    kept = {}          # keep-order position → (video, mask) host arrays
+    # kept-video staging is bounded at ONE loader batch: pending raw frames
+    # are encoded as soon as a full group accumulates (staging every kept
+    # uint8 video before encoding would pin ~GBs of host memory at
+    # ActivityNet scale)
+    pend_v, pend_m = [], []
+    kept_chunks, kept_masks = [], []
+    n_kept_seen = 0
     batch_size = None
+
+    def flush_kept(pad_to=None):
+        v = np.stack(pend_v)
+        m = np.stack(pend_m)
+        if pad_to and len(v) < pad_to:
+            pad = pad_to - len(v)
+            v = np.concatenate([v, np.repeat(v[-1:], pad, 0)])
+            m = np.concatenate([m, np.repeat(m[-1:], pad, 0)])
+        kept_chunks.append(_encode_video_batch(params, cfg, place(v), place(m)))
+        pend_v.clear()
+        pend_m.clear()
+
     for batch in loader:
         batch_size = len(batch["idx"])
         # multi-process: masks ride the device (global arrays assembled from
@@ -114,8 +148,15 @@ def extract_features(params: Params, cfg: Config, loader, mesh=None,
             for i, (gid, ok) in enumerate(zip(batch["idx"], batch["valid"])):
                 j = keep_pos.get(int(gid)) if ok else None
                 if j is not None:
-                    kept[j] = (np.asarray(batch["video"][i]),
-                               np.asarray(batch["video_mask"][i]))
+                    assert j == n_kept_seen, (
+                        "video_keep rows must arrive in keep order (sorted "
+                        "keep indices over an unshuffled eval loader)")
+                    n_kept_seen += 1
+                    pend_v.append(np.asarray(batch["video"][i]))
+                    kept_masks.append(np.asarray(batch["video_mask"][i]))
+                    pend_m.append(kept_masks[-1])
+                    if len(pend_v) == batch_size:
+                        flush_kept()
         t_feats.append(tf)
         t_masks.append(tm_in if multiprocess else batch["text_mask"])
         # multi-process loaders carry the full global plan per batch; the
@@ -142,23 +183,15 @@ def extract_features(params: Params, cfg: Config, loader, mesh=None,
             v_mask = np.concatenate(v_masks)[row_index]
         return t_feat, t_mask, v_feat, v_mask
 
-    # encode the unique kept videos, re-batched to the loader's batch size
+    # unique kept videos were encoded as the loader streamed (batched to the
+    # loader's batch size; the trailing partial group pads by repeating its
+    # last row so every encode call shares one compiled program)
     K = len(video_keep)
-    assert len(kept) == K, f"missing kept video rows: {K - len(kept)}"
-    videos = np.stack([kept[j][0] for j in range(K)])
-    v_mask = np.stack([kept[j][1] for j in range(K)])
-    pad = (-K) % batch_size
-    if pad:
-        videos_p = np.concatenate([videos, np.repeat(videos[-1:], pad, 0)])
-        v_mask_p = np.concatenate([v_mask, np.repeat(v_mask[-1:], pad, 0)])
-    else:
-        videos_p, v_mask_p = videos, v_mask
-    chunks = []
-    for s in range(0, len(videos_p), batch_size):
-        chunks.append(_encode_video_batch(
-            params, cfg, place(videos_p[s:s + batch_size]),
-            place(v_mask_p[s:s + batch_size])))
-    v_feat = jnp.concatenate(chunks)[:K]
+    assert n_kept_seen == K, f"missing kept video rows: {K - n_kept_seen}"
+    if pend_v:
+        flush_kept(pad_to=batch_size)
+    v_feat = jnp.concatenate(kept_chunks)[:K]
+    v_mask = np.stack(kept_masks)
     return t_feat, t_mask, v_feat, v_mask
 
 
@@ -269,11 +302,9 @@ def evaluate(params: Params, cfg: Config, loader, dataset=None,
     # (reference pulls the full matrix to numpy, metrics.py:57-66)
     def fetch(x):
         """Host-fetch a (possibly multi-host sharded) rank vector: replicate
-        through one jitted identity so every process can read it."""
+        through one cached jitted identity so every process can read it."""
         if multiprocess and mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-            x = jax.jit(lambda a: a, out_shardings=NamedSharding(
-                mesh, PartitionSpec()))(x)
+            x = _replicator(mesh)(x)
         return np.asarray(x)
 
     if multi:

@@ -94,6 +94,7 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
     state = create_train_state(params, bank)
     tracker = BestMetricsTracker()
     best_path = os.path.join(cfg.train.output_dir, "best.npz")
+    best_host = None     # host copy of the best params, held by EVERY process
     global_step = 0
     start_epoch = 0
 
@@ -156,20 +157,22 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
                 t2v, v2t = evaluate(state.params, cfg, test_loader,
                                     dataset=test_ds, logger=logger,
                                     mesh=mesh)
-                if tracker.update(t2v, v2t) and cfg.train.save_checkpoints \
-                        and jax.process_index() == 0:
-                    ckpt.save_params(best_path, state.params)
-                    logger.info("Saved best checkpoint (mean R@1 %.2f)",
-                                tracker.best_mean_r1)
+                if tracker.update(t2v, v2t) and cfg.train.save_checkpoints:
+                    best_host = jax.device_get(state.params)
+                    if jax.process_index() == 0:
+                        ckpt.save_params(best_path, state.params)
+                        logger.info("Saved best checkpoint (mean R@1 %.2f)",
+                                    tracker.best_mean_r1)
 
         # per-epoch eval + checkpoint (main.py:333-365)
         t2v, v2t = evaluate(state.params, cfg, test_loader, dataset=test_ds,
                             logger=logger, mesh=mesh)
-        if tracker.update(t2v, v2t) and cfg.train.save_checkpoints \
-                and jax.process_index() == 0:
-            ckpt.save_params(best_path, state.params)
-            logger.info("Saved best checkpoint (mean R@1 %.2f)",
-                        tracker.best_mean_r1)
+        if tracker.update(t2v, v2t) and cfg.train.save_checkpoints:
+            best_host = jax.device_get(state.params)
+            if jax.process_index() == 0:
+                ckpt.save_params(best_path, state.params)
+                logger.info("Saved best checkpoint (mean R@1 %.2f)",
+                            tracker.best_mean_r1)
         # checkpoint IO is process-0 only (reference rank-0 saves,
         # main.py:161-187); params/state are replicated so process 0 holds
         # the full copy
@@ -186,9 +189,16 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
             state = state._replace(
                 bank=mb.MemoryBank(*pmesh.replicate_tree(tuple(state.bank), mesh)))
 
-    # final test on the best checkpoint (main.py:389-409)
-    if cfg.train.save_checkpoints and os.path.exists(best_path):
+    # final test on the best checkpoint (main.py:389-409).  The gate must be
+    # identical on every process (evaluate() runs SPMD collectives): the
+    # in-memory best copy is captured by ALL processes at update time, so it
+    # never depends on process-0-only disk state.  A disk fallback covers the
+    # single-process resume case where best.npz predates this run.
+    best_params = best_host
+    if best_params is None and jax.process_count() == 1 \
+            and cfg.train.save_checkpoints and os.path.exists(best_path):
         best_params = ckpt.load_params(best_path, jax.device_get(state.params))
+    if cfg.train.save_checkpoints and best_params is not None:
         if mesh is not None:
             best_params = pmesh.replicate_tree(best_params, mesh)
         logger.info("Final test on best checkpoint:")

@@ -56,9 +56,14 @@ def compute_losses(params: Params, cfg: Config, batch: Dict[str, jnp.ndarray],
     # at 128x1920, plus ~300 MB HBM saved); the in-batch B×B matrix is faster
     # through XLA's einsum (7.7 vs 11.2 ms at 128x128), so it stays XLA.
     use_pallas_bank = model.resolve_use_pallas(mcfg)
-    # local (token-interaction) similarity, v2t = S.T
-    s_local = model.local_similarity(params, text_feat, video_feat,
-                                     t_mask, v_mask)
+    # local (token-interaction) similarity, v2t = S.T.  Short shapes force
+    # the XLA einsum (faster at B×B); long-token shapes (T·V ≥ 2k) pass the
+    # resolved verdict so the blocked kernel serves them unless the user
+    # set use_pallas="off".
+    long_tokens = text_feat.shape[1] * video_feat.shape[1] >= 2048
+    s_local = model.local_similarity(
+        params, text_feat, video_feat, t_mask, v_mask,
+        use_pallas_bank if long_tokens else False)
 
     # global path: CTM merge → global similarity → uniform + KL
     g_t, g_v = model.merge_global_features(

@@ -58,6 +58,17 @@ def run():
         losses.append(float(metrics["loss"]))
     print("LOSSES " + json.dumps(losses), flush=True)
 
+    # multi-host evaluate(): per-process eval loader shards (pad_to_batch
+    # exercises the padded-tail global plan) → SPMD feature cache → on-device
+    # ranking; metrics must match the single-controller run exactly
+    from neighborretr_tpu.train.evaluate import evaluate
+    eval_loader = BatchLoader(ds, 16, shuffle=False, drop_last=False,
+                              pad_to_batch=True, workers=2, prefetch=0,
+                              process_index=jax.process_index(),
+                              process_count=jax.process_count())
+    t2v, v2t = evaluate(state.params, cfg, eval_loader, dataset=ds, mesh=mesh)
+    print("EVAL " + json.dumps([t2v, v2t]), flush=True)
+
 
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]

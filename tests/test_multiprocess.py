@@ -37,13 +37,18 @@ def _spawn(pid: int, nproc: int, port: int) -> subprocess.Popen:
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
 
 
-def _losses(proc: subprocess.Popen):
+def _results(proc: subprocess.Popen):
     out, err = proc.communicate(timeout=600)
     assert proc.returncode == 0, f"worker failed:\n{out}\n{err}"
+    losses = evals = None
     for line in out.splitlines():
         if line.startswith("LOSSES "):
-            return json.loads(line[len("LOSSES "):])
-    raise AssertionError(f"no LOSSES line in worker output:\n{out}\n{err}")
+            losses = json.loads(line[len("LOSSES "):])
+        elif line.startswith("EVAL "):
+            evals = json.loads(line[len("EVAL "):])
+    assert losses is not None and evals is not None, \
+        f"missing LOSSES/EVAL line in worker output:\n{out}\n{err}"
+    return losses, evals
 
 
 @pytest.mark.slow
@@ -51,10 +56,18 @@ def test_two_process_losses_match_single_process():
     port = _free_port()
     p0 = _spawn(0, 2, port)
     p1 = _spawn(1, 2, port)
-    losses0 = _losses(p0)
-    losses1 = _losses(p1)
-    single = _losses(_spawn(0, 1, _free_port()))
+    losses0, evals0 = _results(p0)
+    losses1, evals1 = _results(p1)
+    single, evals_single = _results(_spawn(0, 1, _free_port()))
 
     assert len(losses0) == len(single) == 2
     np.testing.assert_allclose(losses0, losses1, rtol=0, atol=0)
     np.testing.assert_allclose(losses0, single, rtol=1e-5)
+    # evaluate() over the 2-process mesh (per-process loader shards assembled
+    # via make_array_from_process_local_data) reproduces the
+    # single-controller metrics: both directions, every metric
+    for d0, d1, ds_ in zip(evals0, evals1, evals_single):
+        assert d0 == d1
+        for k in ds_:
+            np.testing.assert_allclose(d0[k], ds_[k], rtol=1e-5,
+                                       err_msg=f"metric {k}")
