@@ -240,3 +240,46 @@ def test_video_chunk_frames_matches_unchunked(rng):
     for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_chunk)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-5, atol=1e-4)
+
+
+def test_use_pallas_off_honored_at_long_token_shapes(monkeypatch, rng):
+    """use_pallas=False routes long-token (T·V ≥ 2k) similarity to the
+    chunked XLA path — an explicit "off" must not be overridden by the
+    single-chip TPU predicate (review finding, round 2)."""
+    from neighborretr_tpu.ops import pallas_similarity_blocked as blocked
+
+    D = 16
+    A, B_, T, V = 4, 4, 32, 64          # T*V = 2048 → long-token branch
+    t_feat = jnp.asarray(rng.normal(size=(A, T, D)).astype(np.float32))
+    v_feat = jnp.asarray(rng.normal(size=(B_, V, D)).astype(np.float32))
+    t_mask = jnp.ones((A, T), jnp.float32)
+    v_mask = jnp.ones((B_, V), jnp.float32)
+    params = {
+        "text_weight_fc": {
+            "fc1": {"w": jnp.eye(D, dtype=jnp.float32),
+                    "b": jnp.zeros((D,), jnp.float32)},
+            "fc2": {"w": jnp.asarray(
+                rng.normal(size=(D, 1)).astype(np.float32)),
+                "b": jnp.zeros((1,), jnp.float32)},
+        },
+    }
+    params["video_weight_fc"] = params["text_weight_fc"]
+
+    calls = []
+    real = blocked.pallas_interaction_similarity_blocked
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        kwargs["interpret"] = True      # CPU test host
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(blocked, "pallas_interaction_similarity_blocked", spy)
+
+    s_off = model.local_similarity(params, t_feat, v_feat, t_mask, v_mask,
+                                   use_pallas=False)
+    assert not calls, "use_pallas=False must not reach the blocked kernel"
+    s_on = model.local_similarity(params, t_feat, v_feat, t_mask, v_mask,
+                                  use_pallas=True)
+    assert calls, "use_pallas=True must route to the blocked kernel"
+    np.testing.assert_allclose(np.asarray(s_on), np.asarray(s_off),
+                               rtol=1e-4, atol=1e-4)
