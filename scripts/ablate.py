@@ -11,10 +11,13 @@ Measurement rules learned the hard way (see .claude/skills/verify/SKILL.md):
   * ablations monkeypatch layers.mha / layers.block_apply to identity-style
     variants, attributing time to the attention and MLP sublayers.
 
-Reference numbers (v5e, batch 64, 2026-08, pre-block-kernel):
-video fwd 66.9 ms — attention sublayer 33.9, MLP 24.0, rest 9.0;
-video f+b 156.8 ms — attention sublayer 88.1; stem (normalize+patchify+
-embed) 8.0 ms as transpose+matmul vs 4.2 ms as strided conv.
+Reference numbers (v5e, batch 64, 2026-08, block-kernel path):
+video fwd 55.7 ms — attention sublayer 25.8, MLP 29.3;
+video f+b 153.0 ms — attention sublayer 91.9 (2.15 ms/layer fwd, ~2.6× the
+FLOP bound: head relayout + fp32 softmax, see SKILL.md negative A/Bs),
+MLP 64.9 (~100% MFU); text fwd 3.7.  Pre-block-kernel history: video fwd
+66.9 (attn 33.9, MLP 24.0), f+b 156.8 (attn 88.1); stem 8.0 ms as
+transpose+matmul vs 4.2 as strided conv.
 """
 import dataclasses
 import os
@@ -84,13 +87,33 @@ def towers():
         return jax.jit(lambda p: jnp.sum(jnp.square(model.get_text_feat(
             p, c, b["text_ids"], b["text_mask"]))))
 
-    orig_mha, orig_block = L.mha, L.block_apply
+    orig_block = L.block_apply
 
-    def no_attn(p, x, n_head, attn_bias=None, dtype=jnp.float32, fused=False):
-        return x.astype(dtype)
+    # The production towers route through block_apply's fused_ln_... branch,
+    # so BOTH ablations must patch block_apply itself (patching layers.mha
+    # alone is a no-op for the block-kernel path — it is never called).
+    def block_no_attn(p, x, n_head, attn_bias=None, dtype=jnp.float32,
+                      fused_attention=False):
+        h = L.linear(p["mlp"]["c_fc"], L.layer_norm(p["ln_2"], x),
+                     dtype=dtype)
+        return x + L.linear(p["mlp"]["c_proj"], L.quick_gelu(h), dtype=dtype)
 
     def block_no_mlp(p, x, n_head, attn_bias=None, dtype=jnp.float32,
                      fused_attention=False):
+        if fused_attention == "block":
+            from neighborretr_tpu.ops.pallas_block_attention import (
+                fused_ln_attention_residual)
+            bias = None
+            if attn_bias is not None:
+                B, Lx = x.shape[0], x.shape[1]
+                bias = jnp.broadcast_to(attn_bias.astype(jnp.float32),
+                                        (B, 1, Lx, Lx))[:, 0]
+            return fused_ln_attention_residual(
+                x.astype(dtype), p["ln_1"]["scale"], p["ln_1"]["bias"],
+                p["attn"]["in_proj"]["w"], p["attn"]["in_proj"]["b"],
+                p["attn"]["out_proj"]["w"], p["attn"]["out_proj"]["b"],
+                n_head, bias=bias,
+                interpret=jax.default_backend() != "tpu")
         h = L.layer_norm(p["ln_1"], x)
         return x + L.mha(p["attn"], h, n_head, attn_bias, dtype,
                          fused=bool(fused_attention))
@@ -99,13 +122,13 @@ def towers():
     timeit("video f+b  full", vfb(cfg), params)
     timeit("text  fwd  full", tfwd(cfg), params)
 
-    L.mha = no_attn
+    L.block_apply = block_no_attn
     timeit("video fwd  no-attn", vfwd(cfg), params)
     timeit("video f+b  no-attn", vfb(cfg), params)
-    L.mha = orig_mha
 
     L.block_apply = block_no_mlp
     timeit("video fwd  no-mlp", vfwd(cfg), params)
+    timeit("video f+b  no-mlp", vfb(cfg), params)
     L.block_apply = orig_block
 
 
