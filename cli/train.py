@@ -67,6 +67,10 @@ def parse_args():
     p.add_argument("--explicit_spmd", action="store_true",
                    help="shard_map row-sharded losses instead of GSPMD "
                         "auto-partitioning (enables Pallas kernels on meshes)")
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="shard tower weight matrices (Megatron layout) over "
+                        "a `model` mesh axis of this size; remaining devices "
+                        "form the data axis (GSPMD path only)")
     p.add_argument("--video_chunk_frames", type=int, default=0,
                    help="encode the vision tower in sequential frame chunks "
                         "of this size, each fully rematerialized (bounds "
@@ -144,8 +148,20 @@ def main():
     import jax
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
-    mesh = pmesh.make_mesh(num_devices=args.num_devices)
-    validate(cfg, mesh.devices.size)
+    if args.tensor_parallel > 1:
+        if args.explicit_spmd:
+            raise SystemExit("--tensor_parallel requires the GSPMD path "
+                             "(drop --explicit_spmd)")
+        n = args.num_devices or len(jax.devices())
+        if n % args.tensor_parallel:
+            raise SystemExit(f"--tensor_parallel {args.tensor_parallel} must "
+                             f"divide the device count {n}")
+        mesh = pmesh.make_tp_mesh((n // args.tensor_parallel,
+                                   args.tensor_parallel))
+        validate(cfg, mesh.shape["data"])
+    else:
+        mesh = pmesh.make_mesh(num_devices=args.num_devices)
+        validate(cfg, mesh.devices.size)
 
     logger = setup_logger(output_dir=args.output_dir)
     logger.info("Devices: %s", jax.devices())

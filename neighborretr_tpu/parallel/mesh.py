@@ -47,10 +47,13 @@ def make_hybrid_mesh(shape: Tuple[int, int],
 
 
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    """Batch-dim sharding over every mesh axis (1-D `data` mesh or the
-    hybrid (replica, data) mesh — axis 0 of the array splits over all)."""
+    """Batch-dim sharding over the data-parallel mesh axes (1-D `data` mesh
+    or the hybrid (replica, data) mesh — axis 0 of the array splits over
+    all).  A `model` (tensor-parallel) axis is excluded: batches replicate
+    across it, parameters shard over it (see `tp_param_shardings`)."""
+    dp_axes = tuple(a for a in mesh.axis_names if a != "model")
     if len(mesh.axis_names) > 1:
-        return NamedSharding(mesh, P(tuple(mesh.axis_names)))
+        return NamedSharding(mesh, P(dp_axes))
     return NamedSharding(mesh, P(axis))
 
 
@@ -78,3 +81,67 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "data"):
 def replicate_tree(tree, mesh: Mesh):
     sh = replicated(mesh)
     return jax.device_put(tree, sh)
+
+
+# ---------------------------------------------------------------------------
+# tensor parallelism (optional 2-D data×model mesh)
+# ---------------------------------------------------------------------------
+
+def make_tp_mesh(shape: Tuple[int, int],
+                 axes: Tuple[str, str] = ("data", "model")) -> Mesh:
+    """2-D mesh for data + tensor parallelism: batches shard over `data`,
+    transformer weight matrices shard over `model` (Megatron layout via
+    GSPMD — see `tp_param_shardings`).
+
+    Beyond-reference capability: the reference is DP-only (SURVEY §2.2 —
+    ViT-B fits one GPU), but larger backbones (ViT-L/14 at 64 frames) want
+    the towers' weights and activations split across chips.  Here TP is pure
+    placement — the model code is unchanged; XLA partitions the einsums and
+    inserts the all-reduces the Megatron pattern implies."""
+    n = shape[0] * shape[1]
+    devices = np.array(jax.devices()[:n]).reshape(shape)
+    return Mesh(devices, axis_names=axes)
+
+
+def tp_param_shardings(params, mesh: Mesh, model_axis: str = "model"):
+    """NamedSharding tree for Megatron-style tensor parallelism.
+
+    Per residual block (layers.py pytrees, stacked on a leading layer axis):
+      attn.in_proj.w  [.., D, 3D]  → columns over `model` (heads split)
+      attn.in_proj.b  [.., 3D]     → last axis over `model`
+      attn.out_proj.w [.., D, D]   → rows over `model` (partial sums → psum)
+      mlp.c_fc.w      [.., D, 4D]  → columns;  mlp.c_fc.b [.., 4D] → last
+      mlp.c_proj.w    [.., 4D, D]  → rows
+    Everything else (embeddings, LayerNorms, projections, CTM, weighting
+    heads, logit scale) replicates.  Row-sharded matrices keep their bias
+    replicated (added once after the psum)."""
+    col_w = {("attn", "in_proj", "w"), ("mlp", "c_fc", "w")}
+    col_b = {("attn", "in_proj", "b"), ("mlp", "c_fc", "b")}
+    row_w = {("attn", "out_proj", "w"), ("mlp", "c_proj", "w")}
+
+    def spec_for(path, leaf):
+        names = tuple(getattr(k, "key", None) for k in path)
+        tail3 = names[-3:]
+        nd = leaf.ndim
+        if tail3 in col_w or tail3 in col_b:
+            return P(*([None] * (nd - 1) + [model_axis]))
+        if tail3 in row_w:
+            return P(*([None] * (nd - 2) + [model_axis, None]))
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, spec_for(path, leaf)), params)
+
+
+def shard_params_tp(params, mesh: Mesh, model_axis: str = "model"):
+    """Place a parameter pytree with tensor-parallel shardings."""
+    return jax.tree.map(jax.device_put, params,
+                        tp_param_shardings(params, mesh, model_axis))
+
+
+def place_params(params, mesh: Mesh):
+    """Mesh-appropriate parameter placement: TP shardings when the mesh has
+    a `model` axis, plain replication otherwise."""
+    if "model" in mesh.axis_names:
+        return shard_params_tp(params, mesh)
+    return replicate_tree(params, mesh)

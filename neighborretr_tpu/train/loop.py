@@ -88,7 +88,9 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
                      cfg.model.max_frames, cfg.model.clip.embed_dim)
 
     if mesh is not None:
-        params = pmesh.replicate_tree(params, mesh)
+        # params: replicated on DP meshes, Megatron-sharded when the mesh
+        # has a `model` axis (--tensor_parallel); bank always replicates
+        params = pmesh.place_params(params, mesh)
         bank = mb.MemoryBank(*pmesh.replicate_tree(tuple(bank), mesh))
 
     state = create_train_state(params, bank)
@@ -104,7 +106,16 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
         state = ckpt.load_train_state(cfg.train.resume_checkpoint,
                                       jax.device_get(state))
         if mesh is not None:
-            state = jax.device_put(state, pmesh.replicated(mesh))
+            # params (and their optimizer moments) keep the mesh placement
+            # rule — TP shardings on a data×model mesh, replicated otherwise
+            state = state._replace(
+                params=pmesh.place_params(state.params, mesh),
+                opt=state.opt._replace(
+                    step=jax.device_put(state.opt.step, pmesh.replicated(mesh)),
+                    m=pmesh.place_params(state.opt.m, mesh),
+                    v=pmesh.place_params(state.opt.v, mesh)),
+                bank=jax.device_put(state.bank, pmesh.replicated(mesh)),
+                step=jax.device_put(state.step, pmesh.replicated(mesh)))
         global_step = int(state.step)
         start_epoch = min(global_step // max(steps_per_epoch, 1),
                           cfg.train.epochs)
@@ -200,7 +211,7 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
         best_params = ckpt.load_params(best_path, jax.device_get(state.params))
     if cfg.train.save_checkpoints and best_params is not None:
         if mesh is not None:
-            best_params = pmesh.replicate_tree(best_params, mesh)
+            best_params = pmesh.place_params(best_params, mesh)
         logger.info("Final test on best checkpoint:")
         evaluate(best_params, cfg, test_loader, dataset=test_ds,
                  logger=logger, mesh=mesh)

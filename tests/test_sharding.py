@@ -80,6 +80,46 @@ def test_sharded_train_step_runs_and_updates(cfg, params, rng):
     assert int(state.step) == 2
 
 
+def test_tensor_parallel_matches_replicated(cfg, params, rng):
+    """2-D (data, model) mesh — Megatron-style TP via pure sharding
+    placement (parallel/mesh.py tp_param_shardings): tower weight matrices
+    shard over `model`, batch shards over `data` only, and the loss (plus a
+    full train step) must reproduce the single-device numbers."""
+    mesh = pmesh.make_tp_mesh((2, 4))
+    assert mesh.devices.shape == (2, 4)
+    batch = make_batch(rng, cfg, batch=B)
+    bank = mb.create(cfg.train.memory_bank_capacity, W, F,
+                     cfg.model.clip.embed_dim)
+    bank = fill_bank_step(params, bank, batch, cfg, 0)
+
+    key = jax.random.PRNGKey(3)
+    loss_single, aux_single = compute_losses(params, cfg, batch, bank, key)
+
+    sharded_batch = pmesh.shard_batch(batch, mesh)
+    # batch replicates over `model`: its shards live on all 8 devices but
+    # only `data` (=2) distinct row blocks exist
+    assert len(sharded_batch["video"].sharding.device_set) == 8
+    params_tp = pmesh.shard_params_tp(jax.tree.map(jnp.copy, params), mesh)
+    in_w = params_tp["clip"]["visual"]["transformer"]["attn"]["in_proj"]["w"]
+    assert in_w.sharding.spec[-1] == "model"       # columns actually sharded
+    bank_r = mb.MemoryBank(*pmesh.replicate_tree(tuple(bank), mesh))
+
+    loss_tp, aux_tp = jax.jit(compute_losses, static_argnames=("cfg",))(
+        params_tp, cfg, sharded_batch, bank_r, key)
+    np.testing.assert_allclose(float(loss_single), float(loss_tp), rtol=2e-4)
+    for k in ("centrality_loss", "uniform_loss", "neighbor_loss", "kl_loss"):
+        np.testing.assert_allclose(float(aux_single[k]), float(aux_tp[k]),
+                                   rtol=2e-3, atol=1e-5)
+
+    # a full train step keeps the TP layout on the updated params
+    state = create_train_state(params_tp, bank_r)
+    state, metrics = train_step(state, sharded_batch, jax.random.PRNGKey(0),
+                                cfg, t_total=50)
+    assert np.isfinite(float(metrics["loss"]))
+    out_w = state.params["clip"]["visual"]["transformer"]["attn"]["in_proj"]["w"]
+    assert out_w.sharding.spec[-1] == "model"
+
+
 def test_hybrid_mesh_loss_matches_replicated(cfg, params, rng):
     """2-D (replica, data) mesh — the multi-slice DP layout: batch sharded
     over both axes must reproduce the single-device loss."""
