@@ -33,6 +33,9 @@ REFERENCE_PAIRS_PER_SEC_PER_GPU = 45.0
 
 BATCH = int(__import__("os").environ.get("BENCH_BATCH", "96"))  # v5e sweep optimum
 MB_BATCH = int(__import__("os").environ.get("BENCH_MB", "4"))  # bank = MB*BATCH
+# "vit_b_32" (default, the flagship/driver config) or "vit_b_16"
+# (BASELINE.json's ViT-B/16 config; 197 tokens/frame — use a smaller batch)
+BACKBONE = __import__("os").environ.get("BENCH_BACKBONE", "vit_b_32")
 WARMUP_STEPS = 2
 MEASURE_STEPS = 16   # step noise is ~±3%; longer window for a stable record
 
@@ -53,6 +56,13 @@ def main():
     # all recompute measures 228 ms/step vs 306 ms full-remat at batch 64.
     # Fused attention + bank-similarity Pallas kernels resolve automatically.
     mcfg = dataclasses.replace(ModelConfig(), remat=False, unroll_layers=True)
+    if BACKBONE == "vit_b_16":
+        import os
+        from neighborretr_tpu.core.config import ClipConfig
+        # 4x vision tokens; no-remat still fits at batch 32 and wins the
+        # remat A/B (96.0 vs 79.0 pairs/s on v5e) — BENCH_REMAT=1 to flip
+        mcfg = dataclasses.replace(mcfg, clip=ClipConfig.vit_b_16(),
+                                   remat=os.environ.get("BENCH_REMAT", "0") == "1")
     cfg = Config(model=mcfg, loss=LossConfig(),
                  train=TrainConfig(batch_size=BATCH, mb_batch=MB_BATCH))
 
@@ -110,8 +120,23 @@ def main():
     pairs_per_sec = BATCH * MEASURE_STEPS / elapsed
     print(f"# {MEASURE_STEPS} steps x batch {BATCH} in {elapsed:.2f}s, "
           f"loss={float(metrics['loss']):.4f}", file=sys.stderr)
+    try:
+        # informational MFU from XLA's own cost model (v5e bf16 peak ≈ 197e12)
+        cost = (train_step.lower(state, batch, jax.random.PRNGKey(0), cfg,
+                                 t_total).compile().cost_analysis())
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else {}
+        flops = float((cost or {}).get("flops", 0.0))
+        if flops > 0:
+            mfu = flops * MEASURE_STEPS / elapsed / 197e12
+            print(f"# est MFU {100 * mfu:.1f}% (XLA cost model, "
+                  f"{flops / 1e12:.2f} TFLOP/step vs 197 TFLOPs bf16 peak)",
+                  file=sys.stderr)
+    except Exception:
+        pass
     print(json.dumps({
-        "metric": "train pairs/sec/chip (ViT-B/32, 12f@224, full hubness losses)",
+        "metric": ("train pairs/sec/chip (%s, 12f@224, full hubness losses)"
+                   % BACKBONE.replace("vit_b_", "ViT-B/")),
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC_PER_GPU, 3),

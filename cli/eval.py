@@ -15,7 +15,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     p = argparse.ArgumentParser(description="NeighborRetr-TPU evaluation")
-    p.add_argument("--datatype", default="msrvtt")
+    p.add_argument("--datatype", default="msrvtt",
+                   help="msrvtt/msvd/didemo/activitynet, or synthetic "
+                        "(generated smoke data, implies --tiny without "
+                        "--clip_checkpoint)")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny towers for smoke runs")
     p.add_argument("--anno_path", default="")
     p.add_argument("--video_path", default="")
     p.add_argument("--subset", default=None)
@@ -30,6 +35,9 @@ def main():
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--num_devices", type=int, default=None,
                    help="devices in the eval data mesh (None = all)")
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="shard tower weights over a `model` mesh axis of "
+                        "this size (see cli/train.py)")
     args = p.parse_args()
 
     import jax
@@ -52,13 +60,28 @@ def main():
                  train=TrainConfig(batch_size_val=args.batch_size_val))
     logger = setup_logger()
 
-    tokenizer = ClipTokenizer()
-    subset = args.subset or EVAL_SUBSET[args.datatype]
-    ds = build_dataset(args.datatype, subset, args.anno_path, args.video_path,
-                       tokenizer, max_words=args.max_words,
-                       max_frames=args.max_frames,
-                       resolution=cfg.model.clip.image_resolution,
-                       video_framerate=args.video_framerate)
+    if args.tiny or (args.datatype == "synthetic"
+                     and args.clip_checkpoint is None):
+        import dataclasses as dc
+        cfg = dc.replace(cfg, model=ModelConfig.tiny(
+            max_words=args.max_words, max_frames=args.max_frames))
+        logger.info("Using tiny model architecture (--tiny/smoke run)")
+    if args.datatype == "synthetic":
+        from neighborretr_tpu.data.datasets.synthetic import SyntheticDataset
+        ds = SyntheticDataset(
+            n=max(32, args.batch_size_val), seed=2,
+            max_words=args.max_words, max_frames=args.max_frames,
+            resolution=cfg.model.clip.image_resolution,
+            vocab_size=cfg.model.clip.vocab_size)
+    else:
+        tokenizer = ClipTokenizer()
+        subset = args.subset or EVAL_SUBSET[args.datatype]
+        ds = build_dataset(args.datatype, subset, args.anno_path,
+                           args.video_path, tokenizer,
+                           max_words=args.max_words,
+                           max_frames=args.max_frames,
+                           resolution=cfg.model.clip.image_resolution,
+                           video_framerate=args.video_framerate)
     loader = BatchLoader(ds, args.batch_size_val, shuffle=False,
                          drop_last=False, workers=args.workers,
                          pad_to_batch=True)
@@ -75,14 +98,24 @@ def main():
     from neighborretr_tpu.parallel import mesh as pmesh
     mesh = None
     if len(jax.devices()) > 1 or args.num_devices:
-        mesh = pmesh.make_mesh(num_devices=args.num_devices)
-        if args.batch_size_val % mesh.devices.size != 0:
+        if args.tensor_parallel > 1:
+            n = args.num_devices or len(jax.devices())
+            if n % args.tensor_parallel:
+                raise SystemExit(f"--tensor_parallel {args.tensor_parallel} "
+                                 f"must divide the device count {n}")
+            mesh = pmesh.make_tp_mesh((n // args.tensor_parallel,
+                                       args.tensor_parallel))
+            data_size = mesh.shape["data"]
+        else:
+            mesh = pmesh.make_mesh(num_devices=args.num_devices)
+            data_size = mesh.devices.size
+        if args.batch_size_val % data_size != 0:
             logger.warning("batch_size_val %d not divisible by %d devices; "
                            "running single-device eval",
-                           args.batch_size_val, mesh.devices.size)
+                           args.batch_size_val, data_size)
             mesh = None
         else:
-            params = pmesh.replicate_tree(params, mesh)
+            params = pmesh.place_params(params, mesh)
 
     evaluate(params, cfg, loader, dataset=ds, logger=logger, mesh=mesh)
 
