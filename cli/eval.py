@@ -92,7 +92,14 @@ def main():
         params = load_openai_clip_into(params, cfg.model, args.clip_checkpoint)
         logger.info("Loaded CLIP weights from %s", args.clip_checkpoint)
     if args.checkpoint:
-        params = ckpt.load_params(args.checkpoint, params)
+        if args.checkpoint.endswith(".npz"):
+            params = ckpt.load_params(args.checkpoint, params)
+        else:
+            # reference-trained torch checkpoint (best.pth) — migration path
+            from neighborretr_tpu.models.weights_io import \
+                load_reference_checkpoint_into
+            params = load_reference_checkpoint_into(params, cfg.model,
+                                                    args.checkpoint)
         logger.info("Loaded checkpoint %s", args.checkpoint)
 
     from neighborretr_tpu.parallel import mesh as pmesh

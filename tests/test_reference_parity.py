@@ -429,3 +429,28 @@ def test_training_losses_parity(ref_model, our_setup, batch):
     np.testing.assert_allclose(float(aux["neighbor_loss"]), ref_nei, atol=2e-3)
     np.testing.assert_allclose(float(aux["kl_loss"]), ref_kl, atol=2e-3)
     np.testing.assert_allclose(float(total), ref_total, atol=5e-3)
+
+
+def test_reference_checkpoint_file_migration(ref_model, our_setup, tmp_path):
+    """The CLI migration path end-to-end at the FILE level: torch.save the
+    reference model exactly as its save_model does (main.py:161-187 saves the
+    unwrapped state_dict), then warm-start via
+    weights_io.load_reference_checkpoint_into — every mapped leaf must equal
+    the in-memory conversion the parity suite validates above."""
+    from neighborretr_tpu.models.weights_io import (
+        load_reference_checkpoint_into)
+
+    cfg, expect = our_setup
+    path = str(tmp_path / "pytorch_model.bin.best")
+    torch.save(ref_model.state_dict(), path)
+
+    params = model.init_params(jax.random.PRNGKey(0), cfg)
+    loaded = load_reference_checkpoint_into(params, cfg, path)
+
+    flat_e = jax.tree_util.tree_flatten_with_path(expect)[0]
+    flat_l = dict(jax.tree_util.tree_flatten_with_path(loaded)[0])
+    assert flat_e and len(flat_l) >= len(flat_e)
+    for kpath, leaf in flat_e:
+        got = flat_l[kpath]
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(leaf),
+                                      err_msg=str(kpath))
