@@ -1,0 +1,57 @@
+"""Export a trained checkpoint to the reference's torch state-dict layout.
+
+    python -m cli.export_checkpoint --checkpoint outputs/run/best.npz \
+        --out pytorch_model.bin
+
+The output loads into the reference NeighborRetr (modeling.py:46) via
+load_state_dict(strict=False) / its --init_model path — the back-migration
+direction of weights_io (tests/test_reference_parity.py proves the loaded
+torch model reproduces our similarity matrix).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser(
+        description="Export to reference (torch) checkpoint layout")
+    p.add_argument("--checkpoint", required=True,
+                   help="our params checkpoint (best.npz or state_epochN.npz)")
+    p.add_argument("--out", required=True, help="output .bin/.pth path")
+    p.add_argument("--base_encoder", default="ViT-B/32",
+                   choices=["ViT-B/32", "ViT-B/16"])
+    p.add_argument("--max_words", type=int, default=24)
+    p.add_argument("--max_frames", type=int, default=12)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny-tower architecture (smoke checkpoints)")
+    args = p.parse_args()
+
+    import jax
+    from neighborretr_tpu.core import checkpoint as ckpt
+    from neighborretr_tpu.core.config import ClipConfig, ModelConfig
+    from neighborretr_tpu.models import neighborretr as model
+    from neighborretr_tpu.models.weights_io import save_reference_checkpoint
+
+    if args.tiny:
+        cfg = ModelConfig.tiny(max_words=args.max_words,
+                               max_frames=args.max_frames)
+    else:
+        clip_cfg = (ClipConfig.vit_b_16() if args.base_encoder == "ViT-B/16"
+                    else ClipConfig.vit_b_32())
+        cfg = ModelConfig(clip=clip_cfg, max_words=args.max_words,
+                          max_frames=args.max_frames)
+    params = model.init_params(jax.random.PRNGKey(0), cfg)
+    params = ckpt.load_params(args.checkpoint, params)
+    save_reference_checkpoint(params, cfg, args.out)
+    print(f"Exported {args.checkpoint} -> {args.out} "
+          f"(reference state-dict layout)")
+
+
+if __name__ == "__main__":
+    main()

@@ -207,6 +207,116 @@ def load_reference_checkpoint_into(params: Params, cfg: ModelConfig,
     return params
 
 
+def _block_to_torch(block: Params, prefix: str,
+                    out: Dict[str, np.ndarray]) -> None:
+    """Inverse of `_block_from_torch` for one (unstacked) residual block."""
+    out[f"{prefix}.ln_1.weight"] = np.asarray(block["ln_1"]["scale"])
+    out[f"{prefix}.ln_1.bias"] = np.asarray(block["ln_1"]["bias"])
+    out[f"{prefix}.attn.in_proj_weight"] = np.asarray(
+        block["attn"]["in_proj"]["w"]).T
+    out[f"{prefix}.attn.in_proj_bias"] = np.asarray(
+        block["attn"]["in_proj"]["b"])
+    out[f"{prefix}.attn.out_proj.weight"] = np.asarray(
+        block["attn"]["out_proj"]["w"]).T
+    out[f"{prefix}.attn.out_proj.bias"] = np.asarray(
+        block["attn"]["out_proj"]["b"])
+    out[f"{prefix}.ln_2.weight"] = np.asarray(block["ln_2"]["scale"])
+    out[f"{prefix}.ln_2.bias"] = np.asarray(block["ln_2"]["bias"])
+    out[f"{prefix}.mlp.c_fc.weight"] = np.asarray(block["mlp"]["c_fc"]["w"]).T
+    out[f"{prefix}.mlp.c_fc.bias"] = np.asarray(block["mlp"]["c_fc"]["b"])
+    out[f"{prefix}.mlp.c_proj.weight"] = np.asarray(
+        block["mlp"]["c_proj"]["w"]).T
+    out[f"{prefix}.mlp.c_proj.bias"] = np.asarray(block["mlp"]["c_proj"]["b"])
+
+
+def _unstack_blocks_to_torch(stacked: Params, prefix: str,
+                             out: Dict[str, np.ndarray]) -> None:
+    import jax
+    n = jax.tree.leaves(stacked)[0].shape[0]
+    for i in range(n):
+        _block_to_torch(jax.tree.map(lambda a: a[i], stacked),
+                        f"{prefix}.{i}", out)
+
+
+def _weight_mlp_to_torch(p, prefix, out):
+    out[f"{prefix}.0.weight"] = np.asarray(p["fc1"]["w"]).T
+    out[f"{prefix}.0.bias"] = np.asarray(p["fc1"]["b"])
+    out[f"{prefix}.2.weight"] = np.asarray(p["fc2"]["w"]).T
+    out[f"{prefix}.2.bias"] = np.asarray(p["fc2"]["b"])
+
+
+def _merge_stack_to_torch(p, modality, out):
+    for i in (0, 1):
+        ctm, blk = p[f"ctm{i}"], p[f"block{i}"]
+        cp, bp = f"{modality}_ctm{i}", f"{modality}_block{i}"
+        out[f"{cp}.conv.conv.weight"] = np.asarray(
+            ctm["conv"]["w"]).transpose(2, 1, 0)
+        out[f"{cp}.norm.weight"] = np.asarray(ctm["norm"]["scale"])
+        out[f"{cp}.norm.bias"] = np.asarray(ctm["norm"]["bias"])
+        out[f"{cp}.score.weight"] = np.asarray(ctm["score"]["w"]).T
+        out[f"{cp}.score.bias"] = np.asarray(ctm["score"]["b"])
+        out[f"{bp}.norm1.weight"] = np.asarray(blk["norm1"]["scale"])
+        out[f"{bp}.norm1.bias"] = np.asarray(blk["norm1"]["bias"])
+        for lin in ("q", "kv", "proj"):
+            out[f"{bp}.attn.{lin}.weight"] = np.asarray(blk[lin]["w"]).T
+            out[f"{bp}.attn.{lin}.bias"] = np.asarray(blk[lin]["b"])
+
+
+def reference_state_dict_from_params(params: Params,
+                                     cfg: ModelConfig) -> Dict[str, np.ndarray]:
+    """Inverse of `params_from_reference_state_dict`: export this framework's
+    trained pytree as a reference-layout state dict (modeling.py:46-220
+    module names), so checkpoints migrate BACK to the reference's torch
+    stack (load with strict=False — the reference's dead weighting nets
+    *_fc0/*_intra and mb_* buffers are not emitted)."""
+    sd: Dict[str, np.ndarray] = {}
+
+    clip, vis, txt = params["clip"], params["clip"]["visual"], params["clip"]["text"]
+    P, width = cfg.clip.vision_patch_size, cfg.clip.vision_width
+    sd["clip.visual.conv1.weight"] = np.asarray(
+        vis["patch_embed"]).reshape(P, P, 3, width).transpose(3, 2, 0, 1)
+    sd["clip.visual.class_embedding"] = np.asarray(vis["class_embedding"])
+    sd["clip.visual.positional_embedding"] = np.asarray(
+        vis["positional_embedding"])
+    sd["clip.visual.ln_pre.weight"] = np.asarray(vis["ln_pre"]["scale"])
+    sd["clip.visual.ln_pre.bias"] = np.asarray(vis["ln_pre"]["bias"])
+    _unstack_blocks_to_torch(vis["transformer"],
+                             "clip.visual.transformer.resblocks", sd)
+    sd["clip.visual.ln_post.weight"] = np.asarray(vis["ln_post"]["scale"])
+    sd["clip.visual.ln_post.bias"] = np.asarray(vis["ln_post"]["bias"])
+    sd["clip.visual.proj"] = np.asarray(vis["proj"])
+
+    sd["clip.token_embedding.weight"] = np.asarray(txt["token_embedding"])
+    sd["clip.positional_embedding"] = np.asarray(txt["positional_embedding"])
+    _unstack_blocks_to_torch(txt["transformer"],
+                             "clip.transformer.resblocks", sd)
+    sd["clip.ln_final.weight"] = np.asarray(txt["ln_final"]["scale"])
+    sd["clip.ln_final.bias"] = np.asarray(txt["ln_final"]["bias"])
+    sd["clip.text_projection"] = np.asarray(txt["text_projection"])
+    sd["clip.logit_scale"] = np.asarray(clip["logit_scale"]).reshape(())
+
+    sd["frame_position_embeddings.weight"] = np.asarray(
+        params["temporal"]["frame_position_embeddings"])
+    _unstack_blocks_to_torch(params["temporal"]["transformer"],
+                             "transformerClip.resblocks", sd)
+    for name in ("text_weight_fc", "video_weight_fc",
+                 "text_weight_fc1", "video_weight_fc1"):
+        _weight_mlp_to_torch(params[name], name, sd)
+    _merge_stack_to_torch(params["text_merge"], "text", sd)
+    _merge_stack_to_torch(params["video_merge"], "video", sd)
+    return sd
+
+
+def save_reference_checkpoint(params: Params, cfg: ModelConfig,
+                              path: str) -> None:
+    """torch.save a reference-layout checkpoint (loadable by the reference's
+    --init_model / load_state_dict(strict=False))."""
+    import torch
+    sd = reference_state_dict_from_params(params, cfg)
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()}, path)
+
+
 def load_openai_clip_into(params: Params, cfg: ModelConfig,
                           ckpt_path: str) -> Params:
     """Replace the clip subtree with checkpoint weights and re-seed the

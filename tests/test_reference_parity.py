@@ -454,3 +454,67 @@ def test_reference_checkpoint_file_migration(ref_model, our_setup, tmp_path):
         got = flat_l[kpath]
         np.testing.assert_array_equal(np.asarray(got), np.asarray(leaf),
                                       err_msg=str(kpath))
+
+
+def test_reference_checkpoint_export_roundtrip():
+    """params → reference state dict → params is the identity on every
+    exported leaf (the two weights_io mappings are mutual inverses)."""
+    from neighborretr_tpu.models.weights_io import (
+        params_from_reference_state_dict, reference_state_dict_from_params)
+
+    cfg = ModelConfig.tiny(max_words=MW, max_frames=MF)
+    params = model.init_params(jax.random.PRNGKey(7), cfg)
+    sd = reference_state_dict_from_params(params, cfg)
+    back = params_from_reference_state_dict(sd, cfg)
+
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(back)[0])
+    for kpath, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        np.testing.assert_array_equal(np.asarray(flat_b[kpath]),
+                                      np.asarray(leaf), err_msg=str(kpath))
+
+
+def test_export_loads_into_reference_model(ref_model, batch):
+    """The BACK-migration semantics: export a RANDOMLY initialized pytree
+    (not one derived from the reference), load it into the actual reference
+    torch model with load_state_dict(strict=False), and the two stacks must
+    produce the same similarity matrix — proving the export layout matches
+    the reference's module semantics, not just our own loader."""
+    from neighborretr_tpu.models.weights_io import (
+        reference_state_dict_from_params, save_reference_checkpoint)
+
+    cfg = ModelConfig.tiny(max_words=MW, max_frames=MF)
+    params = model.init_params(jax.random.PRNGKey(7), cfg)
+
+    import tempfile
+    saved = {k: v.clone() for k, v in ref_model.state_dict().items()}
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "exported.bin")
+        save_reference_checkpoint(params, cfg, path)
+        sd = {k: v for k, v in torch.load(path, map_location="cpu").items()}
+    try:
+        missing, unexpected = ref_model.load_state_dict(sd, strict=False)
+        assert not unexpected, unexpected
+        # only the dead nets / mb buffers may be missing from the export
+        assert all(("_fc0" in k or "_intra" in k or k.startswith("mb_"))
+                   for k in missing), missing
+        ref_model.float().eval()
+
+        ref_t, ref_v = _ref_feats(ref_model, batch)
+        with torch.no_grad():
+            ref_sim, _ = ref_model.get_similarity_logits(
+                ref_t, ref_v, torch.from_numpy(batch["text_mask"]),
+                torch.from_numpy(batch["video_mask"]), shaped=True)
+    finally:
+        # module-scoped fixture: restore the original weights for any test
+        # that runs after this one
+        ref_model.load_state_dict(saved, strict=False)
+
+    our_t, our_v = model.get_text_video_feat(
+        params, cfg, jnp.asarray(batch["text_ids"].astype(np.int32)),
+        jnp.asarray(batch["text_mask"]), jnp.asarray(batch["video"]),
+        jnp.asarray(batch["video_mask"]))
+    our_sim, _ = model.get_similarity_logits(
+        params, our_t, our_v, jnp.asarray(batch["text_mask"]),
+        jnp.asarray(batch["video_mask"]))
+    np.testing.assert_allclose(np.asarray(our_sim), ref_sim.numpy(),
+                               atol=5e-4)
