@@ -25,7 +25,7 @@ def main():
                    help="our params checkpoint (best.npz or state_epochN.npz)")
     p.add_argument("--out", required=True, help="output .bin/.pth path")
     p.add_argument("--base_encoder", default="ViT-B/32",
-                   choices=["ViT-B/32", "ViT-B/16"])
+                   choices=["ViT-B/32", "ViT-B/16", "ViT-L/14"])
     p.add_argument("--max_words", type=int, default=24)
     p.add_argument("--max_frames", type=int, default=12)
     p.add_argument("--tiny", action="store_true",
@@ -42,8 +42,9 @@ def main():
         cfg = ModelConfig.tiny(max_words=args.max_words,
                                max_frames=args.max_frames)
     else:
-        clip_cfg = (ClipConfig.vit_b_16() if args.base_encoder == "ViT-B/16"
-                    else ClipConfig.vit_b_32())
+        clip_cfg = {"ViT-B/32": ClipConfig.vit_b_32,
+                    "ViT-B/16": ClipConfig.vit_b_16,
+                    "ViT-L/14": ClipConfig.vit_l_14}[args.base_encoder]()
         cfg = ModelConfig(clip=clip_cfg, max_words=args.max_words,
                           max_frames=args.max_frames)
     params = model.init_params(jax.random.PRNGKey(0), cfg)

@@ -24,7 +24,7 @@ def parse_args():
     p.add_argument("--video_path", default="")
     p.add_argument("--output_dir", default="outputs/run")
     p.add_argument("--base_encoder", default="ViT-B/32",
-                   choices=["ViT-B/32", "ViT-B/16"])
+                   choices=["ViT-B/32", "ViT-B/16", "ViT-L/14"])
     p.add_argument("--clip_checkpoint", default=None)
     p.add_argument("--tiny", action="store_true",
                    help="tiny towers for smoke runs (also implied by "
@@ -107,8 +107,9 @@ def main():
     from neighborretr_tpu.train.loop import run_training
     from neighborretr_tpu.utils.logging import setup_logger
 
-    clip_cfg = (ClipConfig.vit_b_16() if args.base_encoder == "ViT-B/16"
-                else ClipConfig.vit_b_32())
+    clip_cfg = {"ViT-B/32": ClipConfig.vit_b_32,
+                "ViT-B/16": ClipConfig.vit_b_16,
+                "ViT-L/14": ClipConfig.vit_l_14}[args.base_encoder]()
     cfg = Config(
         model=ModelConfig(clip=clip_cfg, max_words=args.max_words,
                           max_frames=args.max_frames, remat=args.remat,

@@ -58,6 +58,20 @@ class ClipConfig:
         return ClipConfig(vision_patch_size=16)
 
     @staticmethod
+    def vit_l_14() -> "ClipConfig":
+        """OpenAI ViT-L/14 shapes — beyond the reference's B/32|16 menu
+        (README.md:68-74); the backbone the --tensor_parallel mesh is sized
+        for.  weights_io's shape-sniffing loader handles its checkpoint
+        unchanged."""
+        return ClipConfig(
+            embed_dim=768,
+            vision_layers=24,
+            vision_width=1024,
+            vision_patch_size=14,
+            transformer_width=768,
+        )
+
+    @staticmethod
     def tiny() -> "ClipConfig":
         """A tiny config for CPU tests."""
         return ClipConfig(
