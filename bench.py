@@ -56,13 +56,16 @@ def main():
     # all recompute measures 228 ms/step vs 306 ms full-remat at batch 64.
     # Fused attention + bank-similarity Pallas kernels resolve automatically.
     mcfg = dataclasses.replace(ModelConfig(), remat=False, unroll_layers=True)
-    if BACKBONE == "vit_b_16":
+    if BACKBONE != "vit_b_32":
         import os
         from neighborretr_tpu.core.config import ClipConfig
-        # 4x vision tokens; no-remat still fits at batch 32 and wins the
-        # remat A/B (96.0 vs 79.0 pairs/s on v5e) — BENCH_REMAT=1 to flip
-        mcfg = dataclasses.replace(mcfg, clip=ClipConfig.vit_b_16(),
-                                   remat=os.environ.get("BENCH_REMAT", "0") == "1")
+        # vit_b_16: 4x vision tokens; no-remat still fits at batch 32 and
+        # wins the remat A/B (96.0 vs 79.0 pairs/s on v5e) — BENCH_REMAT=1
+        # to flip.  vit_l_14: ~18x the B/32 vision FLOPs/frame; remat on.
+        default_remat = "0" if BACKBONE == "vit_b_16" else "1"
+        mcfg = dataclasses.replace(
+            mcfg, clip=getattr(ClipConfig, BACKBONE)(),
+            remat=os.environ.get("BENCH_REMAT", default_remat) == "1")
     cfg = Config(model=mcfg, loss=LossConfig(),
                  train=TrainConfig(batch_size=BATCH, mb_batch=MB_BATCH))
 
@@ -136,7 +139,8 @@ def main():
         pass
     print(json.dumps({
         "metric": ("train pairs/sec/chip (%s, 12f@224, full hubness losses)"
-                   % BACKBONE.replace("vit_b_", "ViT-B/")),
+                   % BACKBONE.replace("vit_b_", "ViT-B/")
+                     .replace("vit_l_", "ViT-L/")),
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC_PER_GPU, 3),

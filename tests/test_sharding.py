@@ -141,3 +141,28 @@ def test_hybrid_mesh_loss_matches_replicated(cfg, params, rng):
         params_r, cfg, sharded_batch, bank_r, key)
     np.testing.assert_allclose(float(loss_single), float(loss_sharded),
                                rtol=2e-4)
+
+
+def test_tp_param_sharding_rules(params):
+    """tp_param_shardings: Megatron rules on the real parameter tree —
+    qkv/c_fc shard their LAST axis, out/c_proj their second-to-last,
+    everything else replicates."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = pmesh.make_tp_mesh((2, 4))
+    shardings = pmesh.tp_param_shardings(params, mesh)
+
+    blk = shardings["clip"]["visual"]["transformer"]
+    assert blk["attn"]["in_proj"]["w"].spec == P(None, None, "model")
+    assert blk["attn"]["in_proj"]["b"].spec == P(None, "model")
+    assert blk["attn"]["out_proj"]["w"].spec == P(None, "model", None)
+    assert blk["attn"]["out_proj"]["b"].spec == P()
+    assert blk["mlp"]["c_fc"]["w"].spec == P(None, None, "model")
+    assert blk["mlp"]["c_fc"]["b"].spec == P(None, "model")
+    assert blk["mlp"]["c_proj"]["w"].spec == P(None, "model", None)
+    assert blk["mlp"]["c_proj"]["b"].spec == P()
+    assert blk["ln_1"]["scale"].spec == P()
+    # non-tower leaves replicate
+    assert shardings["clip"]["logit_scale"].spec == P()
+    assert shardings["text_weight_fc"]["fc1"]["w"].spec == P()
+    assert shardings["text_merge"]["block0"]["kv"]["w"].spec == P()
