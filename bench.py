@@ -55,17 +55,17 @@ def main():
     # XLA attention's padded [.,50,50] probs were what OOM'd), and skipping
     # all recompute measures 228 ms/step vs 306 ms full-remat at batch 64.
     # Fused attention + bank-similarity Pallas kernels resolve automatically.
-    mcfg = dataclasses.replace(ModelConfig(), remat=False, unroll_layers=True)
+    # BENCH_REMAT=0/1 flips rematerialization for ANY backbone.  Tuned
+    # defaults: vit_b_32 and vit_b_16 win without remat on v5e (the fused
+    # attention kernel keeps activations within HBM; B/16 A/B: 96.0 vs 79.0
+    # pairs/s); vit_l_14 (~18x the B/32 vision FLOPs/frame) needs remat on.
+    import os
+    default_remat = "1" if BACKBONE == "vit_l_14" else "0"
+    remat = os.environ.get("BENCH_REMAT", default_remat) == "1"
+    mcfg = dataclasses.replace(ModelConfig(), remat=remat, unroll_layers=True)
     if BACKBONE != "vit_b_32":
-        import os
         from neighborretr_tpu.core.config import ClipConfig
-        # vit_b_16: 4x vision tokens; no-remat still fits at batch 32 and
-        # wins the remat A/B (96.0 vs 79.0 pairs/s on v5e) — BENCH_REMAT=1
-        # to flip.  vit_l_14: ~18x the B/32 vision FLOPs/frame; remat on.
-        default_remat = "0" if BACKBONE == "vit_b_16" else "1"
-        mcfg = dataclasses.replace(
-            mcfg, clip=getattr(ClipConfig, BACKBONE)(),
-            remat=os.environ.get("BENCH_REMAT", default_remat) == "1")
+        mcfg = dataclasses.replace(mcfg, clip=getattr(ClipConfig, BACKBONE)())
     cfg = Config(model=mcfg, loss=LossConfig(),
                  train=TrainConfig(batch_size=BATCH, mb_batch=MB_BATCH))
 

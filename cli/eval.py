@@ -12,6 +12,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# cheap import (pure dataclasses): single source for the backbone menu
+from neighborretr_tpu.core.config import ClipConfig as _ClipConfig
+_BACKBONE_CHOICES = _ClipConfig.backbone_names()
+
 
 def main():
     p = argparse.ArgumentParser(description="NeighborRetr-TPU evaluation")
@@ -25,7 +29,7 @@ def main():
     p.add_argument("--video_path", default="")
     p.add_argument("--subset", default=None)
     p.add_argument("--base_encoder", default="ViT-B/32",
-                   choices=["ViT-B/32", "ViT-B/16", "ViT-L/14"])
+                   choices=list(_BACKBONE_CHOICES))
     p.add_argument("--checkpoint", default=None, help="best.npz params")
     p.add_argument("--clip_checkpoint", default=None)
     p.add_argument("--batch_size_val", type=int, default=128)
@@ -53,9 +57,7 @@ def main():
     from neighborretr_tpu.train.evaluate import evaluate
     from neighborretr_tpu.utils.logging import setup_logger
 
-    clip_cfg = {"ViT-B/32": ClipConfig.vit_b_32,
-                "ViT-B/16": ClipConfig.vit_b_16,
-                "ViT-L/14": ClipConfig.vit_l_14}[args.base_encoder]()
+    clip_cfg = ClipConfig.from_name(args.base_encoder)
     cfg = Config(model=ModelConfig(clip=clip_cfg, max_words=args.max_words,
                                    max_frames=args.max_frames),
                  train=TrainConfig(batch_size_val=args.batch_size_val))
@@ -105,10 +107,12 @@ def main():
 
     from neighborretr_tpu.parallel import mesh as pmesh
     mesh = None
-    if len(jax.devices()) > 1 or args.num_devices:
+    if len(jax.devices()) > 1 or args.num_devices or args.tensor_parallel > 1:
         if args.tensor_parallel > 1:
             n = args.num_devices or len(jax.devices())
             if n % args.tensor_parallel:
+                # same contract as cli/train.py: an explicit TP request that
+                # the visible devices can't satisfy is an error, not a no-op
                 raise SystemExit(f"--tensor_parallel {args.tensor_parallel} "
                                  f"must divide the device count {n}")
             mesh = pmesh.make_tp_mesh((n // args.tensor_parallel,

@@ -17,6 +17,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# cheap import (pure dataclasses): single source for the backbone menu
+from neighborretr_tpu.core.config import ClipConfig as _ClipConfig
+_BACKBONE_CHOICES = _ClipConfig.backbone_names()
+
 
 def main():
     p = argparse.ArgumentParser(
@@ -25,7 +29,7 @@ def main():
                    help="our params checkpoint (best.npz or state_epochN.npz)")
     p.add_argument("--out", required=True, help="output .bin/.pth path")
     p.add_argument("--base_encoder", default="ViT-B/32",
-                   choices=["ViT-B/32", "ViT-B/16", "ViT-L/14"])
+                   choices=list(_BACKBONE_CHOICES))
     p.add_argument("--max_words", type=int, default=24)
     p.add_argument("--max_frames", type=int, default=12)
     p.add_argument("--tiny", action="store_true",
@@ -42,9 +46,7 @@ def main():
         cfg = ModelConfig.tiny(max_words=args.max_words,
                                max_frames=args.max_frames)
     else:
-        clip_cfg = {"ViT-B/32": ClipConfig.vit_b_32,
-                    "ViT-B/16": ClipConfig.vit_b_16,
-                    "ViT-L/14": ClipConfig.vit_l_14}[args.base_encoder]()
+        clip_cfg = ClipConfig.from_name(args.base_encoder)
         cfg = ModelConfig(clip=clip_cfg, max_words=args.max_words,
                           max_frames=args.max_frames)
     params = model.init_params(jax.random.PRNGKey(0), cfg)

@@ -16,6 +16,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# cheap import (pure dataclasses): single source for the backbone menu
+from neighborretr_tpu.core.config import ClipConfig as _ClipConfig
+_BACKBONE_CHOICES = _ClipConfig.backbone_names()
+
 
 def parse_args():
     p = argparse.ArgumentParser(description="NeighborRetr-TPU training")
@@ -24,7 +28,7 @@ def parse_args():
     p.add_argument("--video_path", default="")
     p.add_argument("--output_dir", default="outputs/run")
     p.add_argument("--base_encoder", default="ViT-B/32",
-                   choices=["ViT-B/32", "ViT-B/16", "ViT-L/14"])
+                   choices=list(_BACKBONE_CHOICES))
     p.add_argument("--clip_checkpoint", default=None)
     p.add_argument("--tiny", action="store_true",
                    help="tiny towers for smoke runs (also implied by "
@@ -107,9 +111,7 @@ def main():
     from neighborretr_tpu.train.loop import run_training
     from neighborretr_tpu.utils.logging import setup_logger
 
-    clip_cfg = {"ViT-B/32": ClipConfig.vit_b_32,
-                "ViT-B/16": ClipConfig.vit_b_16,
-                "ViT-L/14": ClipConfig.vit_l_14}[args.base_encoder]()
+    clip_cfg = ClipConfig.from_name(args.base_encoder)
     cfg = Config(
         model=ModelConfig(clip=clip_cfg, max_words=args.max_words,
                           max_frames=args.max_frames, remat=args.remat,

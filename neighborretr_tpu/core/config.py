@@ -49,9 +49,30 @@ class ClipConfig:
     def grid_size(self) -> int:
         return self.image_resolution // self.vision_patch_size
 
+    # CLI name → constructor attr (no annotation: not a dataclass field)
+    _BACKBONES = {"ViT-B/32": "vit_b_32", "ViT-B/16": "vit_b_16",
+                  "ViT-L/14": "vit_l_14"}
+
     @staticmethod
     def vit_b_32() -> "ClipConfig":
         return ClipConfig()
+
+    @classmethod
+    def backbone_names(cls) -> Tuple[str, ...]:
+        """CLI names accepted by `from_name` (the reference's --base_encoder
+        menu, args_parser.py:134, plus ViT-L/14)."""
+        return tuple(cls._BACKBONES)
+
+    @classmethod
+    def from_name(cls, name: str) -> "ClipConfig":
+        """Resolve a --base_encoder CLI name; single source of truth for
+        every CLI (train/eval/export)."""
+        try:
+            return getattr(cls, cls._BACKBONES[name])()
+        except KeyError:
+            raise ValueError(
+                f"unknown base encoder {name!r}; "
+                f"choose from {cls.backbone_names()}") from None
 
     @staticmethod
     def vit_b_16() -> "ClipConfig":

@@ -13,7 +13,10 @@ TPU-first design notes:
 Behavioral contract with the reference:
   * QuickGELU: x * sigmoid(1.702 x)           (module_clip.py:256)
   * Pre-LN residual attention blocks           (module_clip.py:258-287)
-  * torch.nn.MultiheadAttention packed qkv layout (in_proj is [3D, D])
+  * torch.nn.MultiheadAttention packed qkv semantics — stored here as
+    [D, 3, D] (q/k/v on their own axis) so tensor-parallel column sharding
+    stays q/k/v- and head-aligned; the torch [3D, D] layout maps in/out
+    losslessly (weights_io)
 """
 
 from __future__ import annotations
@@ -135,13 +138,37 @@ def mha_init(key, d_model: int, attn_std: Optional[float] = None,
     attn_std = attn_std if attn_std is not None else d_model ** -0.5
     proj_std = proj_std if proj_std is not None else d_model ** -0.5
     return {
-        # packed [D, 3D] so a single matmul produces q,k,v (kept input-major —
-        # the torch checkpoint's [3D, D] in_proj_weight transposes into this)
-        "in_proj": {"w": normal_init(k1, (d_model, 3 * d_model), std=attn_std),
-                    "b": jnp.zeros((3 * d_model,), jnp.float32)},
+        # packed [D, 3, D] so a single matmul produces q,k,v (axis 1 indexes
+        # q/k/v; the torch checkpoint's [3D, D] in_proj_weight transposes and
+        # unflattens into this).  Keeping q/k/v on their OWN axis instead of
+        # a flat 3D output axis matters under tensor parallelism: the last
+        # axis column-shards over the `model` mesh axis per-projection, so
+        # each shard holds whole heads of q, k AND v — a flat 3D axis sharded
+        # contiguously would straddle the q|k|v boundaries for tp ∤ 3 and
+        # force GSPMD to reshard the activation after the split.
+        "in_proj": {"w": normal_init(k1, (d_model, 3, d_model), std=attn_std),
+                    "b": jnp.zeros((3, d_model), jnp.float32)},
         "out_proj": {"w": normal_init(k2, (d_model, d_model), std=proj_std),
                      "b": jnp.zeros((d_model,), jnp.float32)},
     }
+
+
+def qkv_linear(p: Params, x, dtype=None):
+    """Packed q/k/v projection: [B, L, D] → [B, L, 3, D] through the
+    [D, 3, D] in_proj weight (one MXU matmul; XLA folds the trailing dims
+    into a [D, 3D] contraction)."""
+    w, b = p["w"], p["b"]
+    if dtype is not None:
+        x, w = x.astype(dtype), w.astype(dtype)
+    y = jnp.einsum("bld,dce->blce", x, w)
+    return y + b.astype(y.dtype)
+
+
+def packed_qkv_weights(p: Params):
+    """in_proj as the flat packed ([D, 3D], [3D]) layout the Pallas kernels
+    consume (free reshape on the unsharded single-chip path)."""
+    w, b = p["w"], p["b"]
+    return w.reshape(w.shape[0], -1), b.reshape(-1)
 
 
 def mha(p: Params, x, n_head: int, attn_bias=None, dtype=jnp.float32,
@@ -156,7 +183,7 @@ def mha(p: Params, x, n_head: int, attn_bias=None, dtype=jnp.float32,
     B, L, D = x.shape
     if fused:
         from ..ops.pallas_attention import fused_frame_attention
-        qkv = linear(p["in_proj"], x, dtype=dtype)
+        qkv = qkv_linear(p["in_proj"], x, dtype=dtype).reshape(B, L, 3 * D)
         bias = None
         if attn_bias is not None:
             # [B|1, 1, L, L] additive bias → per-sequence [B, L, L]
@@ -167,8 +194,8 @@ def mha(p: Params, x, n_head: int, attn_bias=None, dtype=jnp.float32,
             interpret=jax.default_backend() != "tpu")
         return linear(p["out_proj"], out.astype(dtype), dtype=dtype)
     head_dim = D // n_head
-    qkv = linear(p["in_proj"], x, dtype=dtype)          # [B, L, 3D]
-    q, k, v = jnp.split(qkv, 3, axis=-1)
+    qkv = qkv_linear(p["in_proj"], x, dtype=dtype)      # [B, L, 3, D]
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
     # heads stay in the layout position ([B, L, H, hd]); the einsums carry the
     # head axis as a batch dim so XLA folds the relayout into the matmuls
@@ -226,9 +253,10 @@ def block_apply(p: Params, x, n_head: int, attn_bias=None, dtype=jnp.float32,
             B, L = x.shape[0], x.shape[1]
             bias = jnp.broadcast_to(attn_bias.astype(jnp.float32),
                                     (B, 1, L, L))[:, 0]
+        in_w, in_b = packed_qkv_weights(p["attn"]["in_proj"])
         x = ckpt(fused_ln_attention_residual(
             x.astype(dtype), p["ln_1"]["scale"], p["ln_1"]["bias"],
-            p["attn"]["in_proj"]["w"], p["attn"]["in_proj"]["b"],
+            in_w, in_b,
             p["attn"]["out_proj"]["w"], p["attn"]["out_proj"]["b"], n_head,
             bias=bias, interpret=jax.default_backend() != "tpu"),
             "attn_out")

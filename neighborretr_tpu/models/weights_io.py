@@ -62,13 +62,21 @@ def sniff_clip_config(sd: Dict[str, np.ndarray]) -> ClipConfig:
     )
 
 
+def _qkv3(in_proj_weight: np.ndarray) -> np.ndarray:
+    """torch [3D, D] in_proj_weight → this framework's [D, 3, D] layout."""
+    d = in_proj_weight.shape[1]
+    return np.ascontiguousarray(in_proj_weight.T).reshape(d, 3, d)
+
+
 def _block_from_torch(sd, prefix: str) -> Params:
     return {
         "ln_1": {"scale": jnp.asarray(sd[f"{prefix}.ln_1.weight"]),
                  "bias": jnp.asarray(sd[f"{prefix}.ln_1.bias"])},
         "attn": {
-            "in_proj": {"w": jnp.asarray(sd[f"{prefix}.attn.in_proj_weight"].T),
-                        "b": jnp.asarray(sd[f"{prefix}.attn.in_proj_bias"])},
+            # torch packed [3D, D] → input-major [D, 3, D] (q/k/v on axis 1)
+            "in_proj": {"w": jnp.asarray(_qkv3(sd[f"{prefix}.attn.in_proj_weight"])),
+                        "b": jnp.asarray(sd[f"{prefix}.attn.in_proj_bias"]
+                                         .reshape(3, -1))},
             "out_proj": {"w": jnp.asarray(sd[f"{prefix}.attn.out_proj.weight"].T),
                          "b": jnp.asarray(sd[f"{prefix}.attn.out_proj.bias"])},
         },
@@ -201,6 +209,14 @@ def load_reference_checkpoint_into(params: Params, cfg: ModelConfig,
     """Warm-start from a reference-trained full-model checkpoint
     (`best.pth` / `pytorch_model.bin.*`, main.py:161-187)."""
     sd = read_torch_state_dict(ckpt_path)
+    clip_sd = {k[len("clip."):]: v for k, v in sd.items()
+               if k.startswith("clip.")}
+    sniffed = sniff_clip_config(clip_sd)
+    if sniffed != cfg.clip:
+        raise ValueError(
+            f"reference checkpoint {ckpt_path!r} is a different architecture "
+            f"than --base_encoder: checkpoint {sniffed} != configured "
+            f"{cfg.clip}")
     converted = params_from_reference_state_dict(sd, cfg)
     params = dict(params)
     params.update(converted)
@@ -212,10 +228,11 @@ def _block_to_torch(block: Params, prefix: str,
     """Inverse of `_block_from_torch` for one (unstacked) residual block."""
     out[f"{prefix}.ln_1.weight"] = np.asarray(block["ln_1"]["scale"])
     out[f"{prefix}.ln_1.bias"] = np.asarray(block["ln_1"]["bias"])
-    out[f"{prefix}.attn.in_proj_weight"] = np.asarray(
-        block["attn"]["in_proj"]["w"]).T
+    in_w = np.asarray(block["attn"]["in_proj"]["w"])       # [D, 3, D]
+    out[f"{prefix}.attn.in_proj_weight"] = (
+        in_w.reshape(in_w.shape[0], -1).T)                 # torch [3D, D]
     out[f"{prefix}.attn.in_proj_bias"] = np.asarray(
-        block["attn"]["in_proj"]["b"])
+        block["attn"]["in_proj"]["b"]).reshape(-1)
     out[f"{prefix}.attn.out_proj.weight"] = np.asarray(
         block["attn"]["out_proj"]["w"]).T
     out[f"{prefix}.attn.out_proj.bias"] = np.asarray(

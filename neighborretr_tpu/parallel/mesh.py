@@ -107,11 +107,16 @@ def tp_param_shardings(params, mesh: Mesh, model_axis: str = "model"):
     """NamedSharding tree for Megatron-style tensor parallelism.
 
     Per residual block (layers.py pytrees, stacked on a leading layer axis):
-      attn.in_proj.w  [.., D, 3D]  → columns over `model` (heads split)
-      attn.in_proj.b  [.., 3D]     → last axis over `model`
-      attn.out_proj.w [.., D, D]   → rows over `model` (partial sums → psum)
-      mlp.c_fc.w      [.., D, 4D]  → columns;  mlp.c_fc.b [.., 4D] → last
-      mlp.c_proj.w    [.., 4D, D]  → rows
+      attn.in_proj.w  [.., D, 3, D] → LAST axis over `model`.  q/k/v live on
+                                      their own axis, so a contiguous shard
+                                      of the last axis holds whole heads of
+                                      q, k AND v — the split/heads reshape in
+                                      mha stays local (true Megatron column
+                                      parallelism, no activation reshard)
+      attn.in_proj.b  [.., 3, D]    → last axis over `model`
+      attn.out_proj.w [.., D, D]    → rows over `model` (partial sums → psum)
+      mlp.c_fc.w      [.., D, 4D]   → columns;  mlp.c_fc.b [.., 4D] → last
+      mlp.c_proj.w    [.., 4D, D]   → rows
     Everything else (embeddings, LayerNorms, projections, CTM, weighting
     heads, logit scale) replicates.  Row-sharded matrices keep their bias
     replicated (added once after the psum)."""
@@ -137,6 +142,27 @@ def shard_params_tp(params, mesh: Mesh, model_axis: str = "model"):
     """Place a parameter pytree with tensor-parallel shardings."""
     return jax.tree.map(jax.device_put, params,
                         tp_param_shardings(params, mesh, model_axis))
+
+
+def fetch_to_host(tree):
+    """Host (numpy) copy of a pytree whose leaves may be sharded across
+    PROCESSES (tensor-parallel params on a multi-host mesh).
+
+    `jax.device_get` alone raises on arrays with non-addressable shards;
+    those are first assembled with `multihost_utils.process_allgather`
+    (a collective — every process must call this together).  Replicated
+    or fully-addressable leaves take the plain device_get path, so on
+    single-host runs this is exactly `jax.device_get`."""
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    from jax.experimental import multihost_utils
+
+    def get(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return np.asarray(multihost_utils.process_allgather(x))
+        return jax.device_get(x)
+
+    return jax.tree.map(get, tree)
 
 
 def place_params(params, mesh: Mesh):

@@ -114,7 +114,7 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
     # saves parameter state_dicts only, main.py:161-187)
     if cfg.train.resume_checkpoint:
         state = ckpt.load_train_state(cfg.train.resume_checkpoint,
-                                      jax.device_get(state))
+                                      pmesh.fetch_to_host(state))
         if mesh is not None:
             # params (and their optimizer moments) keep the mesh placement
             # rule — TP shardings on a data×model mesh, replicated otherwise
@@ -179,9 +179,11 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
                                     dataset=test_ds, logger=logger,
                                     mesh=mesh)
                 if tracker.update(t2v, v2t) and cfg.train.save_checkpoints:
-                    best_host = jax.device_get(state.params)
+                    # collective (TP shards may span processes) — all
+                    # processes fetch; only process 0 writes
+                    best_host = pmesh.fetch_to_host(state.params)
                     if jax.process_index() == 0:
-                        ckpt.save_params(best_path, state.params)
+                        ckpt.save_params(best_path, best_host)
                         logger.info("Saved best checkpoint (mean R@1 %.2f)",
                                     tracker.best_mean_r1)
 
@@ -189,18 +191,22 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
         t2v, v2t = evaluate(state.params, cfg, test_loader, dataset=test_ds,
                             logger=logger, mesh=mesh)
         if tracker.update(t2v, v2t) and cfg.train.save_checkpoints:
-            best_host = jax.device_get(state.params)
+            best_host = pmesh.fetch_to_host(state.params)
             if jax.process_index() == 0:
-                ckpt.save_params(best_path, state.params)
+                ckpt.save_params(best_path, best_host)
                 logger.info("Saved best checkpoint (mean R@1 %.2f)",
                             tracker.best_mean_r1)
         # checkpoint IO is process-0 only (reference rank-0 saves,
-        # main.py:161-187); params/state are replicated so process 0 holds
-        # the full copy
-        if cfg.train.save_checkpoints and jax.process_index() == 0:
-            ckpt.save_train_state(
-                os.path.join(cfg.train.output_dir, f"state_epoch{epoch}.npz"),
-                jax.device_get(state))
+        # main.py:161-187).  The host fetch is OUTSIDE the gate: with
+        # --tensor_parallel on a multi-host mesh the params span processes,
+        # so assembling them (fetch_to_host) is a collective.
+        if cfg.train.save_checkpoints:
+            state_host = pmesh.fetch_to_host(state)
+            if jax.process_index() == 0:
+                ckpt.save_train_state(
+                    os.path.join(cfg.train.output_dir,
+                                 f"state_epoch{epoch}.npz"),
+                    state_host)
 
         # epoch-end bank clear (main.py:368-374): re-created next epoch
         state = state._replace(bank=mb.create(

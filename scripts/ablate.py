@@ -110,7 +110,7 @@ def towers():
                                         (B, 1, Lx, Lx))[:, 0]
             return fused_ln_attention_residual(
                 x.astype(dtype), p["ln_1"]["scale"], p["ln_1"]["bias"],
-                p["attn"]["in_proj"]["w"], p["attn"]["in_proj"]["b"],
+                *L.packed_qkv_weights(p["attn"]["in_proj"]),
                 p["attn"]["out_proj"]["w"], p["attn"]["out_proj"]["b"],
                 n_head, bias=bias,
                 interpret=jax.default_backend() != "tpu")

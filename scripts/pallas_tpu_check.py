@@ -59,8 +59,8 @@ def bench_attention(N=768, L=50, H=12, hd=64):
     from neighborretr_tpu.models import layers as Lmod
     rng = np.random.default_rng(0)
     D = H * hd
-    p = {"in_proj": {"w": jnp.asarray(rng.normal(0, .02, (D, 3 * D)).astype(np.float32)),
-                     "b": jnp.zeros((3 * D,), jnp.float32)},
+    p = {"in_proj": {"w": jnp.asarray(rng.normal(0, .02, (D, 3, D)).astype(np.float32)),
+                     "b": jnp.zeros((3, D), jnp.float32)},
          "out_proj": {"w": jnp.asarray(rng.normal(0, .02, (D, D)).astype(np.float32)),
                       "b": jnp.zeros((D,), jnp.float32)}}
     x = jnp.asarray(rng.normal(size=(N, L, D)).astype(np.float32))
@@ -86,15 +86,15 @@ def bench_block_attention(N=768, L=50, H=12, hd=64):
     from neighborretr_tpu.ops.pallas_block_attention import fused_attention_sublayer
     rng = np.random.default_rng(0)
     D = H * hd
-    p = {"in_proj": {"w": jnp.asarray(rng.normal(0, .02, (D, 3 * D)).astype(np.float32)),
-                     "b": jnp.zeros((3 * D,), jnp.float32)},
+    p = {"in_proj": {"w": jnp.asarray(rng.normal(0, .02, (D, 3, D)).astype(np.float32)),
+                     "b": jnp.zeros((3, D), jnp.float32)},
          "out_proj": {"w": jnp.asarray(rng.normal(0, .02, (D, D)).astype(np.float32)),
                       "b": jnp.zeros((D,), jnp.float32)}}
     h = jnp.asarray(rng.normal(size=(N, L, D)).astype(np.float32))
 
     def f_kernel(p, h):
         return jnp.sum(fused_attention_sublayer(
-            h, p["in_proj"]["w"], p["in_proj"]["b"],
+            h, *Lmod.packed_qkv_weights(p["in_proj"]),
             p["out_proj"]["w"], p["out_proj"]["b"], H).astype(jnp.float32))
 
     def f_xla(p, h):

@@ -20,8 +20,8 @@ def main():
     rng = np.random.default_rng(0)
     H, hd, N, Lq = 12, 64, 768, 50
     D = H * hd
-    p = {"in_proj": {"w": jnp.asarray(rng.normal(0, .02, (D, 3 * D)).astype(np.float32)),
-                     "b": jnp.zeros((3 * D,), jnp.float32)},
+    p = {"in_proj": {"w": jnp.asarray(rng.normal(0, .02, (D, 3, D)).astype(np.float32)),
+                     "b": jnp.zeros((3, D), jnp.float32)},
          "out_proj": {"w": jnp.asarray(rng.normal(0, .02, (D, D)).astype(np.float32)),
                       "b": jnp.zeros((D,), jnp.float32)}}
     x = jnp.asarray(rng.normal(size=(N, Lq, D)).astype(np.float32))

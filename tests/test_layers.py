@@ -45,7 +45,8 @@ def test_mha_matches_torch_multihead(rng):
         out_b = mha_t.out_proj.bias.numpy().copy()
 
     p = {
-        "in_proj": {"w": jnp.array(in_w.T), "b": jnp.array(in_b)},
+        "in_proj": {"w": jnp.array(in_w.T.copy().reshape(D, 3, D)),
+                    "b": jnp.array(in_b.reshape(3, D))},
         "out_proj": {"w": jnp.array(out_w.T), "b": jnp.array(out_b)},
     }
     got = np.asarray(L.mha(p, jnp.array(x), H))
@@ -67,7 +68,8 @@ def test_mha_with_additive_mask_matches_torch(rng):
         out_b = mha_t.out_proj.bias.numpy().copy()
 
     p = {
-        "in_proj": {"w": jnp.array(in_w.T), "b": jnp.array(in_b)},
+        "in_proj": {"w": jnp.array(in_w.T.copy().reshape(D, 3, D)),
+                    "b": jnp.array(in_b.reshape(3, D))},
         "out_proj": {"w": jnp.array(out_w.T), "b": jnp.array(out_b)},
     }
     bias = L.padding_bias(jnp.array(mask))

@@ -23,7 +23,7 @@ def _params(rng, D):
     def t(*shape):
         return jnp.asarray(rng.normal(scale=0.05, size=shape).astype(np.float32))
     return {
-        "in_proj": {"w": t(D, 3 * D), "b": t(3 * D)},
+        "in_proj": {"w": t(D, 3, D), "b": t(3, D)},
         "out_proj": {"w": t(D, D), "b": t(D)},
     }
 

@@ -30,7 +30,7 @@ def _einsum_sublayer(p, h):
 
 def _kernel_sublayer(p, h):
     return fused_attention_sublayer(
-        h, p["in_proj"]["w"], p["in_proj"]["b"],
+        h, *L.packed_qkv_weights(p["in_proj"]),
         p["out_proj"]["w"], p["out_proj"]["b"], H, interpret=True)
 
 
@@ -94,7 +94,7 @@ def test_biased_sublayer_matches_einsum(setup):
 
     want = L.mha(p, h, H, bias4, dtype=jnp.float32, fused=False)
     got = fused_attention_sublayer(
-        h, p["in_proj"]["w"], p["in_proj"]["b"],
+        h, *L.packed_qkv_weights(p["in_proj"]),
         p["out_proj"]["w"], p["out_proj"]["b"], H,
         bias=jnp.broadcast_to(bias4.astype(jnp.float32),
                               (N, 1, SEQ, SEQ))[:, 0],
@@ -106,7 +106,7 @@ def test_biased_sublayer_matches_einsum(setup):
     gh_w = jax.grad(lambda x: jnp.sum(
         L.mha(p, x, H, bias4, dtype=jnp.float32, fused=False) * g_out))(h)
     gh_k = jax.grad(lambda x: jnp.sum(fused_attention_sublayer(
-        x, p["in_proj"]["w"], p["in_proj"]["b"],
+        x, *L.packed_qkv_weights(p["in_proj"]),
         p["out_proj"]["w"], p["out_proj"]["b"], H,
         bias=jnp.broadcast_to(bias4.astype(jnp.float32),
                               (N, 1, SEQ, SEQ))[:, 0],
@@ -153,7 +153,7 @@ def test_ln_fused_residual_full_gradient_parity():
     def ker(p, x):
         return fused_ln_attention_residual(
             x, p["ln_1"]["scale"], p["ln_1"]["bias"],
-            p["attn"]["in_proj"]["w"], p["attn"]["in_proj"]["b"],
+            *L.packed_qkv_weights(p["attn"]["in_proj"]),
             p["attn"]["out_proj"]["w"], p["attn"]["out_proj"]["b"], H,
             interpret=True)
 

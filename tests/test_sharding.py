@@ -153,8 +153,8 @@ def test_tp_param_sharding_rules(params):
     shardings = pmesh.tp_param_shardings(params, mesh)
 
     blk = shardings["clip"]["visual"]["transformer"]
-    assert blk["attn"]["in_proj"]["w"].spec == P(None, None, "model")
-    assert blk["attn"]["in_proj"]["b"].spec == P(None, "model")
+    assert blk["attn"]["in_proj"]["w"].spec == P(None, None, None, "model")
+    assert blk["attn"]["in_proj"]["b"].spec == P(None, None, "model")
     assert blk["attn"]["out_proj"]["w"].spec == P(None, "model", None)
     assert blk["attn"]["out_proj"]["b"].spec == P()
     assert blk["mlp"]["c_fc"]["w"].spec == P(None, None, "model")
