@@ -47,7 +47,6 @@ def main():
     import jax
     from neighborretr_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
-    from neighborretr_tpu.core import checkpoint as ckpt
     from neighborretr_tpu.core.config import (ClipConfig, Config, ModelConfig,
                                               TrainConfig)
     from neighborretr_tpu.data.loader import BatchLoader
@@ -95,14 +94,12 @@ def main():
         params = load_openai_clip_into(params, cfg.model, args.clip_checkpoint)
         logger.info("Loaded CLIP weights from %s", args.clip_checkpoint)
     if args.checkpoint:
-        if args.checkpoint.endswith(".npz"):
-            params = ckpt.load_params(args.checkpoint, params)
-        else:
-            # reference-trained torch checkpoint (best.pth) — migration path
-            from neighborretr_tpu.models.weights_io import \
-                load_reference_checkpoint_into
-            params = load_reference_checkpoint_into(params, cfg.model,
-                                                    args.checkpoint)
+        # native .npz (best.npz or state_epochN.npz) or a reference-trained
+        # torch checkpoint (best.pth) — one dispatch for all CLIs
+        from neighborretr_tpu.models.weights_io import \
+            load_model_checkpoint_into
+        params = load_model_checkpoint_into(params, cfg.model,
+                                            args.checkpoint)
         logger.info("Loaded checkpoint %s", args.checkpoint)
 
     from neighborretr_tpu.parallel import mesh as pmesh
@@ -122,6 +119,14 @@ def main():
             mesh = pmesh.make_mesh(num_devices=args.num_devices)
             data_size = mesh.devices.size
         if args.batch_size_val % data_size != 0:
+            if args.tensor_parallel > 1:
+                # an explicit TP request cannot silently degrade to
+                # single-device eval (the whole point may be fitting a
+                # backbone that OOMs unsharded)
+                raise SystemExit(
+                    f"--batch_size_val {args.batch_size_val} must be "
+                    f"divisible by the data-mesh size {data_size} "
+                    f"(devices / tensor_parallel) to use --tensor_parallel")
             logger.warning("batch_size_val %d not divisible by %d devices; "
                            "running single-device eval",
                            args.batch_size_val, data_size)

@@ -39,7 +39,7 @@ def unflatten_into(tree_like, flat: Dict[str, np.ndarray], strict: bool = True):
     treedef = jax.tree_util.tree_structure(tree_like)
     new_leaves = []
     seen = set()
-    missing, mismatched = [], []
+    missing, mismatched, reshaped = [], [], []
     for path, leaf in leaves_with_path[0]:
         key = _SEP.join(str(getattr(k, "key", getattr(k, "idx", k)))
                         for k in path)
@@ -52,6 +52,16 @@ def unflatten_into(tree_like, flat: Dict[str, np.ndarray], strict: bool = True):
             continue
         arr = flat[key]
         if arr.shape != leaf.shape:
+            if arr.size == np.asarray(leaf).size:
+                # element-count match: a pure relayout of the same data.
+                # These npz files are only ever produced by this framework,
+                # whose historical layout changes are reshape-compatible
+                # (e.g. attn in_proj [.., D, 3D] → [.., D, 3, D]), so the
+                # flat element order is preserved — migrate in place.
+                reshaped.append(f"{key} (ckpt {arr.shape} → model {leaf.shape})")
+                new_leaves.append(
+                    arr.reshape(leaf.shape).astype(np.asarray(leaf).dtype))
+                continue
             if strict:
                 raise ValueError(
                     f"shape mismatch for {key}: ckpt {arr.shape} vs model {leaf.shape}")
@@ -63,7 +73,7 @@ def unflatten_into(tree_like, flat: Dict[str, np.ndarray], strict: bool = True):
     if strict:
         return tree
     report = {"missing": missing, "mismatched": mismatched,
-              "unexpected": sorted(set(flat) - seen)}
+              "reshaped": reshaped, "unexpected": sorted(set(flat) - seen)}
     return tree, report
 
 
@@ -74,9 +84,16 @@ def save_params(path: str, params) -> None:
 
 def load_params(path: str, params_like, strict: bool = True):
     """strict=True → params; strict=False → (params, report) with the
-    missing/mismatched/unexpected leaf diff (reference main.py:60-66)."""
+    missing/mismatched/reshaped/unexpected leaf diff (reference
+    main.py:60-66).  Accepts both a params-only npz (best.npz) and a full
+    train-state npz (state_epochN.npz) — the latter's `params//` subtree is
+    extracted automatically."""
     with np.load(path, allow_pickle=False) as data:
         flat = {k: data[k] for k in data.files}
+    if "opt_step" in flat and any(k.startswith(f"params{_SEP}") for k in flat):
+        plen = len("params") + len(_SEP)
+        flat = {k[plen:]: v for k, v in flat.items()
+                if k.startswith(f"params{_SEP}")}
     return unflatten_into(params_like, flat, strict=strict)
 
 

@@ -211,6 +211,11 @@ def load_reference_checkpoint_into(params: Params, cfg: ModelConfig,
     sd = read_torch_state_dict(ckpt_path)
     clip_sd = {k[len("clip."):]: v for k, v in sd.items()
                if k.startswith("clip.")}
+    if not clip_sd:
+        raise ValueError(
+            f"{ckpt_path!r} is not a reference NeighborRetr checkpoint (no "
+            f"'clip.'-prefixed keys).  A bare OpenAI CLIP backbone (.pt) "
+            f"goes through --clip_checkpoint, not the model-checkpoint flag.")
     sniffed = sniff_clip_config(clip_sd)
     if sniffed != cfg.clip:
         raise ValueError(
@@ -221,6 +226,34 @@ def load_reference_checkpoint_into(params: Params, cfg: ModelConfig,
     params = dict(params)
     params.update(converted)
     return params
+
+
+def load_model_checkpoint_into(params: Params, cfg: ModelConfig,
+                               ckpt_path: str, strict: bool = True,
+                               logger=None) -> Params:
+    """Single dispatch for model checkpoints across all CLIs: a native .npz
+    (params-only best.npz or a full train-state file, whose params subtree
+    is extracted) loads via core.checkpoint; anything else is treated as a
+    reference-trained torch checkpoint (the migration path).
+
+    strict=False is the reference's `--init_model` warm-start contract
+    (main.py:60-66): partial load with the leaf diff logged."""
+    if ckpt_path.endswith(".npz"):
+        from ..core import checkpoint as ckpt
+        if strict:
+            params = ckpt.load_params(ckpt_path, params)
+        else:
+            params, diff = ckpt.load_params(ckpt_path, params, strict=False)
+            if logger is not None:
+                for kind in ("missing", "mismatched", "reshaped",
+                             "unexpected"):
+                    if diff[kind]:
+                        logger.info(
+                            "  warm-start %s leaves (%d): %s", kind,
+                            len(diff[kind]), ", ".join(diff[kind][:8])
+                            + ("..." if len(diff[kind]) > 8 else ""))
+        return params
+    return load_reference_checkpoint_into(params, cfg, ckpt_path)
 
 
 def _block_to_torch(block: Params, prefix: str,

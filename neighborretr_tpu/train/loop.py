@@ -73,26 +73,14 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
                                        cfg.train.clip_checkpoint)
         logger.info("Loaded CLIP weights from %s", cfg.train.clip_checkpoint)
     if cfg.train.init_checkpoint:
-        if cfg.train.init_checkpoint.endswith(".npz"):
-            # strict=False warm start (reference --init_model, main.py:60-66):
-            # cross-config checkpoints load partially with a logged diff
-            params, diff = ckpt.load_params(cfg.train.init_checkpoint, params,
-                                            strict=False)
-            logger.info("Warm-started from %s", cfg.train.init_checkpoint)
-            for kind in ("missing", "mismatched", "unexpected"):
-                if diff[kind]:
-                    logger.info("  warm-start %s leaves (%d): %s", kind,
-                                len(diff[kind]), ", ".join(diff[kind][:8])
-                                + ("..." if len(diff[kind]) > 8 else ""))
-        else:
-            # reference-trained torch checkpoint (best.pth /
-            # pytorch_model.bin.*) — the migration path for users switching
-            # from the reference repo (its --init_model, main.py:60-66)
-            from ..models.weights_io import load_reference_checkpoint_into
-            params = load_reference_checkpoint_into(
-                params, cfg.model, cfg.train.init_checkpoint)
-            logger.info("Warm-started from reference checkpoint %s",
-                        cfg.train.init_checkpoint)
+        # strict=False warm start (reference --init_model, main.py:60-66):
+        # native .npz loads partially with a logged diff; torch checkpoints
+        # take the reference-migration path (weights_io)
+        from ..models.weights_io import load_model_checkpoint_into
+        params = load_model_checkpoint_into(
+            params, cfg.model, cfg.train.init_checkpoint, strict=False,
+            logger=logger)
+        logger.info("Warm-started from %s", cfg.train.init_checkpoint)
 
     bank = mb.create(cfg.train.memory_bank_capacity, cfg.model.max_words,
                      cfg.model.max_frames, cfg.model.clip.embed_dim)

@@ -86,6 +86,54 @@ def test_full_train_state_resume(cfg, tmp_path, rng):
     _trees_equal(tuple(cont.bank), tuple(res.bank))
 
 
+def test_old_flat_qkv_layout_migrates(cfg, tmp_path):
+    """Checkpoints saved before the [D, 3, D] in_proj relayout stored the
+    flat [.., D, 3D] / [.., 3D] packed layout.  The migration is a pure
+    reshape (element order unchanged), so load_params must reshape-migrate
+    these leaves instead of dropping (strict=False) or rejecting (strict)
+    them."""
+    params = model.init_params(jax.random.PRNGKey(0), cfg.model)
+    flat = ckpt.flatten_tree(params)
+    n_flattened = 0
+    for k in list(flat):
+        if k.endswith("in_proj//w"):
+            a = flat[k]                       # [.., D, 3, D]
+            flat[k] = a.reshape(*a.shape[:-3], a.shape[-3], -1)
+            n_flattened += 1
+        elif k.endswith("in_proj//b"):
+            a = flat[k]                       # [.., 3, D]
+            flat[k] = a.reshape(*a.shape[:-2], -1)
+            n_flattened += 1
+    assert n_flattened > 0
+    path = str(tmp_path / "old_layout.npz")
+    np.savez(path, **flat)
+
+    like = model.init_params(jax.random.PRNGKey(1), cfg.model)
+    loaded = ckpt.load_params(path, like)     # strict: reshape, don't raise
+    _trees_equal(params, loaded)
+
+    _, report = ckpt.load_params(path, like, strict=False)
+    assert len(report["reshaped"]) == n_flattened
+    assert not report["missing"] and not report["mismatched"]
+
+
+def test_load_params_accepts_train_state_file(cfg, tmp_path, rng):
+    """--checkpoint state_epochN.npz works everywhere best.npz does: the
+    params subtree is extracted from the train-state layout."""
+    params = model.init_params(jax.random.PRNGKey(0), cfg.model)
+    bank = mb.create(cfg.train.memory_bank_capacity, W, F,
+                     cfg.model.clip.embed_dim)
+    batch = make_batch(rng, cfg, batch=B)
+    state, _ = train_step(create_train_state(params, bank), batch,
+                          jax.random.PRNGKey(1), cfg, 10)
+    path = str(tmp_path / "state_epoch0.npz")
+    ckpt.save_train_state(path, jax.device_get(state))
+
+    like = model.init_params(jax.random.PRNGKey(1), cfg.model)
+    loaded = ckpt.load_params(path, like)
+    _trees_equal(jax.device_get(state.params), loaded)
+
+
 def test_partial_load_strict_false(cfg, tmp_path):
     """strict=False warm start (reference --init_model, main.py:60-66):
     missing / shape-mismatched leaves keep init values, extra keys are

@@ -193,3 +193,20 @@ def test_temporal_reseeded_from_loaded_text_tower(tiny_ckpt):
     np.testing.assert_array_equal(
         np.asarray(params["temporal"]["transformer"]["ln_1"]["scale"][0]),
         sd["transformer.resblocks.0.ln_1.weight"].numpy())
+
+
+def test_reference_loader_rejects_bare_clip_checkpoint(tiny_ckpt):
+    """Passing an OpenAI CLIP backbone file to the model-checkpoint flag
+    (instead of --clip_checkpoint) must fail with an actionable error, not a
+    KeyError from deep inside the shape sniffer."""
+    from neighborretr_tpu.models.weights_io import \
+        load_reference_checkpoint_into
+    path, _ = tiny_ckpt
+    mcfg = ModelConfig(clip=ClipConfig(
+        embed_dim=E, image_resolution=RES, vision_layers=L_VIS,
+        vision_width=VWID, vision_patch_size=P, context_length=CTX,
+        vocab_size=VOCAB, transformer_width=WID, transformer_layers=L_TXT),
+        max_words=8, max_frames=4, temporal_layers=2)
+    params = model.init_params(jax.random.PRNGKey(0), mcfg)
+    with pytest.raises(ValueError, match="clip_checkpoint"):
+        load_reference_checkpoint_into(params, mcfg, path)
