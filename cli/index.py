@@ -1,0 +1,109 @@
+"""Build a video-feature retrieval index from a dataset split.
+
+    python -m cli.index --datatype msrvtt --anno_path ... --video_path ... \
+        --checkpoint outputs/msrvtt/best.npz --out msrvtt_index.npz
+
+The index answers free-text queries via `cli/search.py` without re-decoding
+or re-encoding any video (the serving path; see neighborretr_tpu/serving.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# cheap import (pure dataclasses): single source for the backbone menu
+from neighborretr_tpu.core.config import ClipConfig as _ClipConfig
+_BACKBONE_CHOICES = _ClipConfig.backbone_names()
+
+
+def main():
+    p = argparse.ArgumentParser(description="Build a video retrieval index")
+    p.add_argument("--datatype", default="msrvtt",
+                   help="msrvtt/msvd/didemo/activitynet, or synthetic")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny towers for smoke runs")
+    p.add_argument("--anno_path", default="")
+    p.add_argument("--video_path", default="")
+    p.add_argument("--subset", default=None)
+    p.add_argument("--base_encoder", default="ViT-B/32",
+                   choices=list(_BACKBONE_CHOICES))
+    p.add_argument("--checkpoint", default=None,
+                   help="best.npz / state_epochN.npz / reference best.pth")
+    p.add_argument("--clip_checkpoint", default=None)
+    p.add_argument("--out", required=True, help="output index .npz path")
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--max_words", type=int, default=24)
+    p.add_argument("--max_frames", type=int, default=12)
+    p.add_argument("--video_framerate", type=int, default=1)
+    p.add_argument("--workers", type=int, default=8)
+    args = p.parse_args()
+
+    import jax
+    from neighborretr_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from neighborretr_tpu import serving
+    from neighborretr_tpu.core.config import (ClipConfig, Config, ModelConfig,
+                                              TrainConfig)
+    from neighborretr_tpu.data.loader import BatchLoader
+    from neighborretr_tpu.data.registry import EVAL_SUBSET, build_dataset
+    from neighborretr_tpu.data.tokenizer import ClipTokenizer
+    from neighborretr_tpu.models import neighborretr as model
+    from neighborretr_tpu.utils.logging import setup_logger
+
+    clip_cfg = ClipConfig.from_name(args.base_encoder)
+    cfg = Config(model=ModelConfig(clip=clip_cfg, max_words=args.max_words,
+                                   max_frames=args.max_frames),
+                 train=TrainConfig(batch_size_val=args.batch_size))
+    logger = setup_logger()
+
+    if args.tiny or (args.datatype == "synthetic"
+                     and args.clip_checkpoint is None):
+        import dataclasses as dc
+        cfg = dc.replace(cfg, model=ModelConfig.tiny(
+            max_words=args.max_words, max_frames=args.max_frames))
+        logger.info("Using tiny model architecture (--tiny/smoke run)")
+    if args.datatype == "synthetic":
+        from neighborretr_tpu.data.datasets.synthetic import SyntheticDataset
+        ds = SyntheticDataset(
+            n=max(32, args.batch_size), seed=2,
+            max_words=args.max_words, max_frames=args.max_frames,
+            resolution=cfg.model.clip.image_resolution,
+            vocab_size=cfg.model.clip.vocab_size)
+    else:
+        tokenizer = ClipTokenizer()
+        subset = args.subset or EVAL_SUBSET[args.datatype]
+        ds = build_dataset(args.datatype, subset, args.anno_path,
+                           args.video_path, tokenizer,
+                           max_words=args.max_words,
+                           max_frames=args.max_frames,
+                           resolution=cfg.model.clip.image_resolution,
+                           video_framerate=args.video_framerate)
+    loader = BatchLoader(ds, args.batch_size, shuffle=False, drop_last=False,
+                         workers=args.workers, pad_to_batch=True)
+
+    params = model.init_params(jax.random.PRNGKey(0), cfg.model)
+    if args.clip_checkpoint:
+        from neighborretr_tpu.models.weights_io import load_openai_clip_into
+        params = load_openai_clip_into(params, cfg.model, args.clip_checkpoint)
+        logger.info("Loaded CLIP weights from %s", args.clip_checkpoint)
+    if args.checkpoint:
+        from neighborretr_tpu.models.weights_io import \
+            load_model_checkpoint_into
+        params = load_model_checkpoint_into(params, cfg.model,
+                                            args.checkpoint)
+        logger.info("Loaded checkpoint %s", args.checkpoint)
+
+    index = serving.build_video_index(params, cfg, loader, dataset=ds,
+                                      logger=logger)
+    serving.save_index(args.out, index)
+    logger.info("Wrote %s: %d videos, %.1f MB", args.out,
+                len(index["video_ids"]),
+                os.path.getsize(args.out) / 1e6)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Serving path: video index build (dedup, layout, round-trip) and free-text
+search returning exactly the eval-time similarities."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from neighborretr_tpu import serving
+from neighborretr_tpu.core.config import Config, LossConfig, ModelConfig, TrainConfig
+from neighborretr_tpu.data.loader import BatchLoader
+from neighborretr_tpu.data.datasets.synthetic import SyntheticDataset
+from neighborretr_tpu.models import neighborretr as model
+from neighborretr_tpu.train.evaluate import similarity_matrix
+
+W, F, N = 8, 4, 24
+
+
+class _StubTokenizer:
+    """Whitespace tokenizer onto the tiny vocab (real BPE ids overflow the
+    512-entry tiny embedding; the text pipeline contract is identical)."""
+
+    def tokenize(self, text):
+        return text.split()
+
+    def convert_tokens_to_ids(self, tokens):
+        ids = []
+        for t in tokens:
+            if t == "<|startoftext|>":
+                ids.append(1)
+            elif t == "<|endoftext|>":
+                ids.append(2)
+            else:
+                ids.append(3 + (hash(t) % 500))
+        return ids
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Config(model=ModelConfig.tiny(max_words=W, max_frames=F),
+                 loss=LossConfig(num_neighbors=3),
+                 train=TrainConfig(batch_size=8, batch_size_val=8))
+    ds = SyntheticDataset(n=N, seed=3, max_words=W, max_frames=F,
+                          resolution=cfg.model.clip.image_resolution,
+                          vocab_size=cfg.model.clip.vocab_size)
+    params = model.init_params(jax.random.PRNGKey(0), cfg.model)
+    loader = BatchLoader(ds, 8, shuffle=False, drop_last=False, workers=0,
+                         pad_to_batch=True)
+    index = serving.build_video_index(params, cfg, loader, dataset=ds)
+    return cfg, ds, params, index
+
+
+def test_index_layout_and_roundtrip(setup, tmp_path):
+    cfg, ds, params, index = setup
+    E = cfg.model.clip.embed_dim
+    assert index["v_feat"].shape == (N, F, E)
+    assert index["v_feat"].dtype == np.float16
+    assert index["v_mask"].shape == (N, F)
+    assert len(index["video_ids"]) == N
+    assert len(set(map(str, index["video_ids"]))) == N
+
+    path = str(tmp_path / "index.npz")
+    serving.save_index(path, index)
+    loaded = serving.load_index(path)
+    np.testing.assert_array_equal(loaded["v_feat"], index["v_feat"])
+    assert list(map(str, loaded["video_ids"])) == \
+        list(map(str, index["video_ids"]))
+
+
+def test_index_dedupes_repeated_videos(setup):
+    cfg, ds, params, _ = setup
+
+    class Repeated:
+        """Every video appears 3 times (multi-sentence-style repetition)."""
+        multi_sentence_per_video = False
+
+        def __len__(self):
+            return 3 * 8
+
+        def item(self, i):
+            it = ds.item(i % 8)
+            it = dict(it)
+            it["idx"] = np.int32(i)
+            return it
+
+    loader = BatchLoader(Repeated(), 8, shuffle=False, drop_last=False,
+                         workers=0, pad_to_batch=True)
+    index = serving.build_video_index(params, cfg, loader)
+    assert len(index["video_ids"]) == 8
+    assert index["v_feat"].shape[0] == 8
+
+
+def test_search_scores_match_eval_similarity(setup):
+    cfg, ds, params, index = setup
+    queries = ["a cat plays piano", "someone rides a bike downhill"]
+    tok = _StubTokenizer()
+    results = serving.search(params, cfg, index, tok, queries, topk=4)
+    assert len(results) == 2 and all(len(r) == 4 for r in results)
+
+    # the same queries scored directly through the eval similarity path
+    t_feat, t_mask = serving.encode_queries(params, cfg, tok, queries)
+    sim = similarity_matrix(params, cfg, np.asarray(t_feat), t_mask,
+                            np.asarray(index["v_feat"], np.float32),
+                            np.asarray(index["v_mask"], np.float32))
+    id_to_col = {str(v): j for j, v in enumerate(index["video_ids"])}
+    for q, hits in enumerate(results):
+        scores = [s for _, s in hits]
+        assert scores == sorted(scores, reverse=True)
+        want = np.sort(sim[q])[::-1][:4]
+        np.testing.assert_allclose(scores, want, rtol=1e-5)
+        for vid, s in hits:
+            np.testing.assert_allclose(s, sim[q, id_to_col[vid]], rtol=1e-5)
+
+
+def test_search_rejects_mismatched_index_config(setup):
+    cfg, ds, params, index = setup
+    import dataclasses as dc
+    other = dc.replace(cfg, model=dc.replace(
+        cfg.model, clip=dc.replace(cfg.model.clip, image_resolution=64)))
+    with pytest.raises(ValueError, match="different model config"):
+        serving.search(model.init_params(jax.random.PRNGKey(1), other.model),
+                       other, index, _StubTokenizer(), ["q"], topk=1)
