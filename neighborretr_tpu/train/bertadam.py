@@ -34,11 +34,6 @@ from ..core.config import OptimizerConfig
 
 Params = Dict[str, Any]
 
-# LayerNorm containers across the model tree: their scale/bias leaves are
-# no-decay, mirroring torch's name match on 'LayerNorm.weight/bias'.
-_LN_KEYS = {"ln_1", "ln_2", "ln_pre", "ln_post", "ln_final", "norm", "norm1"}
-
-
 def _path_keys(path) -> Tuple[str, ...]:
     return tuple(getattr(k, "key", str(k)) for k in path)
 
@@ -49,13 +44,17 @@ def is_frozen(path_keys: Tuple[str, ...]) -> bool:
 
 
 def is_no_decay(path_keys: Tuple[str, ...]) -> bool:
-    leaf = path_keys[-1]
-    if leaf in ("b", "bias"):
-        return True
-    parent = path_keys[-2] if len(path_keys) >= 2 else ""
-    if parent in _LN_KEYS and leaf in ("scale", "bias"):
-        return True
-    return False
+    """Only bias leaves are no-decay — a faithful reference quirk.
+
+    The reference's no_decay list is ['bias', 'LayerNorm.bias',
+    'LayerNorm.weight'] matched as substrings of parameter names
+    (training/optimizer.py:40-44), but the live model's LayerNorm modules
+    are attr-named ln_1/ln_2/ln_pre/ln_post/ln_final/norm/norm1 — so
+    'LayerNorm.weight' never matches anything and LN *scales are
+    weight-decayed* in the reference.  Golden-tested against the reference's
+    own grouping + BertAdam in tests/test_reference_parity.py.
+    """
+    return path_keys[-1] in ("b", "bias")
 
 
 def is_clip_branch(path_keys: Tuple[str, ...]) -> bool:

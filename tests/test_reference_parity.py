@@ -518,3 +518,126 @@ def test_export_loads_into_reference_model(ref_model, batch):
         jnp.asarray(batch["video_mask"]))
     np.testing.assert_allclose(np.asarray(our_sim), ref_sim.numpy(),
                                atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# BertAdam optimizer parity (models/optimization.py:76-210 + the grouping of
+# training/optimizer.py:39-75 + trainer.py:104's outer global clip)
+# ---------------------------------------------------------------------------
+
+def test_bertadam_parity_vs_reference():
+    """Drive the reference's own BertAdam and our bert_adam_update with
+    identical params/grads for several steps and assert the trajectories
+    match — including the LN-scale weight-decay quirk: the reference's
+    no_decay list ['bias','LayerNorm.bias','LayerNorm.weight'] never matches
+    the live model's ln_*/norm* parameter names, so LN scales ARE decayed."""
+    from NeighborRetr.models import optimization as ref_optim
+
+    from neighborretr_tpu.core.config import OptimizerConfig
+    from neighborretr_tpu.train import bertadam as BA
+
+    lr, coef_lr, wd, t_total = 0.02, 0.1, 0.3, 12
+    cfg = OptimizerConfig(lr=lr, coef_lr=coef_lr, weight_decay=wd,
+                          warmup_proportion=0.25, schedule="warmup_cosine")
+
+    # leaves named to mirror the live model: torch name ↔ our tree path
+    leaves = [
+        ("clip.visual.proj", ("clip", "visual", "proj"), (8, 6)),
+        ("clip.ln_final.weight", ("clip", "ln_final", "scale"), (6,)),
+        ("clip.ln_final.bias", ("clip", "ln_final", "bias"), (6,)),
+        ("clip.logit_scale", ("clip", "logit_scale"), (1,)),
+        ("frame_position_embeddings.weight", ("temporal", "pos_embed"), (4, 6)),
+        ("transformerClip.resblocks.0.attn.in_proj_bias",
+         ("temporal", "bias"), (18,)),
+    ]
+    rng = np.random.default_rng(11)
+    init = {n: rng.normal(0, 0.5, s).astype(np.float32) for n, _, s in leaves}
+
+    tp = {n: torch.nn.Parameter(torch.from_numpy(init[n].copy()))
+          for n, _, _ in leaves}
+    no_decay = ["bias", "LayerNorm.bias", "LayerNorm.weight"]
+    named = [(n, tp[n]) for n, _, _ in leaves]
+    dec = [(n, p) for n, p in named if not any(nd in n for nd in no_decay)]
+    nod = [(n, p) for n, p in named if any(nd in n for nd in no_decay)]
+    # the quirk, asserted at the grouping level before the trajectory check
+    assert "clip.ln_final.weight" in [n for n, _ in dec]
+    groups = [
+        {"params": [p for n, p in dec if "clip." in n],
+         "weight_decay": wd, "lr": lr * coef_lr},
+        {"params": [p for n, p in dec if "clip." not in n],
+         "weight_decay": wd},
+        {"params": [p for n, p in nod if "clip." in n],
+         "weight_decay": 0.0, "lr": lr * coef_lr},
+        {"params": [p for n, p in nod if "clip." not in n],
+         "weight_decay": 0.0},
+    ]
+    opt = ref_optim.BertAdam(groups, lr=lr, warmup=cfg.warmup_proportion,
+                             schedule="warmup_cosine", b1=cfg.b1, b2=cfg.b2,
+                             e=cfg.eps, t_total=t_total, weight_decay=wd,
+                             max_grad_norm=cfg.max_grad_norm)
+
+    ours = {}
+    for n, path, _ in leaves:
+        d = ours
+        for k in path[:-1]:
+            d = d.setdefault(k, {})
+        d[path[-1]] = jnp.asarray(init[n])
+    state = BA.bert_adam_init(ours)
+
+    for step in range(6):
+        g = {n: rng.normal(0, 2.0, s).astype(np.float32)
+             for n, _, s in leaves}  # scale 2 → the global clip binds
+        for n, _, _ in leaves:
+            tp[n].grad = torch.from_numpy(g[n].copy())
+        torch.nn.utils.clip_grad_norm_([tp[n] for n, _, _ in leaves],
+                                       cfg.max_grad_norm)  # trainer.py:104
+        opt.step()
+
+        gt = {}
+        for n, path, _ in leaves:
+            d = gt
+            for k in path[:-1]:
+                d = d.setdefault(k, {})
+            d[path[-1]] = jnp.asarray(g[n])
+        ours, state = BA.bert_adam_update(gt, state, ours, cfg, t_total)
+
+        flat = dict(jax.tree_util.tree_flatten_with_path(ours)[0])
+        for n, path, _ in leaves:
+            key = tuple(jax.tree_util.DictKey(k) for k in path)
+            np.testing.assert_allclose(
+                np.asarray(flat[key]), tp[n].detach().numpy(),
+                rtol=3e-5, atol=1e-6,
+                err_msg=f"step {step}, param {n}")
+
+
+def test_optimizer_grouping_parity_whole_tree(ref_model, our_setup):
+    """Classify EVERY parameter of the reference model with the reference's
+    own grouping rules (training/optimizer.py:39-58: substring no_decay match,
+    'clip.' branch, requires_grad) and every leaf of our pytree with
+    bertadam.is_no_decay/is_clip_branch/is_frozen, then assert the per-group
+    parameter-element counts match.  Catches any whole-model classification
+    drift the 6-leaf trajectory test above cannot (packed qkv merges torch's
+    in_proj_weight/bias leaves, so counts are compared by numel)."""
+    from neighborretr_tpu.train import bertadam as BA
+
+    cfg, params = our_setup
+    no_decay = ["bias", "LayerNorm.bias", "LayerNorm.weight"]
+
+    ref_counts = {}
+    for n, p in ref_model.named_parameters():
+        if not p.requires_grad:
+            continue                      # frozen visual.conv1
+        if "_fc0" in n or "_intra" in n:
+            continue                      # dead nets: never receive grads
+        key = (not any(nd in n for nd in no_decay), "clip." in n)
+        ref_counts[key] = ref_counts.get(key, 0) + p.numel()
+
+    our_counts = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        keys = BA._path_keys(path)
+        if BA.is_frozen(keys):
+            continue
+        key = (not BA.is_no_decay(keys), BA.is_clip_branch(keys))
+        our_counts[key] = our_counts.get(key, 0) + int(np.prod(leaf.shape))
+
+    assert ref_counts == our_counts, (ref_counts, our_counts)
