@@ -30,14 +30,51 @@ import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_PAIRS_PER_SEC_PER_GPU = 45.0
+# Measured on THIS machine's CPU (scripts/baseline_cpu_measure.py, batch 8,
+# fp32, identical shapes): the reference takes 101.2 s/step → 0.079 pairs/s.
+# Used as the denominator only in the CPU-fallback path below.
+REFERENCE_CPU_PAIRS_PER_SEC_BATCH8 = 8 / 101.2
 
-BATCH = int(__import__("os").environ.get("BENCH_BATCH", "96"))  # v5e sweep optimum
-MB_BATCH = int(__import__("os").environ.get("BENCH_MB", "4"))  # bank = MB*BATCH
+_os = __import__("os")
+CPU_FALLBACK = bool(_os.environ.get("BENCH_CPU_FALLBACK"))
+BATCH = int(_os.environ.get("BENCH_BATCH", "96"))  # v5e sweep optimum
+MB_BATCH = int(_os.environ.get("BENCH_MB", "4"))  # bank = MB*BATCH
 # "vit_b_32" (default, the flagship/driver config) or "vit_b_16"
 # (BASELINE.json's ViT-B/16 config; 197 tokens/frame — use a smaller batch)
-BACKBONE = __import__("os").environ.get("BENCH_BACKBONE", "vit_b_32")
-WARMUP_STEPS = 2
-MEASURE_STEPS = 16   # step noise is ~±3%; longer window for a stable record
+BACKBONE = _os.environ.get("BENCH_BACKBONE", "vit_b_32")
+WARMUP_STEPS = 1 if CPU_FALLBACK else 2
+MEASURE_STEPS = int(_os.environ.get(          # noise ~±3%; long stable window
+    "BENCH_STEPS", "2" if CPU_FALLBACK else "16"))
+
+
+def _ensure_usable_backend():
+    """Probe the default JAX backend in a bounded child process; if it hangs
+    (tunnel down) or dies (e.g. libtpu version mismatch), re-exec this script
+    pinned to CPU with an honest fallback config.  The recorded vs_baseline is
+    then the measured same-CPU reference ratio (BASELINE.md) — a degraded but
+    truthful record instead of a hung or red bench run."""
+    import os
+    import subprocess
+    if CPU_FALLBACK or os.environ.get("JAX_PLATFORMS") == "cpu":
+        return
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices()[0])"],
+            capture_output=True, text=True,
+            timeout=int(os.environ.get("BENCH_PROBE_TIMEOUT", "420")))
+        if proc.returncode == 0:
+            return
+        reason = (proc.stderr or "").strip().splitlines()[-1:]
+    except subprocess.TimeoutExpired:
+        reason = ["probe timed out (tunnel down?)"]
+    print(f"# accelerator backend unusable ({' '.join(reason)[:200]}) — "
+          "falling back to a CPU measurement; vs_baseline becomes the "
+          "measured same-CPU reference ratio (BASELINE.md)", file=sys.stderr)
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+               BENCH_CPU_FALLBACK="1", BENCH_BATCH="8", BENCH_MB="2")
+    os.execve(sys.executable,
+              [sys.executable, os.path.abspath(__file__)], env)
 
 
 def main():
@@ -63,6 +100,10 @@ def main():
     default_remat = "1" if BACKBONE == "vit_l_14" else "0"
     remat = os.environ.get("BENCH_REMAT", default_remat) == "1"
     mcfg = dataclasses.replace(ModelConfig(), remat=remat, unroll_layers=True)
+    if CPU_FALLBACK:
+        # fp32 on CPU, matching scripts/baseline_cpu_measure.py's reference
+        # measurement (the torch reference runs fp32 on CPU)
+        mcfg = dataclasses.replace(mcfg, compute_dtype="float32")
     if BACKBONE != "vit_b_32":
         from neighborretr_tpu.core.config import ClipConfig
         mcfg = dataclasses.replace(mcfg, clip=getattr(ClipConfig, BACKBONE)())
@@ -124,6 +165,8 @@ def main():
     print(f"# {MEASURE_STEPS} steps x batch {BATCH} in {elapsed:.2f}s, "
           f"loss={float(metrics['loss']):.4f}", file=sys.stderr)
     try:
+        if CPU_FALLBACK:
+            raise RuntimeError("skip MFU readout (v5e-peak-specific)")
         # informational MFU from XLA's own cost model (v5e bf16 peak ≈ 197e12)
         cost = (train_step.lower(state, batch, jax.random.PRNGKey(0), cfg,
                                  t_total).compile().cost_analysis())
@@ -137,10 +180,21 @@ def main():
                   file=sys.stderr)
     except Exception:
         pass
+    name = (BACKBONE.replace("vit_b_", "ViT-B/").replace("vit_l_", "ViT-L/"))
+    if CPU_FALLBACK:
+        # vs the reference measured on the SAME CPU at the same batch-8 shape
+        ref_cpu = REFERENCE_CPU_PAIRS_PER_SEC_BATCH8 * (BATCH / 8.0)
+        print(json.dumps({
+            "metric": (f"train pairs/sec ({name}, 12f@224, full hubness "
+                       "losses) [CPU FALLBACK — accelerator unavailable; "
+                       "vs_baseline = measured same-CPU reference ratio]"),
+            "value": round(pairs_per_sec, 3),
+            "unit": "pairs/s",
+            "vs_baseline": round(pairs_per_sec / ref_cpu, 3),
+        }))
+        return
     print(json.dumps({
-        "metric": ("train pairs/sec/chip (%s, 12f@224, full hubness losses)"
-                   % BACKBONE.replace("vit_b_", "ViT-B/")
-                     .replace("vit_l_", "ViT-L/")),
+        "metric": f"train pairs/sec/chip ({name}, 12f@224, full hubness losses)",
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC_PER_GPU, 3),
@@ -148,4 +202,5 @@ def main():
 
 
 if __name__ == "__main__":
+    _ensure_usable_backend()
     main()
