@@ -107,8 +107,13 @@ def main():
     if BACKBONE != "vit_b_32":
         from neighborretr_tpu.core.config import ClipConfig
         mcfg = dataclasses.replace(mcfg, clip=getattr(ClipConfig, BACKBONE)())
+    from neighborretr_tpu.core.config import OptimizerConfig
     cfg = Config(model=mcfg, loss=LossConfig(),
-                 train=TrainConfig(batch_size=BATCH, mb_batch=MB_BATCH))
+                 optim=OptimizerConfig(moments_dtype=os.environ.get(
+                     "BENCH_MOMENTS", "float32")),
+                 train=TrainConfig(batch_size=BATCH, mb_batch=MB_BATCH,
+                                   micro_batches=int(
+                                       os.environ.get("BENCH_MICRO", "1"))))
 
     dev = jax.devices()[0]
     print(f"# bench device: {dev}", file=sys.stderr)
@@ -140,7 +145,8 @@ def main():
     bank = mb.create(cfg.train.memory_bank_capacity, W, F, mcfg.clip.embed_dim)
     for i in range(cfg.train.mb_batch):
         bank = fill_bank_step(params, bank, batch, cfg, i * BATCH)
-    state = create_train_state(params, bank)
+    state = create_train_state(params, bank,
+                               moments_dtype=cfg.optim.moments_dtype)
 
     t_total = 1000
     # warmup (compile). NOTE: a host-side value fetch (float(...)) is the

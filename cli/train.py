@@ -71,6 +71,15 @@ def parse_args():
     p.add_argument("--explicit_spmd", action="store_true",
                    help="shard_map row-sharded losses instead of GSPMD "
                         "auto-partitioning (enables Pallas kernels on meshes)")
+    p.add_argument("--opt_moments_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="storage dtype for Adam moments (bfloat16 halves "
+                        "optimizer HBM; update math stays fp32)")
+    p.add_argument("--micro_batches", type=int, default=1,
+                   help="encode the global batch in N sequential microbatches "
+                        "(jax.checkpoint) while the contrastive losses see "
+                        "the full batch — exact gradients, ~N× lower peak "
+                        "activation memory (GradCache semantics)")
     p.add_argument("--tensor_parallel", type=int, default=1,
                    help="shard tower weight matrices (Megatron layout) over "
                         "a `model` mesh axis of this size; remaining devices "
@@ -129,7 +138,8 @@ def main():
                         temperature=args.temperature),
         optim=OptimizerConfig(lr=args.lr, coef_lr=args.coef_lr,
                               weight_decay=args.weight_decay,
-                              warmup_proportion=args.warmup_proportion),
+                              warmup_proportion=args.warmup_proportion,
+                              moments_dtype=args.opt_moments_dtype),
         data=DataConfig(datatype=args.datatype, data_path=args.anno_path,
                         video_path=args.video_path, max_words=args.max_words,
                         max_frames=args.max_frames,
@@ -145,12 +155,17 @@ def main():
                           clip_checkpoint=args.clip_checkpoint,
                           num_devices=args.num_devices,
                           profile_dir=args.profile_dir,
-                          explicit_spmd=args.explicit_spmd),
+                          explicit_spmd=args.explicit_spmd,
+                          micro_batches=args.micro_batches),
     )
 
     import jax
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    if args.micro_batches > 1 and args.explicit_spmd:
+        raise SystemExit("--micro_batches applies to the GSPMD path; the "
+                         "explicit-SPMD path already encodes per shard "
+                         "(use --video_chunk_frames to bound its memory)")
     if args.tensor_parallel > 1:
         if args.explicit_spmd:
             raise SystemExit("--tensor_parallel requires the GSPMD path "

@@ -22,7 +22,12 @@ def flatten_tree(tree) -> Dict[str, np.ndarray]:
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         key = _SEP.join(str(getattr(k, "key", getattr(k, "idx", k)))
                         for k in path)
-        flat[key] = np.asarray(leaf)
+        arr = np.asarray(leaf)
+        if arr.dtype.name == "bfloat16":
+            # npz has no portable bf16; fp32 holds bf16 exactly, and
+            # unflatten_into casts back to the model leaf's dtype on load
+            arr = arr.astype(np.float32)
+        flat[key] = arr
     return flat
 
 

@@ -227,6 +227,10 @@ class OptimizerConfig:
     b2: float = 0.98
     eps: float = 1e-6
     max_grad_norm: float = 1.0   # both the outer global clip and per-param clip
+    # storage dtype for the Adam moments (m, v).  "bfloat16" halves optimizer
+    # HBM (~3.4 GB → 1.7 GB for ViT-L/14) — the moment update itself always
+    # runs in fp32 and only the carried state is rounded.
+    moments_dtype: str = "float32"
 
 
 @dataclass(frozen=True)
@@ -266,6 +270,13 @@ class TrainConfig:
     # explicit shard_map losses (row-sharded similarity, Pallas kernels legal
     # per shard) instead of GSPMD auto-partitioning — see parallel/spmd.py
     explicit_spmd: bool = False
+    # encode the batch in N sequential microbatches under jax.checkpoint while
+    # the contrastive losses still see the FULL global batch — exact gradients
+    # (GradCache semantics via lax.map + remat), peak activation memory ~N×
+    # lower at the cost of a second encoder forward.  Lets global batches that
+    # outgrow HBM (contrastive losses can't use naive grad accumulation)
+    # train on one chip.  1 = off.
+    micro_batches: int = 1
 
     @property
     def memory_bank_capacity(self) -> int:
@@ -311,3 +322,11 @@ def validate(cfg: Config, num_devices: int) -> None:
         )
     if cfg.model.max_words != cfg.data.max_words or cfg.model.max_frames != cfg.data.max_frames:
         raise ValueError("model and data max_words/max_frames must agree")
+    mb = cfg.train.micro_batches
+    if mb < 1 or cfg.train.batch_size % mb != 0:
+        raise ValueError(
+            f"micro_batches {mb} must divide batch_size {cfg.train.batch_size}")
+    if mb > 1 and (cfg.train.batch_size // mb) % num_devices != 0:
+        raise ValueError(
+            f"microbatch size {cfg.train.batch_size // mb} not divisible by "
+            f"device count {num_devices}")

@@ -109,8 +109,10 @@ def clip_by_global_norm(tree, max_norm: float):
     return jax.tree.map(lambda g: g * coef, tree)
 
 
-def bert_adam_init(params: Params) -> BertAdamState:
-    zeros = jax.tree.map(lambda p: jnp.zeros_like(p, dtype=jnp.float32), params)
+def bert_adam_init(params: Params,
+                   moments_dtype: str = "float32") -> BertAdamState:
+    dt = jnp.dtype(moments_dtype)
+    zeros = jax.tree.map(lambda p: jnp.zeros_like(p, dtype=dt), params)
     return BertAdamState(step=jnp.zeros((), jnp.int32), m=zeros,
                          v=jax.tree.map(jnp.copy, zeros))
 
@@ -156,14 +158,17 @@ def bert_adam_update(
             scale = scale * jnp.minimum(
                 cfg.max_grad_norm / (pnorm + 1e-6), 1.0)
         g = g * scale
-        new_m = cfg.b1 * m + (1.0 - cfg.b1) * g
-        new_v = cfg.b2 * v + (1.0 - cfg.b2) * jnp.square(g)
+        # moment math always in fp32; only the carried state is stored in
+        # cfg.moments_dtype (bf16 halves optimizer HBM for ViT-L-class runs)
+        new_m = cfg.b1 * m.astype(jnp.float32) + (1.0 - cfg.b1) * g
+        new_v = cfg.b2 * v.astype(jnp.float32) + (1.0 - cfg.b2) * jnp.square(g)
         update = new_m / (jnp.sqrt(new_v) + cfg.eps)
         if not is_no_decay(keys) and cfg.weight_decay > 0:
             update = update + cfg.weight_decay * p
         lr = cfg.lr * (cfg.coef_lr if is_clip_branch(keys) else 1.0)
         new_p = p - lr * lr_mult * update
-        return new_p.astype(p.dtype), new_m, new_v
+        return (new_p.astype(p.dtype), new_m.astype(m.dtype),
+                new_v.astype(v.dtype))
 
     new_p, new_m, new_v = [], [], []
     for (path, g), sq_l, fz, m, v, p in zip(flat, sq, frozen, m_leaves,

@@ -91,7 +91,8 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
         params = pmesh.place_params(params, mesh)
         bank = mb.MemoryBank(*pmesh.replicate_tree(tuple(bank), mesh))
 
-    state = create_train_state(params, bank)
+    state = create_train_state(params, bank,
+                               moments_dtype=cfg.optim.moments_dtype)
     tracker = BestMetricsTracker()
     best_path = os.path.join(cfg.train.output_dir, "best.npz")
     best_host = None     # host copy of the best params, held by EVERY process

@@ -35,9 +35,44 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def create_train_state(params: Params, bank: MemoryBank) -> TrainState:
-    return TrainState(params=params, opt=bertadam.bert_adam_init(params),
-                      bank=bank, step=jnp.zeros((), jnp.int32))
+def create_train_state(params: Params, bank: MemoryBank,
+                       moments_dtype: str = "float32") -> TrainState:
+    return TrainState(
+        params=params,
+        opt=bertadam.bert_adam_init(params, moments_dtype=moments_dtype),
+        bank=bank, step=jnp.zeros((), jnp.int32))
+
+
+def _microbatched_features(params: Params, mcfg, batch: Dict[str, jnp.ndarray],
+                           n: int):
+    """Exact large-batch encoding in `n` sequential microbatches.
+
+    The contrastive losses need the FULL B×B similarity matrix, so naive
+    gradient accumulation over sub-batches changes the objective.  Instead
+    the encoders run as a lax.map over microbatches with jax.checkpoint:
+    forward keeps only the (small) output features per microbatch, and the
+    backward pass re-runs one microbatch's encoder at a time, seeding it
+    with the loss's feature cotangents — gradients identical to the
+    monolithic encode (GradCache, Gao et al. 2021, expressed as map+remat
+    instead of an explicit two-pass VJP).  Peak activation memory drops ~n×
+    for one extra encoder forward.
+    """
+    B = batch["text_ids"].shape[0]
+
+    def split(x):
+        return x.reshape(n, B // n, *x.shape[1:])
+
+    mbs = {k: split(batch[k])
+           for k in ("text_ids", "text_mask", "video", "video_mask")}
+
+    @jax.checkpoint
+    def enc(p, mb):
+        return model.get_text_video_feat(
+            p, mcfg, mb["text_ids"], mb["text_mask"],
+            mb["video"], mb["video_mask"])
+
+    t, v = jax.lax.map(lambda mb: enc(params, mb), mbs)
+    return t.reshape(B, *t.shape[2:]), v.reshape(B, *v.shape[2:])
 
 
 def compute_losses(params: Params, cfg: Config, batch: Dict[str, jnp.ndarray],
@@ -45,9 +80,13 @@ def compute_losses(params: Params, cfg: Config, batch: Dict[str, jnp.ndarray],
                    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Global-batch loss; returns (total, aux dict incl. fresh features)."""
     mcfg, lcfg = cfg.model, cfg.loss
-    text_feat, video_feat = model.get_text_video_feat(
-        params, mcfg, batch["text_ids"], batch["text_mask"],
-        batch["video"], batch["video_mask"])
+    if cfg.train.micro_batches > 1:
+        text_feat, video_feat = _microbatched_features(
+            params, mcfg, batch, cfg.train.micro_batches)
+    else:
+        text_feat, video_feat = model.get_text_video_feat(
+            params, mcfg, batch["text_ids"], batch["text_mask"],
+            batch["video"], batch["video_mask"])
     t_mask = batch["text_mask"].astype(jnp.float32)
     v_mask = batch["video_mask"].astype(jnp.float32)
 

@@ -112,3 +112,51 @@ def test_schedule_shapes():
     np.testing.assert_allclose(cos_vals[100], 0.0, atol=1e-6)
     lin = [float(BA.warmup_linear(jnp.asarray(x), w)) for x in xs]
     np.testing.assert_allclose(lin[100], 0.0, atol=1e-6)
+
+
+def test_bf16_moments_storage_and_accuracy(rng):
+    """moments_dtype='bfloat16': state stored in bf16, update math in fp32 —
+    trajectory stays close to the fp32-state run."""
+    cfg32 = OptimizerConfig(lr=0.01, warmup_proportion=0.1, weight_decay=0.1)
+    cfg16 = dataclasses.replace(cfg32, moments_dtype="bfloat16")
+    w0 = rng.normal(size=(16,)).astype(np.float32)
+    p32 = {"w": jnp.array(w0)}
+    p16 = {"w": jnp.array(w0)}
+    s32 = BA.bert_adam_init(p32)
+    s16 = BA.bert_adam_init(p16, moments_dtype="bfloat16")
+    assert s16.m["w"].dtype == jnp.bfloat16 and s16.v["w"].dtype == jnp.bfloat16
+
+    for step in range(8):
+        g = {"w": jnp.array(rng.normal(size=(16,)).astype(np.float32))}
+        p32, s32 = BA.bert_adam_update(g, s32, p32, cfg32, 20)
+        p16, s16 = BA.bert_adam_update(g, s16, p16, cfg16, 20)
+        assert s16.m["w"].dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(p16["w"]), np.asarray(p32["w"]),
+                               rtol=0.02, atol=2e-4)
+
+
+def test_bf16_moments_checkpoint_roundtrip(tmp_path, rng):
+    """bf16 moments survive the npz save/load (stored as fp32 exactly,
+    cast back to bf16 on load)."""
+    from neighborretr_tpu.core import checkpoint as ckpt
+    from neighborretr_tpu.train.memory_bank import MemoryBank
+    from neighborretr_tpu.train.step import TrainState
+
+    params = {"w": jnp.array(rng.normal(size=(4,)).astype(np.float32))}
+    opt = BA.bert_adam_init(params, moments_dtype="bfloat16")
+    opt = BA.BertAdamState(
+        step=opt.step,
+        m={"w": jnp.array([0.5, -1.25, 3.0, 0.0078125], jnp.bfloat16)},
+        v={"w": jnp.array([1.0, 2.0, 0.125, 4.0], jnp.bfloat16)})
+    bank = MemoryBank(ind=jnp.zeros((2,), jnp.int32),
+                      feat_t=jnp.zeros((2, 3, 4)), feat_v=jnp.zeros((2, 2, 4)),
+                      mask_t=jnp.ones((2, 3)), mask_v=jnp.ones((2, 2)))
+    state = TrainState(params=params, opt=opt, bank=bank,
+                       step=jnp.zeros((), jnp.int32))
+    path = str(tmp_path / "state.npz")
+    ckpt.save_train_state(path, state)
+    loaded = ckpt.load_train_state(path, state)
+    assert np.asarray(loaded.opt.m["w"]).dtype.name == "bfloat16"
+    np.testing.assert_array_equal(
+        np.asarray(loaded.opt.m["w"]).astype(np.float32),
+        np.asarray(opt.m["w"]).astype(np.float32))

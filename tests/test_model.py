@@ -283,3 +283,47 @@ def test_use_pallas_off_honored_at_long_token_shapes(monkeypatch, rng):
     assert calls, "use_pallas=True must route to the blocked kernel"
     np.testing.assert_allclose(np.asarray(s_on), np.asarray(s_off),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_micro_batches_exact_gradients(tiny_cfg, tiny_params, rng):
+    """GradCache-equivalent microbatched encoding (train/step.py::
+    _microbatched_features): loss AND parameter gradients identical to the
+    monolithic encode — contrastive losses cannot use naive grad
+    accumulation, so exactness is the whole point."""
+    import dataclasses
+
+    batch = make_batch(rng, tiny_cfg)
+    bank = mb.create(tiny_cfg.train.memory_bank_capacity, W, F,
+                     tiny_cfg.model.clip.embed_dim)
+    bank = fill_bank_step(tiny_params, bank, batch, tiny_cfg, 0)
+    key = jax.random.PRNGKey(3)
+
+    def run(n):
+        cfg = dataclasses.replace(
+            tiny_cfg, train=dataclasses.replace(tiny_cfg.train,
+                                                micro_batches=n))
+        grads, aux = jax.grad(compute_losses, has_aux=True)(
+            tiny_params, cfg, batch, bank, key)
+        return float(aux["loss"]), grads
+
+    loss1, g1 = run(1)
+    for n in (2, 4):
+        loss_n, g_n = run(n)
+        assert loss_n == pytest.approx(loss1, rel=1e-5), n
+        flat1 = jax.tree.leaves(g1)
+        flatn = jax.tree.leaves(g_n)
+        for a, b in zip(flat1, flatn):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-4, atol=2e-6)
+
+
+def test_micro_batches_validation():
+    import dataclasses
+
+    from neighborretr_tpu.core.config import validate
+    cfg = Config(model=ModelConfig.tiny(max_words=W, max_frames=F),
+                 train=TrainConfig(batch_size=8, micro_batches=3))
+    cfg = dataclasses.replace(cfg, data=dataclasses.replace(
+        cfg.data, max_words=W, max_frames=F))
+    with pytest.raises(ValueError, match="micro_batches"):
+        validate(cfg, num_devices=1)
