@@ -35,15 +35,16 @@ REFERENCE_PAIRS_PER_SEC_PER_GPU = 45.0
 # Used as the denominator only in the CPU-fallback path below.
 REFERENCE_CPU_PAIRS_PER_SEC_BATCH8 = 8 / 101.2
 
-_os = __import__("os")
-CPU_FALLBACK = bool(_os.environ.get("BENCH_CPU_FALLBACK"))
-BATCH = int(_os.environ.get("BENCH_BATCH", "96"))  # v5e sweep optimum
-MB_BATCH = int(_os.environ.get("BENCH_MB", "4"))  # bank = MB*BATCH
+import os
+
+CPU_FALLBACK = bool(os.environ.get("BENCH_CPU_FALLBACK"))
+BATCH = int(os.environ.get("BENCH_BATCH", "96"))  # v5e sweep optimum
+MB_BATCH = int(os.environ.get("BENCH_MB", "4"))  # bank = MB*BATCH
 # "vit_b_32" (default, the flagship/driver config) or "vit_b_16"
 # (BASELINE.json's ViT-B/16 config; 197 tokens/frame — use a smaller batch)
-BACKBONE = _os.environ.get("BENCH_BACKBONE", "vit_b_32")
+BACKBONE = os.environ.get("BENCH_BACKBONE", "vit_b_32")
 WARMUP_STEPS = 1 if CPU_FALLBACK else 2
-MEASURE_STEPS = int(_os.environ.get(          # noise ~±3%; long stable window
+MEASURE_STEPS = int(os.environ.get(           # noise ~±3%; long stable window
     "BENCH_STEPS", "2" if CPU_FALLBACK else "16"))
 
 
@@ -53,7 +54,6 @@ def _ensure_usable_backend():
     pinned to CPU with an honest fallback config.  The recorded vs_baseline is
     then the measured same-CPU reference ratio (BASELINE.md) — a degraded but
     truthful record instead of a hung or red bench run."""
-    import os
     import subprocess
     if CPU_FALLBACK or os.environ.get("JAX_PLATFORMS") == "cpu":
         return
@@ -71,8 +71,15 @@ def _ensure_usable_backend():
           "falling back to a CPU measurement; vs_baseline becomes the "
           "measured same-CPU reference ratio (BASELINE.md)", file=sys.stderr)
     env = dict(os.environ)
+    # pin the ENTIRE fallback config to the shape of the measured same-CPU
+    # baseline (ViT-B/32, batch 8, bank 16 — scripts/baseline_cpu_measure.py)
+    # so the reported ratio compares like with like, whatever knobs the
+    # original invocation carried
     env.update(JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
-               BENCH_CPU_FALLBACK="1", BENCH_BATCH="8", BENCH_MB="2")
+               BENCH_CPU_FALLBACK="1", BENCH_BATCH="8", BENCH_MB="2",
+               BENCH_BACKBONE="vit_b_32", BENCH_MICRO="1",
+               BENCH_MOMENTS="float32")
+    env.pop("BENCH_REMAT", None)
     os.execve(sys.executable,
               [sys.executable, os.path.abspath(__file__)], env)
 
@@ -96,7 +103,6 @@ def main():
     # defaults: vit_b_32 and vit_b_16 win without remat on v5e (the fused
     # attention kernel keeps activations within HBM; B/16 A/B: 96.0 vs 79.0
     # pairs/s); vit_l_14 (~18x the B/32 vision FLOPs/frame) needs remat on.
-    import os
     default_remat = "1" if BACKBONE == "vit_l_14" else "0"
     remat = os.environ.get("BENCH_REMAT", default_remat) == "1"
     mcfg = dataclasses.replace(ModelConfig(), remat=remat, unroll_layers=True)
@@ -188,12 +194,19 @@ def main():
         pass
     name = (BACKBONE.replace("vit_b_", "ViT-B/").replace("vit_l_", "ViT-L/"))
     if CPU_FALLBACK:
-        # vs the reference measured on the SAME CPU at the same batch-8 shape
+        # vs the reference measured on the SAME CPU.  The self-heal re-exec
+        # pins ViT-B/32 @ batch 8 = exactly the measured baseline shape; a
+        # manual BENCH_CPU_FALLBACK=1 run with other knobs gets the linear
+        # batch extrapolation, flagged as such in the metric name.
         ref_cpu = REFERENCE_CPU_PAIRS_PER_SEC_BATCH8 * (BATCH / 8.0)
+        caveat = ("" if (BATCH == 8 and BACKBONE == "vit_b_32")
+                  else "; CONFIG DIFFERS from the measured baseline shape "
+                       "(ViT-B/32 @ batch 8) — ratio batch-extrapolated")
         print(json.dumps({
             "metric": (f"train pairs/sec ({name}, 12f@224, full hubness "
                        "losses) [CPU FALLBACK — accelerator unavailable; "
-                       "vs_baseline = measured same-CPU reference ratio]"),
+                       "vs_baseline = measured same-CPU reference ratio"
+                       f"{caveat}]"),
             "value": round(pairs_per_sec, 3),
             "unit": "pairs/s",
             "vs_baseline": round(pairs_per_sec / ref_cpu, 3),

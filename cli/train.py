@@ -162,10 +162,6 @@ def main():
     import jax
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
-    if args.micro_batches > 1 and args.explicit_spmd:
-        raise SystemExit("--micro_batches applies to the GSPMD path; the "
-                         "explicit-SPMD path already encodes per shard "
-                         "(use --video_chunk_frames to bound its memory)")
     if args.tensor_parallel > 1:
         if args.explicit_spmd:
             raise SystemExit("--tensor_parallel requires the GSPMD path "

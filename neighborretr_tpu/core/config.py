@@ -330,3 +330,8 @@ def validate(cfg: Config, num_devices: int) -> None:
         raise ValueError(
             f"microbatch size {cfg.train.batch_size // mb} not divisible by "
             f"device count {num_devices}")
+    if mb > 1 and cfg.train.explicit_spmd:
+        raise ValueError(
+            "micro_batches applies to the GSPMD path; the explicit-SPMD path "
+            "already encodes per shard (use model.video_chunk_frames to "
+            "bound its memory)")
