@@ -260,6 +260,9 @@ class TrainConfig:
     # full-TrainState resume (params+opt+bank+step; see core/checkpoint.py)
     resume_checkpoint: Optional[str] = None
     save_checkpoints: bool = True
+    # SIGTERM (TPU preemption / maintenance event) → save a resumable
+    # state_preempt.npz at the next step boundary and exit cleanly
+    save_on_preempt: bool = True
     mid_epoch_eval: bool = True  # eval every n_display*3 steps (trainer.py:169)
     # when set, capture a jax.profiler trace of a few early steps to this dir
     profile_dir: Optional[str] = None

@@ -30,6 +30,40 @@ from .metrics import BestMetricsTracker
 from .step import create_train_state, fill_bank_step, train_step
 
 
+class PreemptionGuard:
+    """SIGTERM → checkpoint-and-exit at the next step boundary.
+
+    TPU VMs deliver SIGTERM on maintenance events and preemptions (every host
+    of a pod slice receives it); catching it and saving a full TrainState
+    turns an eviction into a resumable pause (--resume_checkpoint
+    state_preempt.npz).  The reference has no preemption story at all
+    (SURVEY §5 "failure detection: none").  No-ops outside the main thread
+    (e.g. when run_training is driven from a test thread)."""
+
+    def __init__(self, enabled: bool = True):
+        self.requested = False
+        self.enabled = enabled
+        self._prev = None
+
+    def __enter__(self):
+        if self.enabled:
+            import signal
+            try:
+                self._prev = signal.signal(signal.SIGTERM, self._on_signal)
+            except ValueError:          # not the main thread
+                self.enabled = False
+        return self
+
+    def _on_signal(self, signum, frame):
+        self.requested = True
+
+    def __exit__(self, *exc):
+        if self.enabled and self._prev is not None:
+            import signal
+            signal.signal(signal.SIGTERM, self._prev)
+        return False
+
+
 def fill_memory_bank(params, cfg: Config, bank_loader: BatchLoader,
                      bank: mb.MemoryBank, mesh=None) -> mb.MemoryBank:
     """Epoch-start fill: encode min(mb_batch, len(loader)) batches."""
@@ -121,6 +155,52 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
         logger.info("Resumed from %s at step %d (epoch %d)",
                     cfg.train.resume_checkpoint, global_step, start_epoch)
 
+    guard = PreemptionGuard(
+        enabled=cfg.train.save_checkpoints and cfg.train.save_on_preempt)
+    with guard:
+        state, tracker, best_host = _train_epochs(
+            cfg, state, tracker, guard, train_loader, bank_loader,
+            test_loader, test_ds, logger, mesh, key, t_total,
+            steps_per_epoch, start_epoch, global_step, best_path, best_host)
+    if guard.requested:
+        return state, tracker
+
+    # final test on the best checkpoint (main.py:389-409).  The gate must be
+    # identical on every process (evaluate() runs SPMD collectives): the
+    # in-memory best copy is captured by ALL processes at update time, so it
+    # never depends on process-0-only disk state.  A disk fallback covers the
+    # single-process resume case where best.npz predates this run.
+    best_params = best_host
+    if best_params is None and jax.process_count() == 1 \
+            and cfg.train.save_checkpoints and os.path.exists(best_path):
+        best_params = ckpt.load_params(best_path, jax.device_get(state.params))
+    if cfg.train.save_checkpoints and best_params is not None:
+        if mesh is not None:
+            best_params = pmesh.place_params(best_params, mesh)
+        logger.info("Final test on best checkpoint:")
+        evaluate(best_params, cfg, test_loader, dataset=test_ds,
+                 logger=logger, mesh=mesh)
+
+    return state, tracker
+
+
+def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
+                  test_loader, test_ds, logger, mesh, key, t_total,
+                  steps_per_epoch, start_epoch, global_step, best_path,
+                  best_host):
+    """Epoch loop body; returns early (with the preempt TrainState saved)
+    when the guard catches SIGTERM."""
+
+    def save_preempt():
+        path = os.path.join(cfg.train.output_dir, "state_preempt.npz")
+        # collective fetch (TP shards may span processes); process-0 write
+        state_host = pmesh.fetch_to_host(state)
+        if jax.process_index() == 0:
+            ckpt.save_train_state(path, state_host)
+            logger.info(
+                "Preemption signal caught: saved resumable TrainState to %s "
+                "(continue with --resume_checkpoint)", path)
+
     for epoch in range(start_epoch, cfg.train.epochs):
         train_loader.set_epoch(epoch)
         bank_loader.set_epoch(epoch)
@@ -145,6 +225,9 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
             state, metrics = train_step(state, batch, step_key, cfg, t_total,
                                         mesh=mesh)
             global_step += 1
+            if guard.requested:
+                save_preempt()
+                return state, tracker, best_host
             if cfg.train.profile_dir and global_step == cfg.train.profile_steps[1]:
                 jax.tree.map(lambda x: x.block_until_ready(), state.params)
                 jax.profiler.stop_trace()
@@ -205,20 +288,4 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
             state = state._replace(
                 bank=mb.MemoryBank(*pmesh.replicate_tree(tuple(state.bank), mesh)))
 
-    # final test on the best checkpoint (main.py:389-409).  The gate must be
-    # identical on every process (evaluate() runs SPMD collectives): the
-    # in-memory best copy is captured by ALL processes at update time, so it
-    # never depends on process-0-only disk state.  A disk fallback covers the
-    # single-process resume case where best.npz predates this run.
-    best_params = best_host
-    if best_params is None and jax.process_count() == 1 \
-            and cfg.train.save_checkpoints and os.path.exists(best_path):
-        best_params = ckpt.load_params(best_path, jax.device_get(state.params))
-    if cfg.train.save_checkpoints and best_params is not None:
-        if mesh is not None:
-            best_params = pmesh.place_params(best_params, mesh)
-        logger.info("Final test on best checkpoint:")
-        evaluate(best_params, cfg, test_loader, dataset=test_ds,
-                 logger=logger, mesh=mesh)
-
-    return state, tracker
+    return state, tracker, best_host

@@ -58,3 +58,40 @@ def test_run_training_end_to_end(tmp_path, datasets):
         _cfg(out, resume=os.path.join(out, "state_epoch0.npz")),
         train_ds, test_ds)
     assert int(resumed.step) == 2                    # epoch already complete
+
+
+def test_preemption_sigterm_saves_resumable_state(tmp_path, datasets,
+                                                  monkeypatch):
+    """SIGTERM mid-epoch (TPU preemption) → clean exit with a resumable
+    state_preempt.npz; resuming completes the run (train/loop.py::
+    PreemptionGuard)."""
+    import signal
+
+    from neighborretr_tpu.train import loop as loop_mod
+
+    train_ds, test_ds = datasets
+    real_step = loop_mod.train_step
+    calls = {"n": 0}
+
+    def stepper(*a, **k):
+        out = real_step(*a, **k)
+        calls["n"] += 1
+        if calls["n"] == 1:        # deliver the signal right after step 1
+            signal.raise_signal(signal.SIGTERM)
+        return out
+
+    monkeypatch.setattr(loop_mod, "train_step", stepper)
+    out = str(tmp_path / "preempt")
+    os.makedirs(out, exist_ok=True)
+    state, _ = run_training(_cfg(out), train_ds, test_ds)
+    assert int(state.step) == 1                      # stopped after step 1
+    ppath = os.path.join(out, "state_preempt.npz")
+    assert os.path.exists(ppath)
+    # the guard restored the previous SIGTERM disposition
+    assert signal.getsignal(signal.SIGTERM) is signal.SIG_DFL
+
+    # resume re-runs the interrupted epoch to completion (2 steps) on top of
+    # the preserved optimizer/step state: 1 + 2 = 3
+    monkeypatch.setattr(loop_mod, "train_step", real_step)
+    resumed, _ = run_training(_cfg(out, resume=ppath), train_ds, test_ds)
+    assert int(resumed.step) == 3
