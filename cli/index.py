@@ -99,10 +99,10 @@ def main():
 
     index = serving.build_video_index(params, cfg, loader, dataset=ds,
                                       logger=logger)
-    serving.save_index(args.out, index)
-    logger.info("Wrote %s: %d videos, %.1f MB", args.out,
+    written = serving.save_index(args.out, index)
+    logger.info("Wrote %s: %d videos, %.1f MB", written,
                 len(index["video_ids"]),
-                os.path.getsize(args.out) / 1e6)
+                os.path.getsize(written) / 1e6)
 
 
 if __name__ == "__main__":

@@ -61,6 +61,9 @@ def main():
         mcfg = ModelConfig(clip=ClipConfig.from_name(args.base_encoder),
                            max_words=args.max_words, max_frames=max_frames)
     cfg = Config(model=mcfg)
+    # fail on a config mismatch BEFORE paying model init + checkpoint load;
+    # serving.search re-checks with the weights fingerprint once params exist
+    serving.check_meta(index, cfg)
 
     params = model.init_params(jax.random.PRNGKey(0), cfg.model)
     if args.clip_checkpoint:

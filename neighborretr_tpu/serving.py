@@ -5,22 +5,23 @@ video corpus ONCE into a compact on-disk index, then answer text queries
 against it without touching the video pipeline again.  Ranking runs through
 the same token-interaction similarity as eval (`models/neighborretr.py::
 local_similarity`, the reference's `get_similarity_logits`,
-modeling.py:625-632), so search scores are exactly the eval scores.
+modeling.py:625-632); scores match eval to within the fp16 rounding of the
+stored video features (the MXU computes in bf16 anyway).
 
 Index layout (npz):
   video_ids [N]      unicode video ids (dataset order, deduplicated)
-  v_feat    [N,F,E]  temporal video features, fp16 (halved disk/HBM traffic;
-                     scores stay within float rounding of eval — the MXU
-                     computes in bf16 anyway)
+  v_feat    [N,F,E]  temporal video features, fp16 (halved disk/HBM traffic)
   v_mask    [N,F]    frame validity
-  meta      json     model/config fingerprint checked at query time
+  meta      json     model-config + weights fingerprint checked at query time
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,12 +32,35 @@ from .train.evaluate import (_encode_text_batch, _encode_video_batch,
 
 Params = Dict[str, Any]
 
+# small always-present leaves whose exact bytes change under ANY training:
+# enough to fingerprint which checkpoint produced the index (full-tree
+# hashing would fetch ~600 MB; these are ~2 MB)
+_FINGERPRINT_LEAVES = (("clip", "logit_scale"),
+                       ("clip", "text", "text_projection"),
+                       ("clip", "visual", "proj"))
 
-def _config_meta(cfg: Config) -> Dict[str, Any]:
+
+def params_fingerprint(params: Params) -> str:
+    """Backend-independent hash of a few weight leaves (exact bytes, so a
+    TPU-built index verifies on CPU and vice versa)."""
+    h = hashlib.blake2b(digest_size=16)
+    for path in _FINGERPRINT_LEAVES:
+        leaf = params
+        for k in path:
+            leaf = leaf[k]
+        h.update("/".join(path).encode())
+        h.update(np.ascontiguousarray(jax.device_get(leaf)).tobytes())
+    return h.hexdigest()
+
+
+def _config_meta(cfg: Config, params: Optional[Params] = None) -> Dict[str, Any]:
     m = cfg.model
-    return {"embed_dim": m.clip.embed_dim, "max_words": m.max_words,
+    meta = {"embed_dim": m.clip.embed_dim, "max_words": m.max_words,
             "max_frames": m.max_frames,
             "image_resolution": m.clip.image_resolution}
+    if params is not None:
+        meta["params_fingerprint"] = params_fingerprint(params)
+    return meta
 
 
 def build_video_index(params: Params, cfg: Config, loader,
@@ -60,21 +84,37 @@ def build_video_index(params: Params, cfg: Config, loader,
                        else f"video{int(row)}")
         if not keep:
             continue
-        vf = _encode_video_batch(params, cfg, jnp.asarray(batch["video"]),
-                                 jnp.asarray(batch["video_mask"]))
-        feats.append(np.asarray(vf, np.float16)[keep])
+        # gather the unique rows BEFORE the ViT forward (multi-sentence
+        # datasets repeat each video ~41×; encoding then slicing would waste
+        # ~40/41 of the vision FLOPs).  Pad the gather back to the batch
+        # size so the jitted encoder sees one static shape.
+        B = batch["video"].shape[0]
+        gather = np.asarray(keep + [keep[0]] * (B - len(keep)))
+        vf = _encode_video_batch(params, cfg,
+                                 jnp.asarray(batch["video"][gather]),
+                                 jnp.asarray(batch["video_mask"][gather]))
+        feats.append(np.asarray(vf, np.float16)[:len(keep)])
         masks.append(np.asarray(batch["video_mask"], np.float32)[keep])
         if logger is not None:
             logger.info("Indexed %d videos", len(ids))
+    if not feats:
+        raise ValueError(
+            "no valid videos to index: the loader yielded nothing (empty "
+            "split, or every row failed decoding)")
     return {"video_ids": np.asarray(ids),
             "v_feat": np.concatenate(feats),
             "v_mask": np.concatenate(masks),
             "meta": np.frombuffer(
-                json.dumps(_config_meta(cfg)).encode(), dtype=np.uint8)}
+                json.dumps(_config_meta(cfg, params)).encode(),
+                dtype=np.uint8)}
 
 
-def save_index(path: str, index: Dict[str, np.ndarray]) -> None:
+def save_index(path: str, index: Dict[str, np.ndarray]) -> str:
+    """Returns the actual path written (np.savez appends .npz)."""
+    if not path.endswith(".npz"):
+        path += ".npz"
     np.savez(path, **index)
+    return path
 
 
 def load_index(path: str) -> Dict[str, np.ndarray]:
@@ -82,17 +122,35 @@ def load_index(path: str) -> Dict[str, np.ndarray]:
         return {k: data[k] for k in data.files}
 
 
-def _check_meta(index: Dict[str, np.ndarray], cfg: Config) -> None:
+def check_meta(index: Dict[str, np.ndarray], cfg: Config,
+               params: Optional[Params] = None) -> None:
+    """Reject an index built with a different model config — or, when
+    `params` is given, with different WEIGHTS (the stored video features are
+    meaningless against another checkpoint's text tower: the scores would be
+    silently wrong, not shape-invalid).  Cheap enough to run before model
+    init when params are not yet available (cli/search.py does both)."""
     if "meta" not in index:
-        return
+        raise ValueError(
+            "index has no 'meta' entry — not produced by build_video_index "
+            "(or truncated); refusing to score against an unverifiable index")
     stored = json.loads(bytes(index["meta"].tobytes()).decode())
-    current = _config_meta(cfg)
+    current = _config_meta(cfg, params)
     mismatched = {k: (v, current[k]) for k, v in stored.items()
                   if k in current and k != "max_words" and current[k] != v}
-    if mismatched:
+    cfg_mismatch = {k: v for k, v in mismatched.items()
+                    if k != "params_fingerprint"}
+    if cfg_mismatch:
         raise ValueError(
-            f"index was built with a different model config: {mismatched} "
+            f"index was built with a different model config: {cfg_mismatch} "
             f"(index value, current value)")
+    if "params_fingerprint" in mismatched:
+        raise ValueError(
+            "index was built with a DIFFERENT CHECKPOINT than the one loaded "
+            "for this query (weights fingerprint mismatch) — rebuild the "
+            "index with cli/index.py using the current checkpoint")
+
+
+_check_meta = check_meta                     # backward-compat alias
 
 
 def encode_queries(params: Params, cfg: Config, tokenizer,
@@ -112,7 +170,7 @@ def search(params: Params, cfg: Config, index: Dict[str, np.ndarray],
            ) -> List[List[Tuple[str, float]]]:
     """Top-k videos per query: [(video_id, similarity), ...] per query,
     ranked by the full token-interaction eval similarity."""
-    _check_meta(index, cfg)
+    check_meta(index, cfg, params)
     t_feat, t_mask = encode_queries(params, cfg, tokenizer, queries)
     sim = np.asarray(similarity_matrix_device(
         params, cfg, t_feat, t_mask,

@@ -1,5 +1,6 @@
 """Serving path: video index build (dedup, layout, round-trip) and free-text
-search returning exactly the eval-time similarities."""
+search returning eval-faithful similarities (within the fp16 rounding of the
+stored video features)."""
 
 import numpy as np
 import pytest
@@ -121,3 +122,49 @@ def test_search_rejects_mismatched_index_config(setup):
     with pytest.raises(ValueError, match="different model config"):
         serving.search(model.init_params(jax.random.PRNGKey(1), other.model),
                        other, index, _StubTokenizer(), ["q"], topk=1)
+
+
+def test_search_rejects_wrong_checkpoint_weights(setup):
+    """Same architecture, different trained weights → the fingerprint in the
+    index meta rejects the query instead of returning silently wrong scores."""
+    cfg, ds, params, index = setup
+    other_params = model.init_params(jax.random.PRNGKey(9), cfg.model)
+    with pytest.raises(ValueError, match="DIFFERENT CHECKPOINT"):
+        serving.search(other_params, cfg, index, _StubTokenizer(), ["q"],
+                       topk=1)
+
+
+def test_meta_required(setup):
+    cfg, ds, params, index = setup
+    stripped = {k: v for k, v in index.items() if k != "meta"}
+    with pytest.raises(ValueError, match="no 'meta'"):
+        serving.check_meta(stripped, cfg)
+
+
+def test_empty_corpus_raises(setup):
+    cfg, ds, params, _ = setup
+
+    class Empty:
+        multi_sentence_per_video = False
+
+        def __len__(self):
+            return 0
+
+        def item(self, i):                      # pragma: no cover
+            raise IndexError(i)
+
+    loader = BatchLoader(Empty(), 8, shuffle=False, drop_last=False,
+                         workers=0, pad_to_batch=True)
+    with pytest.raises(ValueError, match="no valid videos"):
+        serving.build_video_index(params, cfg, loader)
+
+
+def test_save_index_appends_npz_extension(setup, tmp_path):
+    cfg, ds, params, index = setup
+    bare = str(tmp_path / "myindex")
+    written = serving.save_index(bare, index)
+    assert written == bare + ".npz"
+    import os
+    assert os.path.exists(written)
+    loaded = serving.load_index(written)
+    np.testing.assert_array_equal(loaded["v_feat"], index["v_feat"])
