@@ -641,3 +641,39 @@ def test_optimizer_grouping_parity_whole_tree(ref_model, our_setup):
         our_counts[key] = our_counts.get(key, 0) + int(np.prod(leaf.shape))
 
     assert ref_counts == our_counts, (ref_counts, our_counts)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer parity (models/tokenization_clip.py) — live, not recorded
+# ---------------------------------------------------------------------------
+
+def test_tokenizer_parity_vs_reference_live():
+    """Byte-exact tokenization against the reference's own SimpleTokenizer
+    (tests/test_tokenizer.py pins recorded golden ids; this runs both
+    implementations side by side).  ftfy is stubbed to identity on the
+    reference side, matching our graceful degradation, so inputs are
+    already-clean text."""
+    from NeighborRetr.models.tokenization_clip import SimpleTokenizer
+
+    from neighborretr_tpu.data.tokenizer import ClipTokenizer
+
+    ref = SimpleTokenizer()
+    ours = ClipTokenizer()
+    texts = [
+        "a man is cooking pasta",
+        "The QUICK brown-fox; jumps (over) 12,345 lazy dogs!!!",
+        "hyphenated-words and CamelCase and snake_case tokens",
+        "what's a contraction's effect, isn't it?",
+        "numbers 3.14159 and percentages 99% and $100 prices",
+        "trailing   whitespace   and\ttabs\nnewlines",
+        "emoji-free ascii only: tilde~ caret^ pipe| backslash\\",
+        "",
+    ]
+    for text in texts:
+        ref_ids = ref.convert_tokens_to_ids(ref.tokenize(text))
+        our_ids = ours.convert_tokens_to_ids(ours.tokenize(text))
+        assert our_ids == list(ref_ids), text
+    # the special tokens the dataset pipeline relies on (data/text.py)
+    assert (ours.convert_tokens_to_ids(["<|startoftext|>", "<|endoftext|>"])
+            == list(ref.convert_tokens_to_ids(
+                ["<|startoftext|>", "<|endoftext|>"])))
