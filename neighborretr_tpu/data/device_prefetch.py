@@ -42,25 +42,16 @@ def prefetch_to_device(
         default device.
       drop_keys: host-only keys stripped before upload.
     """
-    if mesh is not None:
-        from ..parallel.mesh import batch_sharding
-        sharding = batch_sharding(mesh, axis)
-    else:
-        sharding = None
-
-    multiprocess = jax.process_count() > 1
-
     def put(batch: Dict) -> Dict:
-        batch = {k: v for k, v in batch.items()
-                 if k not in drop_keys and not k.startswith("global_")}
-        if sharding is not None:
-            if multiprocess:
-                # local rows from the process-sharded loader → global Array
-                import numpy as np
-                return {k: jax.make_array_from_process_local_data(
-                    sharding, np.asarray(v)) for k, v in batch.items()}
-            return {k: jax.device_put(v, sharding) for k, v in batch.items()}
-        return {k: jax.device_put(v) for k, v in batch.items()}
+        batch = {k: v for k, v in batch.items() if k not in drop_keys}
+        if mesh is not None:
+            # single placement-dispatch implementation for the whole codebase
+            # (global device_put vs per-process
+            # make_array_from_process_local_data lives in mesh.shard_batch)
+            from ..parallel.mesh import shard_batch
+            return shard_batch(batch, mesh, axis)
+        return {k: jax.device_put(v) for k, v in batch.items()
+                if not k.startswith("global_")}
 
     queue: collections.deque = collections.deque()
     it = iter(iterator)

@@ -149,13 +149,21 @@ class BatchLoader:
             return False
 
         def producer():
+            # Dataset/decode errors must reach the consumer: swallowing them
+            # here would end iteration cleanly after a TRUNCATED epoch (short
+            # training epoch, eval metrics over a partial feature cache).
+            # The exception rides the queue and is re-raised in the consumer
+            # — unless the consumer already initiated shutdown, in which case
+            # errors from the dying pool are expected noise.
             try:
                 for s in slices:
                     if stopping.is_set():
                         return
                     if not _put(self._assemble(s, pool)):
                         return
-            except RuntimeError:   # pool shut down mid-assemble
+            except BaseException as e:       # noqa: BLE001 — re-raised below
+                if not stopping.is_set():
+                    _put(e)
                 return
             finally:
                 _put(stop)
@@ -167,6 +175,8 @@ class BatchLoader:
                 item = q.get()
                 if item is stop:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stopping.set()

@@ -38,6 +38,12 @@ def make_hybrid_mesh(shape: Tuple[int, int],
     """
     n = shape[0] * shape[1]
     if jax.process_count() > 1:
+        if n != len(jax.devices()):
+            raise ValueError(
+                f"hybrid mesh shape {shape} covers {n} devices but this "
+                f"multi-host run has {len(jax.devices())} — "
+                "create_hybrid_device_mesh requires every device (subset "
+                "meshes are single-process only)")
         from jax.experimental import mesh_utils
         devices = mesh_utils.create_hybrid_device_mesh(
             (shape[1],), dcn_mesh_shape=(shape[0],))
@@ -47,14 +53,16 @@ def make_hybrid_mesh(shape: Tuple[int, int],
 
 
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    """Batch-dim sharding over the data-parallel mesh axes (1-D `data` mesh
-    or the hybrid (replica, data) mesh — axis 0 of the array splits over
-    all).  A `model` (tensor-parallel) axis is excluded: batches replicate
-    across it, parameters shard over it (see `tp_param_shardings`)."""
+    """Batch-dim sharding over the data-parallel mesh axes (1-D mesh of any
+    axis name, or the hybrid (replica, data) mesh — axis 0 of the array
+    splits over all).  A `model` (tensor-parallel) axis is excluded: batches
+    replicate across it, parameters shard over it (`tp_param_shardings`).
+    The mesh's OWN axis names are used; `axis` is accepted for signature
+    compatibility but ignored (a caller-supplied name that differs from the
+    mesh's would only ever raise at placement time)."""
+    del axis
     dp_axes = tuple(a for a in mesh.axis_names if a != "model")
-    if len(mesh.axis_names) > 1:
-        return NamedSharding(mesh, P(dp_axes))
-    return NamedSharding(mesh, P(axis))
+    return NamedSharding(mesh, P(dp_axes))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -158,7 +166,11 @@ def fetch_to_host(tree):
     from jax.experimental import multihost_utils
 
     def get(x):
-        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        # fully-replicated leaves are locally readable even when their shards
+        # span processes (jax.Array._value allows it) — only genuinely
+        # partitioned leaves (TP weight shards) need the allgather collective
+        if (isinstance(x, jax.Array) and not x.is_fully_addressable
+                and not x.is_fully_replicated):
             return np.asarray(multihost_utils.process_allgather(x))
         return jax.device_get(x)
 

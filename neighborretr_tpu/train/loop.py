@@ -193,7 +193,23 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
 
     def save_preempt():
         path = os.path.join(cfg.train.output_dir, "state_preempt.npz")
-        # collective fetch (TP shards may span processes); process-0 write
+        # Pure-DP state is replicated, so every process can read it LOCALLY
+        # (fetch_to_host's fully-replicated fast path) — no collective, no
+        # deadlock even if only this process received the SIGTERM.  Weight
+        # shards that span processes (multi-host tensor parallelism) would
+        # need a process_allgather, which cannot be safely entered from a
+        # signal-initiated teardown — skip the save with a warning there.
+        needs_collective = any(
+            isinstance(x, jax.Array) and not x.is_fully_addressable
+            and not x.is_fully_replicated
+            for x in jax.tree.leaves(state))
+        if needs_collective:
+            logger.warning(
+                "Preemption signal caught, but the TrainState has process-"
+                "spanning tensor-parallel shards — skipping state_preempt "
+                "save (collective fetch is unsafe under preemption); resume "
+                "from the last state_epochN.npz instead")
+            return
         state_host = pmesh.fetch_to_host(state)
         if jax.process_index() == 0:
             ckpt.save_train_state(path, state_host)

@@ -1,6 +1,7 @@
 """BatchLoader semantics: shuffling, drop_last, pad_to_batch, prefetch."""
 
 import numpy as np
+import pytest
 
 from neighborretr_tpu.data.loader import BatchLoader
 from neighborretr_tpu.utils.logging import MetricLogger, SmoothedValue
@@ -124,3 +125,23 @@ def test_early_termination_is_clean():
     assert len(got) == 2
     # a subsequent full iteration over the same loader still works
     assert len(_collect(loader)) == 8
+
+
+def test_prefetch_propagates_dataset_errors():
+    """A decode/dataset error mid-epoch must raise in the consumer, not end
+    iteration early (a swallowed error = silently truncated epoch/eval)."""
+    class Bad:
+        multi_sentence_per_video = False
+
+        def __len__(self):
+            return 16
+
+        def item(self, i):
+            if i == 9:
+                raise RuntimeError("corrupt video file")
+            return {"x": np.zeros(2, np.float32), "idx": np.int32(i)}
+
+    loader = BatchLoader(Bad(), 4, shuffle=False, drop_last=False,
+                         workers=2, prefetch=2)
+    with pytest.raises(RuntimeError, match="corrupt video"):
+        list(iter(loader))
