@@ -51,7 +51,10 @@ def _choose_blocks(A: int, B: int, T: int, V: int, D: int,
     (the largest single buffer; operands and accumulators ride the rest of
     the ~16 MB VMEM with input double-buffering)."""
     BB = 128 if B >= 128 else max(8, B)
-    BA = 64
+    # no bigger than needed for the row count: a remainder eval batch of
+    # A=10 should pad to a 16-row tile, not 64.  Powers of two only, so the
+    # budget-halving below never leaves the sublane-aligned set
+    BA = next(c for c in (8, 16, 32, 64) if c >= min(A, 64))
     while BA > 8 and BA * T * V * BB * 4 > vmem_budget:
         BA //= 2
     return BA, BB
@@ -144,7 +147,8 @@ def _fwd_pallas(tn3, vn3, tw3, vw2, *, A, B, T, V, D, BA, BB, interpret,
         out_shape=jax.ShapeDtypeStruct((A, B), jnp.float32),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "parallel")),
         cost_estimate=pl.CostEstimate(
             flops=2 * A * T * B * V * D, transcendentals=0,
             bytes_accessed=(A * T * D + B * V * D) * 4 + A * B * 4),
@@ -155,7 +159,7 @@ def _fwd_pallas(tn3, vn3, tw3, vw2, *, A, B, T, V, D, BA, BB, interpret,
 # backward kernels (recompute logits per tile; first-argmax tie routing)
 # ---------------------------------------------------------------------------
 
-def _t2v_indicator_coeff(logits, m1, g, tw_ref, T, V, BA, BB):
+def _t2v_coeff(g, tw_ref, T):
     """coeff1 [T*BA, BB] = 0.5·g(row)·tw(row), g repeated per t."""
     g_rows = jnp.concatenate([g] * T, axis=0)                    # [T*BA, BB]
     tw_rows = jnp.concatenate([tw_ref[t] for t in range(T)], axis=0)
@@ -182,7 +186,7 @@ def _bwd_text_kernel(tn_ref, vn_ref, tw_ref, vw_ref, g_ref,
     m2 = _max_over_t(logits, T, BA)
 
     # ---- t2v direction: first-argmax over v; dtn += Σ_v d1_v @ vn_v ----
-    g_rows, coeff1 = _t2v_indicator_coeff(logits, m1, g, tw_ref, T, V, BA, BB)
+    g_rows, coeff1 = _t2v_coeff(g, tw_ref, T)
     dtn_flat = jnp.zeros((T * BA, D), jnp.float32)
     taken = jnp.zeros((T * BA, BB), jnp.bool_)
     for v in range(V):
@@ -235,7 +239,7 @@ def _bwd_video_kernel(tn_ref, vn_ref, tw_ref, vw_ref, g_ref,
     m2 = _max_over_t(logits, T, BA)
 
     # ---- t2v direction: dvn_v += d1_vᵀ @ tn (contract over rows) ----
-    _, coeff1 = _t2v_indicator_coeff(logits, m1, g, tw_ref, T, V, BA, BB)
+    _, coeff1 = _t2v_coeff(g, tw_ref, T)
     taken = jnp.zeros((T * BA, BB), jnp.bool_)
     parts = []
     for v in range(V):
@@ -293,8 +297,7 @@ def _similarity_fwd(tn3, vn3, tw3, vw2, meta):
     return out, (tn3, vn3, tw3, vw2)
 
 
-def _choose_bwd_blocks(A: int, B: int, T: int, V: int, D: int
-                       ) -> Tuple[int, int]:
+def _choose_bwd_blocks(A: int, B: int, T: int, V: int) -> Tuple[int, int]:
     """Backward tiles hold logits + indicator temporaries + grad accumulators
     + double-buffered operands; shrink the ROW block only (the column block
     must stay 128-divisible or full-extent for the 2D operands g/vw per
@@ -313,7 +316,7 @@ def _choose_bwd_blocks(A: int, B: int, T: int, V: int, D: int
 def _similarity_bwd(meta, res, g):
     A, B, T, V, D, _, _, interpret, dtype_str = meta
     dot_dtype = jnp.dtype(dtype_str)
-    BA, BB = _choose_bwd_blocks(A, B, T, V, D)
+    BA, BB = _choose_bwd_blocks(A, B, T, V)
     # the padded extents are multiples of the FORWARD blocks — the backward
     # blocks must divide them or grid coverage silently drops rows/columns
     while A % BA:
@@ -344,7 +347,8 @@ def _similarity_bwd(meta, res, g):
         ],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "arbitrary")),
     )(tn3, vn3, tw3, vw2, g)
 
     # column-tile-major grid: swap index-map argument order
@@ -369,7 +373,8 @@ def _similarity_bwd(meta, res, g):
         ],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "arbitrary")),
     )(tn3, vn3, tw3, vw2, g)
 
     return dtn3, dvn3, dtw3, dvw2

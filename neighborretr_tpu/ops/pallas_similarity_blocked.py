@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_similarity import _pad_to
+from .pallas_similarity import _max_over_v, _pad_to, _tile_logits
 from .similarity import l2_normalize
 
 
@@ -61,25 +61,8 @@ def _choose_blocks(A: int, B: int, T: int, V: int, D: int
     return BA, BB, best
 
 
-def _prep(tn_ref, vn_ref, dot_dtype):
-    T, BA, D = tn_ref.shape
-    VC, BB, _ = vn_ref.shape
-    tn = tn_ref[:].reshape(T * BA, D).astype(dot_dtype)
-    vn = vn_ref[:].reshape(VC * BB, D).astype(dot_dtype)
-    logits = jax.lax.dot_general(
-        tn, vn, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    return tn, vn, logits              # logits [T*BA, VC*BB] fp32
-
-
-def _chunk_max_v(logits, VC, BB):
-    """Max over the chunk's v slices → [T*BA, BB].  VC is small (≤8); the
-    lane-group slices stay unrolled (lane-dim reshapes are not
-    layout-preserving)."""
-    m = logits[:, 0:BB]
-    for v in range(1, VC):
-        m = jnp.maximum(m, logits[:, v * BB:(v + 1) * BB])
-    return m
+# tile logits + chunk max-over-v are the flat kernel's helpers verbatim
+# (pallas_similarity._tile_logits / _max_over_v) — imported, not re-defined.
 
 
 def _chunk_first_v(logits, m1c, VC, BB):
@@ -138,10 +121,10 @@ def _fwd_kernel(tn_ref, vn_ref, tw_ref, vw_ref, *refs,
         win_acc[:] = jnp.zeros_like(win_acc)
         sv_acc[:] = jnp.zeros_like(sv_acc)
 
-    _, _, logits = _prep(tn_ref, vn_ref, dot_dtype)
+    _, _, logits = _tile_logits(tn_ref, vn_ref, dot_dtype)
 
     # running max-over-v with first-argmax winner (strict > keeps first)
-    m1c = _chunk_max_v(logits, VC, BB)
+    m1c = _max_over_v(logits, VC, BB)
     m1_prev = m1_acc[:]
     m1_acc[:] = jnp.maximum(m1_prev, m1c)
     winc = _chunk_first_v(logits, m1c, VC, BB)
@@ -212,7 +195,8 @@ def _fwd_pallas(tn3, vn3, tw3, vw2, *, A, B, T, V, D, BA, BB, VC,
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=2 * A * T * B * V * D, transcendentals=0,
-            bytes_accessed=(A * T * D + B * V * D) * 4 + A * B * 4),
+            bytes_accessed=((A * T * D + B * V * D) * 4 + A * B * 4
+                            + (2 * T * A * B * 4 if save_residuals else 0))),
     )(tn3, vn3, tw3, vw2)
 
 
@@ -252,12 +236,17 @@ def _grad_slab(logits, g, tw_ref, vw_ref, win, c, T, VC, BA, BB):
     return d1 + d2, m2
 
 
-def _bwd_text_kernel(tn_ref, vn_ref, tw_ref, vw_ref, g_ref, m1_ref, win_ref,
-                     dtn_ref, dtw_ref, *, T: int, VC: int, dot_dtype):
-    """Grid (i, j, c): accumulates text-side grads over (j, c)."""
+def _bwd_text_kernel(tn_ref, vn_ref, tw_ref, vw_ref, g_ref, win_ref,
+                     dtn_ref, *, T: int, VC: int, dot_dtype):
+    """Grid (i, j, c): accumulates text-side grads over (j, c).
+
+    The m1 residual is NOT an input: dtw (the only consumer) is one
+    [A,B]×[T,A,B] einsum computed XLA-side in _blocked_bwd, so neither
+    backward pass streams the [T, A, B] max tensor through VMEM (~0.5 GB of
+    reads per pass at the 64w/64f bank-1920 recipe)."""
     j, c = pl.program_id(1), pl.program_id(2)
     BA, BB = g_ref.shape
-    _, vn, logits = _prep(tn_ref, vn_ref, dot_dtype)
+    _, vn, logits = _tile_logits(tn_ref, vn_ref, dot_dtype)
     g = g_ref[:].astype(jnp.float32)
     win = win_ref[:].reshape(T * BA, BB)
 
@@ -270,24 +259,16 @@ def _bwd_text_kernel(tn_ref, vn_ref, tw_ref, vw_ref, g_ref, m1_ref, win_ref,
     @pl.when((j == 0) & (c == 0))
     def _():
         dtn_ref[:] = jnp.zeros_like(dtn_ref)
-        dtw_ref[:] = jnp.zeros_like(dtw_ref)
 
     dtn_ref[:] += contrib.reshape(dtn_ref.shape)
 
-    @pl.when(c == 0)
-    def _():
-        m1 = m1_ref[:].reshape(T * BA, BB)
-        g_rep = _rep_rows(g, T, BA, BB)
-        dtw_ref[:] += (0.5 * jnp.sum(g_rep * m1, axis=1, keepdims=True)
-                       ).reshape(dtw_ref.shape)
 
-
-def _bwd_video_kernel(tn_ref, vn_ref, tw_ref, vw_ref, g_ref, m1_ref, win_ref,
+def _bwd_video_kernel(tn_ref, vn_ref, tw_ref, vw_ref, g_ref, win_ref,
                       dvn_ref, dvw_ref, *, T: int, VC: int, dot_dtype):
     """Grid (j, c, i): accumulates video-side grads over i."""
     c, i = pl.program_id(1), pl.program_id(2)
     BA, BB = g_ref.shape
-    tn, _, logits = _prep(tn_ref, vn_ref, dot_dtype)
+    tn, _, logits = _tile_logits(tn_ref, vn_ref, dot_dtype)
     g = g_ref[:].astype(jnp.float32)
     win = win_ref[:].reshape(T * BA, BB)
 
@@ -341,7 +322,7 @@ def _blocked_bwd(meta, res, g):
         vmem_limit_bytes=100 * 1024 * 1024,
         dimension_semantics=("parallel", "arbitrary", "arbitrary"))
 
-    in_arrays = (tn3, vn3, tw3, vw2, g, m1, win)
+    in_arrays = (tn3, vn3, tw3, vw2, g, win)
 
     def specs(imap_t, imap_v, imap_g, imap_m):
         return [
@@ -352,10 +333,13 @@ def _blocked_bwd(meta, res, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BA, BB), imap_g, memory_space=pltpu.VMEM),
             pl.BlockSpec((T, BA, BB), imap_m, memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, BA, BB), imap_m, memory_space=pltpu.VMEM),
         ]
 
-    dtn3, dtw3 = pl.pallas_call(
+    # dtw consumes m1 through a single reduction — one XLA einsum instead of
+    # streaming the [T, A, B] residual through the kernels' VMEM pipelines
+    dtw3 = 0.5 * jnp.einsum("ab,tab->ta", g, m1)[:, :, None]
+
+    (dtn3,) = pl.pallas_call(
         functools.partial(_bwd_text_kernel, T=T, VC=VC, dot_dtype=dot_dtype),
         grid=(A // BA, B // BB, NC),
         in_specs=specs(lambda i, j, c: (0, i, 0),
@@ -365,11 +349,8 @@ def _blocked_bwd(meta, res, g):
         out_specs=[
             pl.BlockSpec((T, BA, D), lambda i, j, c: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, BA, 1), lambda i, j, c: (0, i, 0),
-                         memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((T, A, D), jnp.float32),
-                   jax.ShapeDtypeStruct((T, A, 1), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((T, A, D), jnp.float32)],
         interpret=interpret,
         compiler_params=params,
     )(*in_arrays)

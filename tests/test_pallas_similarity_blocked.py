@@ -107,3 +107,66 @@ def test_gradient_tie_routing_first_argmax(rng):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(g_ker[1]), np.asarray(g_ref[1]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_gradient_tie_routing_across_chunks(rng, monkeypatch):
+    """Force NC=2 v-chunks and tie the max across the chunk boundary: the
+    winner must be the FIRST v (in chunk 0), exercising the strict-> running
+    max update in _fwd_kernel that single-chunk shapes never reach."""
+    from neighborretr_tpu.ops import pallas_similarity_blocked as blk
+    from neighborretr_tpu.ops.pallas_similarity import (
+        pallas_interaction_similarity)
+    A, B, T, V, D = 4, 8, 8, 8, 16
+    monkeypatch.setattr(blk, "_choose_blocks",
+                        lambda *a: (4, 8, V // 2))      # BA=4, BB=8, VC=4
+    t_feat = rng.normal(size=(A, T, D)).astype(np.float32)
+    v_feat = rng.normal(size=(B, V, D)).astype(np.float32)
+    v_feat[:, 6] = v_feat[:, 1]     # tie spanning chunk 0 (v=1) ↔ chunk 1 (v=6)
+    t_mask = jnp.ones((A, T)); v_mask = jnp.ones((B, V))
+    tw = jnp.full((A, T), 1.0 / T); vw = jnp.full((B, V), 1.0 / V)
+    t_feat = jnp.asarray(t_feat); v_feat = jnp.asarray(v_feat)
+
+    def loss(fn):
+        def f(tf, vf):
+            return jnp.sum(fn(tf, vf, t_mask, v_mask, tw, vw))
+        return f
+
+    out_b = blk.pallas_interaction_similarity_blocked(
+        t_feat, v_feat, t_mask, v_mask, tw, vw, interpret=True)
+    out_f = pallas_interaction_similarity(
+        t_feat, v_feat, t_mask, v_mask, tw, vw, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_f),
+                               rtol=1e-5, atol=1e-6)
+
+    g_ref = jax.grad(loss(lambda *a: pallas_interaction_similarity(
+        *a, interpret=True)), argnums=(0, 1))(t_feat, v_feat)
+    g_ker = jax.grad(loss(lambda *a: blk.pallas_interaction_similarity_blocked(
+        *a, interpret=True)), argnums=(0, 1))(t_feat, v_feat)
+    np.testing.assert_allclose(np.asarray(g_ker[0]), np.asarray(g_ref[0]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_ker[1]), np.asarray(g_ref[1]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_blocked_bfloat16_compute_dtype(rng):
+    """The training path passes compute_dtype='bfloat16'
+    (models/neighborretr.py sim_dtype) — forward and gradients must stay
+    within bf16 tolerance of the fp32 kernel and remain finite."""
+    A, B, T, V, D = 8, 16, 64, 64, 32
+    args = _inputs(rng, A, B, T, V, D)
+
+    out32 = pallas_interaction_similarity_blocked(*args, interpret=True)
+    out16 = pallas_interaction_similarity_blocked(
+        *args, interpret=True, compute_dtype="bfloat16")
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
+                               rtol=2e-2, atol=2e-2)
+
+    def loss(tf, vf):
+        return jnp.sum(pallas_interaction_similarity_blocked(
+            tf, vf, args[2], args[3], args[4], args[5],
+            interpret=True, compute_dtype="bfloat16"))
+
+    g = jax.grad(loss, argnums=(0, 1))(args[0], args[1])
+    for gx in g:
+        assert np.isfinite(np.asarray(gx)).all()
+        assert float(jnp.abs(gx).sum()) > 0
