@@ -177,8 +177,9 @@ def mha(p: Params, x, n_head: int, attn_bias=None, dtype=jnp.float32,
 
     attn_bias: optional additive fp32 bias broadcastable to [B, 1, L, L]
     (e.g. causal and/or padding masks with -inf at disallowed positions).
-    fused: use the frame-local Pallas kernel (unmasked path only) — consumes
-    the packed qkv directly, keeps logits/probs in VMEM.
+    fused: use the frame-local Pallas kernel — consumes the packed qkv
+    directly, keeps logits/probs in VMEM; biased sequences route through
+    its biased variant with the additive bias streamed per tile.
     """
     B, L, D = x.shape
     if fused:
@@ -241,8 +242,10 @@ def block_apply(p: Params, x, n_head: int, attn_bias=None, dtype=jnp.float32,
                 fused_attention=False):
     """fused_attention: False = XLA einsum path, True = frame-local Pallas
     attention kernel, "block" = fully-fused sublayer kernel (qkv proj +
-    attention + out proj in one Pallas call; unbiased path only — biased
-    sequences fall back to the attention-only kernel)."""
+    attention + out proj in one Pallas call).  Biased sequences (text
+    causal∧padding, temporal key-padding) route through the kernels' biased
+    variants — the same fused path, with the additive bias streamed per
+    tile."""
     from jax.ad_checkpoint import checkpoint_name as ckpt
     if fused_attention == "block":
         # whole pre-LN attention sublayer (LN1 + qkv + attention + out proj

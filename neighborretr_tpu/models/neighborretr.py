@@ -170,16 +170,25 @@ def resolve_fused_attention(cfg: ModelConfig):
     a mesh the XLA einsum path partitions under GSPMD without shard_map).
 
     Returns False (einsum), True (frame-local attention kernel) or "block"
-    (qkv+attention+out in one kernel — see ops/pallas_block_attention.py);
-    the text tower's biased path uses the attention-only kernel either way.
+    (qkv+attention+out in one kernel — see ops/pallas_block_attention.py).
+
+    PRECISION CONTRACT: both Pallas kernels run their MXU dots in bf16 by
+    design (fp32 softmax/LN islands).  Under compute_dtype='float32' the
+    only faithful implementation is the XLA einsum path — 'auto' falls back
+    to it, and requesting a fused kernel explicitly raises.
     """
-    if cfg.attention_impl == "fused_block":
-        return "block"
-    if cfg.attention_impl == "fused":
-        return True
+    if cfg.attention_impl in ("fused_block", "fused"):
+        if cfg.compute_dtype != "bfloat16":
+            raise ValueError(
+                f"attention_impl='{cfg.attention_impl}' computes its MXU "
+                "dots in bfloat16 by design; with compute_dtype="
+                f"'{cfg.compute_dtype}' use attention_impl='einsum' (or "
+                "switch compute_dtype to 'bfloat16')")
+        return "block" if cfg.attention_impl == "fused_block" else True
     if cfg.attention_impl == "einsum":
         return False
-    if jax.default_backend() == "tpu" and jax.device_count() == 1:
+    if (jax.default_backend() == "tpu" and jax.device_count() == 1
+            and cfg.compute_dtype == "bfloat16"):
         return "block"
     return False
 

@@ -30,7 +30,6 @@ tests/test_pallas_attention.py against the XLA path, fwd + grad).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -350,6 +349,7 @@ def _attention_biased_bwd(meta, res, g):
     N, L, H, hd, FB, interpret = meta
     D = H * hd
     qkv, bias = res
+    FB = _bwd_fb(N, L, FB)      # same block-size policy/override as unbiased
     kernel = functools.partial(_bwd_kernel_biased, L=L, H=H, hd=hd,
                                scale=hd ** -0.5)
     dqkv = pl.pallas_call(

@@ -41,7 +41,6 @@ tests/test_pallas_block_attention.py (interpret on CPU, compiled on TPU).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -176,3 +176,15 @@ def test_ln_fused_residual_full_gradient_parity():
             lb = np.asarray(leaf_b, np.float64)
             denom = max(np.abs(lb).max(), 1e-6)
             assert np.max(np.abs(la - lb)) / denom < 6e-2, path
+
+
+def test_ln_eps_matches_layers_default():
+    """The fused sublayer kernel hardcodes its LN epsilon; it must equal
+    layers.layer_norm's default or the fused and einsum paths silently
+    normalize differently."""
+    import inspect
+
+    from neighborretr_tpu.models.layers import layer_norm
+    from neighborretr_tpu.ops.pallas_block_attention import _LN_EPS
+    default_eps = inspect.signature(layer_norm).parameters["eps"].default
+    assert default_eps == _LN_EPS
