@@ -184,11 +184,17 @@ def main():
     if args.tiny or (args.datatype == "synthetic"
                      and args.clip_checkpoint is None):
         # small towers for smoke runs (explicit --tiny, or implied by
-        # synthetic data with no checkpoint to match)
+        # synthetic data with no checkpoint to match).  Only the tower
+        # GEOMETRY shrinks — every user-passed model flag (remat, kernels,
+        # chunking) is re-applied so smoke runs exercise the requested paths
         import dataclasses as dc
-        cfg = dc.replace(cfg, model=ModelConfig.tiny(
-            max_words=args.max_words, max_frames=args.max_frames))
-        logger.info("Using tiny model architecture (--tiny/smoke run)")
+        tiny = ModelConfig.tiny(max_words=args.max_words,
+                                max_frames=args.max_frames)
+        cfg = dc.replace(cfg, model=dc.replace(
+            cfg.model, clip=tiny.clip, temporal_layers=tiny.temporal_layers,
+            compute_dtype=tiny.compute_dtype))
+        logger.info("Using tiny model architecture (--tiny/smoke run):\n%s",
+                    cfg.to_json())
     if args.datatype == "synthetic":
         from neighborretr_tpu.data.datasets.synthetic import SyntheticDataset
         kw = dict(max_words=args.max_words, max_frames=args.max_frames,

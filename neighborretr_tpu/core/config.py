@@ -333,6 +333,8 @@ def validate(cfg: Config, num_devices: int) -> None:
         raise ValueError(
             f"microbatch size {cfg.train.batch_size // mb} not divisible by "
             f"device count {num_devices}")
+    if cfg.train.n_display < 1:
+        raise ValueError(f"n_display must be >= 1, got {cfg.train.n_display}")
     if mb > 1 and cfg.train.explicit_spmd:
         raise ValueError(
             "micro_batches applies to the GSPMD path; the explicit-SPMD path "

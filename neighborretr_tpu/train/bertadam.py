@@ -66,6 +66,10 @@ def is_clip_branch(path_keys: Tuple[str, ...]) -> bool:
 # ---------------------------------------------------------------------------
 
 def warmup_cosine(x, warmup):
+    # clamp past x=1: the raw cosine RISES again beyond t_total, which a
+    # preempt-resumed run can reach (the interrupted epoch replays on top of
+    # the preserved opt.step).  In-range behavior is the reference's exactly.
+    x = jnp.minimum(x, 1.0)
     return jnp.where(x < warmup, x / warmup,
                      0.5 * (1.0 + jnp.cos(jnp.pi * x)))
 

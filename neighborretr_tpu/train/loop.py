@@ -154,6 +154,16 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
                           cfg.train.epochs)
         logger.info("Resumed from %s at step %d (epoch %d)",
                     cfg.train.resume_checkpoint, global_step, start_epoch)
+        # restore best-metric tracking: without it the first post-resume
+        # eval would clobber best.npz with params worse than the
+        # pre-interruption best
+        tracker_path = os.path.join(cfg.train.output_dir, "best_metrics.json")
+        if os.path.exists(tracker_path):
+            import json
+            with open(tracker_path) as f:
+                tracker.load_dict(json.load(f))
+            logger.info("Restored best-metrics tracker (mean R@1 %.2f)",
+                        tracker.best_mean_r1)
 
     guard = PreemptionGuard(
         enabled=cfg.train.save_checkpoints and cfg.train.save_on_preempt)
@@ -190,6 +200,15 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
                   best_host):
     """Epoch loop body; returns early (with the preempt TrainState saved)
     when the guard catches SIGTERM."""
+
+    def persist_tracker():
+        """best.npz is only meaningful with its metric: persist the tracker
+        next to it so a resumed run cannot regress the best checkpoint."""
+        if jax.process_index() == 0:
+            import json
+            with open(os.path.join(cfg.train.output_dir,
+                                   "best_metrics.json"), "w") as f:
+                json.dump(tracker.to_dict(), f)
 
     def save_preempt():
         path = os.path.join(cfg.train.output_dir, "state_preempt.npz")
@@ -229,6 +248,7 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
 
         meters = MetricLogger()
         epoch_tic = time.time()
+        profiling = False
         # async H2D: batches stream to HBM while the previous step computes
         # (double-buffered; sharded over the mesh's data axis when present)
         device_batches = prefetch_to_device(train_loader, size=2, mesh=mesh)
@@ -237,6 +257,7 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
             # reference's ad-hoc wall-clock timing)
             if cfg.train.profile_dir and global_step == cfg.train.profile_steps[0]:
                 jax.profiler.start_trace(cfg.train.profile_dir)
+                profiling = True
             step_key = jax.random.fold_in(key, global_step)
             state, metrics = train_step(state, batch, step_key, cfg, t_total,
                                         mesh=mesh)
@@ -244,12 +265,20 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
             if guard.requested:
                 save_preempt()
                 return state, tracker, best_host
-            if cfg.train.profile_dir and global_step == cfg.train.profile_steps[1]:
+            # `profiling` guards the resume case where global_step lands
+            # inside the window: stop without start would raise
+            if profiling and global_step == cfg.train.profile_steps[1]:
                 jax.tree.map(lambda x: x.block_until_ready(), state.params)
                 jax.profiler.stop_trace()
+                profiling = False
                 logger.info("Profiler trace written to %s", cfg.train.profile_dir)
 
             if (it % cfg.train.n_display) == 0:
+                # DELIBERATE sampling: fetching the metric scalars forces a
+                # host sync, which on a tunneled chip costs more than the
+                # information is worth — meters average every n_display-th
+                # step, not every step (deviation from trainer.py's running
+                # means, documented)
                 meters.update(**{k: float(v) for k, v in metrics.items()
                                  if np.ndim(v) == 0})
                 done = it + 1
@@ -274,6 +303,7 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
                         ckpt.save_params(best_path, best_host)
                         logger.info("Saved best checkpoint (mean R@1 %.2f)",
                                     tracker.best_mean_r1)
+                    persist_tracker()
 
         # per-epoch eval + checkpoint (main.py:333-365)
         t2v, v2t = evaluate(state.params, cfg, test_loader, dataset=test_ds,
@@ -284,6 +314,7 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
                 ckpt.save_params(best_path, best_host)
                 logger.info("Saved best checkpoint (mean R@1 %.2f)",
                             tracker.best_mean_r1)
+            persist_tracker()
         # checkpoint IO is process-0 only (reference rank-0 saves,
         # main.py:161-187).  The host fetch is OUTSIDE the gate: with
         # --tensor_parallel on a multi-host mesh the params span processes,

@@ -60,7 +60,8 @@ def fifo_update(bank: MemoryBank, ind, feat_t, feat_v, mask_t, mask_v) -> Memory
 
 def write_slice(bank: MemoryBank, offset: int, ind, feat_t, feat_v,
                 mask_t, mask_v) -> MemoryBank:
-    """Epoch-start fill: write one encoded batch at a static offset."""
+    """Epoch-start fill: write one encoded batch at `offset` (python int or
+    traced scalar — dynamic_update_slice either way)."""
 
     def wr(old, new):
         return jax.lax.dynamic_update_slice_in_dim(

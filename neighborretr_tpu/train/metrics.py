@@ -146,6 +146,23 @@ class BestMetricsTracker:
             self.best_v2t_metrics = dict(v2t)
         return improved
 
+    # --- persistence (JSON round-trip so a resumed run cannot clobber
+    # best.npz with params worse than the pre-preemption best) ---
+
+    def to_dict(self) -> Dict:
+        return {"best_mean_r1": self.best_mean_r1,
+                "best_t2v_r1": self.best_t2v_r1,
+                "best_v2t_r1": self.best_v2t_r1,
+                "best_t2v_metrics": self.best_t2v_metrics,
+                "best_v2t_metrics": self.best_v2t_metrics}
+
+    def load_dict(self, d: Dict) -> None:
+        self.best_mean_r1 = d.get("best_mean_r1", self.best_mean_r1)
+        self.best_t2v_r1 = d.get("best_t2v_r1", self.best_t2v_r1)
+        self.best_v2t_r1 = d.get("best_v2t_r1", self.best_v2t_r1)
+        self.best_t2v_metrics = d.get("best_t2v_metrics")
+        self.best_v2t_metrics = d.get("best_v2t_metrics")
+
 
 def format_metrics(metrics: Dict[str, float], prefix: str = "") -> str:
     return (f"{prefix}R@1: {metrics['R1']:.1f} - R@5: {metrics['R5']:.1f} - "

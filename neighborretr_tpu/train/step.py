@@ -210,13 +210,15 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                       step=state.step + 1), metrics
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "offset"),
+@functools.partial(jax.jit, static_argnames=("cfg",),
                    donate_argnames=("bank",))
 def fill_bank_step(params: Params, bank: MemoryBank,
                    batch: Dict[str, jnp.ndarray], cfg: Config,
-                   offset: int) -> MemoryBank:
-    """Epoch-start bank fill: encode one batch, write at static offset
-    (utils/memory_bank.py:124-211)."""
+                   offset) -> MemoryBank:
+    """Epoch-start bank fill: encode one batch, write at `offset`
+    (utils/memory_bank.py:124-211).  `offset` is a TRACED scalar —
+    write_slice is a dynamic_update_slice — so the mb_batch fill batches
+    share ONE compiled program instead of recompiling per offset."""
     from .memory_bank import write_slice
     text_feat, video_feat = model.get_text_video_feat(
         params, cfg.model, batch["text_ids"], batch["text_mask"],

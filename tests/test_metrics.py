@@ -65,3 +65,21 @@ def test_best_tracker_monotone():
     worse = {"R1": 5.0, "R5": 1, "R10": 1, "MR": 1, "MeanR": 1}
     assert not tr.update(worse, worse)
     assert tr.best_t2v_r1 == 10.0 and tr.best_v2t_r1 == 20.0
+
+
+def test_best_tracker_json_roundtrip():
+    """Tracker persistence (loop.py best_metrics.json): a restored tracker
+    rejects a worse eval, so a resumed run cannot clobber best.npz."""
+    import json
+
+    from neighborretr_tpu.train.metrics import BestMetricsTracker
+    t = BestMetricsTracker()
+    assert t.update({"R1": 44.0, "R5": 70.0}, {"R1": 42.0, "R5": 69.0})
+    blob = json.dumps(t.to_dict())
+
+    t2 = BestMetricsTracker()
+    t2.load_dict(json.loads(blob))
+    assert t2.best_mean_r1 == t.best_mean_r1
+    # a worse eval after restore must NOT trigger a best-checkpoint save
+    assert not t2.update({"R1": 41.0, "R5": 70.0}, {"R1": 40.0, "R5": 66.0})
+    assert t2.update({"R1": 45.0, "R5": 71.0}, {"R1": 43.0, "R5": 70.0})
