@@ -153,7 +153,9 @@ def _rotate_level(level: float) -> Tuple[float]:
 
 
 def _posterize_inc_level(level: float) -> Tuple[int]:
-    return (4 + int((level / _MAX_LEVEL) * 4),)   # inc: keep >=4 bits
+    # inc: FEWER bits (stronger) as magnitude rises, 4 → 1 (timm's
+    # _posterize_increasing; floor 1 since ImageOps.posterize needs ≥1 bit)
+    return (max(1, 4 - int((level / _MAX_LEVEL) * 4)),)
 
 def _solarize_inc_level(level: float) -> Tuple[int]:
     return (256 - int((level / _MAX_LEVEL) * 256),)
@@ -192,42 +194,57 @@ class RandAugment:
     """
 
     def __init__(self, magnitude: int = 7, num_layers: int = 4,
-                 magnitude_std: float = 0.5,
+                 magnitude_std: float = 0.5, prob: float = 0.5,
                  rng: Optional[np.random.Generator] = None):
         self.magnitude = magnitude
         self.num_layers = num_layers
         self.magnitude_std = magnitude_std
+        # each selected op applies with this probability (timm AugmentOp's
+        # default 0.5 — without it the effective policy strength doubles)
+        self.prob = prob
         self.rng = rng or np.random.default_rng()
 
     @classmethod
     def from_config_str(cls, config: str,
                         rng: Optional[np.random.Generator] = None):
-        """Parse a timm-style 'rand-m7-n4-mstd0.5-inc1' string."""
+        """Parse a timm-style 'rand-m7-n4-mstd0.5-inc1' string.  Unsupported
+        segments raise — silently dropping e.g. 'inc0' or 'p0.3' would run a
+        different policy than the one named."""
         parts = config.split("-")
         assert parts[0] == "rand", config
         kwargs = {}
         for p in parts[1:]:
             if p.startswith("mstd"):
                 kwargs["magnitude_std"] = float(p[4:])
-            elif p.startswith("m"):
+            elif p.startswith("p") and p[1:2].isdigit():
+                kwargs["prob"] = float(p[1:])
+            elif p.startswith("m") and p[1:].isdigit():
                 kwargs["magnitude"] = int(p[1:])
-            elif p.startswith("n"):
+            elif p.startswith("n") and p[1:].isdigit():
                 kwargs["num_layers"] = int(p[1:])
-            # "inc1" is the only range style implemented
+            elif p == "inc1":
+                pass            # increasing ranges — the implemented style
+            else:
+                raise ValueError(
+                    f"unsupported RandAugment config segment '{p}' in "
+                    f"'{config}' (supported: mN, nN, mstdF, pF, inc1)")
         return cls(rng=rng, **kwargs)
 
-    def _sample_ops(self) -> List[Tuple[Callable, tuple]]:
-        names = self.rng.choice(list(_RAND_OPS), size=self.num_layers)
+    def _sample_ops(self, rng: np.random.Generator
+                    ) -> List[Tuple[Callable, tuple]]:
+        names = rng.choice(list(_RAND_OPS), size=self.num_layers)
         ops = []
         for name in names:
+            if rng.random() >= self.prob:     # timm: each op fires w.p. 0.5
+                continue
             fn, level_fn, signed = _RAND_OPS[name]
             if level_fn is None:
                 ops.append((fn, ()))
                 continue
-            level = self.magnitude + self.rng.normal(0, self.magnitude_std)
+            level = self.magnitude + rng.normal(0, self.magnitude_std)
             level = float(np.clip(level, 0, _MAX_LEVEL))
             args = level_fn(level)
-            if signed and self.rng.random() < 0.5:
+            if signed and rng.random() < 0.5:
                 args = tuple(-a if isinstance(a, float) else a for a in args)
                 if fn in (_color, _contrast, _brightness, _sharpness):
                     # enhance factors mirror around 1.0 rather than negate
@@ -235,11 +252,16 @@ class RandAugment:
             ops.append((fn, args))
         return ops
 
-    def __call__(self, frames: np.ndarray) -> np.ndarray:
-        """frames uint8 [F, H, W, 3] -> augmented uint8 [F, H, W, 3]."""
+    def __call__(self, frames: np.ndarray,
+                 rng: Optional[np.random.Generator] = None) -> np.ndarray:
+        """frames uint8 [F, H, W, 3] -> augmented uint8 [F, H, W, 3].
+        `rng`: per-item generator (thread-safe, epoch-seeded — see
+        datasets/base.py item()); falls back to the instance one."""
         if not _HAS_PIL:
             return frames
-        ops = self._sample_ops()
+        ops = self._sample_ops(rng if rng is not None else self.rng)
+        if not ops:
+            return frames
         out = np.empty_like(frames)
         for i in range(frames.shape[0]):
             img = frames[i]

@@ -29,6 +29,17 @@ from ..tokenizer import ClipTokenizer
 from ..video import decode_video_frames
 
 
+def _mtime(path: str) -> float:
+    """File mtime for the decode-cache key (stale-file invalidation,
+    rawvideo_util.py:202-216); 0.0 when unreadable (the decode itself will
+    surface the error)."""
+    import os
+    try:
+        return os.path.getmtime(path)
+    except OSError:
+        return 0.0
+
+
 def stable_video_hash(video_id: str) -> np.int64:
     """Deterministic 63-bit id from the video id string (process-stable,
     unlike Python's randomized hash())."""
@@ -74,10 +85,18 @@ class RetrievalDataset:
         # rawvideo_util.py:291-293) + frame-order + decode LRU cache
         self.is_train = is_train
         self.frame_order = frame_order
-        self._rng = np.random.default_rng(seed)
-        self._augment = (create_random_augment(augment, rng=self._rng)
+        self.seed = seed
+        self._epoch = 0
+        self._augment = (create_random_augment(augment)
                          if (is_train and augment) else None)
         self._clip_cache = ClipLRUCache(cache_capacity)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Epoch-dependent stochastic decoration: item-level RNGs derive
+        from (seed, epoch, index) so augmentation re-samples every epoch,
+        stays reproducible, and is thread-safe under the loader's pool
+        (numpy Generators are not shareable across threads)."""
+        self._epoch = int(epoch)
 
     def __len__(self) -> int:
         return len(self.pairs)
@@ -98,9 +117,11 @@ class RetrievalDataset:
         ids, mask = self._text_cache[caption]
         return {"text_ids": ids, "text_mask": mask}
 
-    def video_item(self, video_id: str, start=None, end=None) -> Dict[str, np.ndarray]:
+    def video_item(self, video_id: str, start=None, end=None,
+                   rng: Optional[np.random.Generator] = None
+                   ) -> Dict[str, np.ndarray]:
         path = self.video_paths[video_id]
-        key = (path, self.max_frames, self.resolution,
+        key = (path, _mtime(path), self.max_frames, self.resolution,
                self.video_framerate, start, end)
         cached = self._clip_cache.get(key)
         if cached is None:
@@ -109,17 +130,27 @@ class RetrievalDataset:
                 self.video_framerate, start, end)
             self._clip_cache.put(key, cached)
         frames, mask = cached
-        # augment AFTER cache retrieval so every epoch re-samples ops
-        if self._augment is not None:
-            frames = self._augment(frames)
-        if self.frame_order:
-            frames = process_frame_order(frames, self.frame_order, self._rng)
+        # Stochastic decoration applies to the VALID frames only — padding
+        # stays zero (reference order: augment/shuffle the decoded frames,
+        # THEN pad; rawvideo_util.py:291-371) and the prefix-contiguous mask
+        # stays aligned with the content.  Runs AFTER cache retrieval so
+        # every epoch re-samples ops.
+        n_valid = int(mask.sum())
+        if (self._augment is not None or self.frame_order) and n_valid > 0:
+            rng = rng if rng is not None else np.random.default_rng()
+            valid = frames[:n_valid]
+            if self._augment is not None:
+                valid = self._augment(valid, rng=rng)
+            if self.frame_order:
+                valid = process_frame_order(valid, self.frame_order, rng)
+            frames = np.concatenate([valid, frames[n_valid:]], axis=0)
         return {"video": frames, "video_mask": mask}
 
     def item(self, i: int) -> Dict[str, np.ndarray]:
         video_id, _, start, end = self.pairs[i]
         out = self.text_item(i)
-        out.update(self.video_item(video_id, start, end))
+        rng = np.random.default_rng((self.seed, self._epoch, i))
+        out.update(self.video_item(video_id, start, end, rng=rng))
         out["idx"] = np.int32(i)
         out["video_hash"] = stable_video_hash(video_id.replace("video", ""))
         return out

@@ -73,6 +73,10 @@ class BatchLoader:
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+        # datasets with epoch-dependent stochastic decoration (RandAugment /
+        # frame shuffling) re-seed their per-item RNGs from this
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def __len__(self) -> int:
         n = len(self.dataset)

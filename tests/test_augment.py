@@ -101,3 +101,78 @@ class TestDatasetAugmentWiring:
         item = train.item(0)
         assert item["video"].shape == (2, 8, 8, 3)
         assert item["video"].dtype == np.uint8
+
+
+def test_frame_order_keeps_real_frames_in_masked_prefix(tmp_path):
+    """frame_order must permute only the VALID frames: padding stays at the
+    tail and the prefix-contiguous mask stays aligned with real content."""
+    from neighborretr_tpu.data.datasets.base import RetrievalDataset
+    from neighborretr_tpu.data import datasets as _ds
+
+    ds = RetrievalDataset(
+        pairs=[("vidA", "a caption", None, None)],
+        video_paths={"vidA": "/nonexistent.mp4"},
+        tokenizer=None, max_words=8, max_frames=6, resolution=16,
+        is_train=True, augment=None, frame_order=1)
+    # bypass decode: 3 valid frames with distinct values, 3 zero pads
+    frames = np.zeros((6, 16, 16, 3), np.uint8)
+    for f in range(3):
+        frames[f] = f + 1
+    mask = np.array([1, 1, 1, 0, 0, 0], np.float32)
+    ds._clip_cache.capacity = 4
+    from neighborretr_tpu.data.datasets.base import _mtime
+    key = ("/nonexistent.mp4", _mtime("/nonexistent.mp4"), 6, 16, 1,
+           None, None)
+    ds._clip_cache.put(key, (frames, mask))
+
+    out = ds.video_item("vidA", rng=np.random.default_rng(0))
+    v, m = out["video"], out["video_mask"]
+    np.testing.assert_array_equal(m, mask)
+    # reversed REAL frames in the masked prefix, zeros in the padding tail
+    assert v[0, 0, 0, 0] == 3 and v[1, 0, 0, 0] == 2 and v[2, 0, 0, 0] == 1
+    assert (v[3:] == 0).all()
+
+
+def test_item_rng_deterministic_per_epoch():
+    """Per-item RNGs derive from (seed, epoch, index): same epoch → identical
+    augmentation (thread-safe by construction), new epoch → re-sampled."""
+    from neighborretr_tpu.data.datasets.base import RetrievalDataset, _mtime
+
+    def make():
+        ds = RetrievalDataset(
+            pairs=[("vidA", "words here", None, None)],
+            video_paths={"vidA": "/nonexistent.mp4"},
+            tokenizer=None, max_words=8, max_frames=4, resolution=16,
+            is_train=True, augment="rand-m7-n4-mstd0.5-inc1", frame_order=2,
+            cache_capacity=4, seed=5)
+        frames = (np.arange(4 * 16 * 16 * 3) % 251).astype(np.uint8).reshape(
+            4, 16, 16, 3)
+        key = ("/nonexistent.mp4", _mtime("/nonexistent.mp4"), 4, 16, 1,
+               None, None)
+        ds._clip_cache.put(key, (frames, np.ones(4, np.float32)))
+        ds._text_cache["words here"] = (np.zeros(8, np.int32),
+                                        np.ones(8, np.float32))
+        return ds
+
+    a, b = make(), make()
+    a.set_epoch(0), b.set_epoch(0)
+    np.testing.assert_array_equal(a.item(0)["video"], b.item(0)["video"])
+    v_epoch0 = a.item(0)["video"].copy()
+    a.set_epoch(1)
+    assert not np.array_equal(a.item(0)["video"], v_epoch0)
+
+
+def test_posterize_increasing_direction():
+    """inc1 semantics: higher magnitude → FEWER bits (stronger)."""
+    from neighborretr_tpu.data.augment import _posterize_inc_level
+    assert _posterize_inc_level(0.0)[0] == 4
+    assert _posterize_inc_level(10.0)[0] == 1
+    assert _posterize_inc_level(5.0)[0] < _posterize_inc_level(2.0)[0]
+
+
+def test_config_str_rejects_unsupported_segments():
+    from neighborretr_tpu.data.augment import RandAugment
+    with pytest.raises(ValueError, match="inc0"):
+        RandAugment.from_config_str("rand-m9-n2-inc0")
+    r = RandAugment.from_config_str("rand-m9-n2-mstd0.5-p0.3-inc1")
+    assert r.magnitude == 9 and r.num_layers == 2 and r.prob == 0.3
