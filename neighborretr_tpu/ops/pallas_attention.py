@@ -122,52 +122,44 @@ def _tile_bias(bias_ref, FB: int, L: int) -> jnp.ndarray:
     return jnp.concatenate(row_blocks, axis=0)
 
 
-def _fwd_kernel(qkv_ref, out_ref, *, L: int, H: int, hd: int, scale: float):
-    FB = qkv_ref.shape[0]
-    rows = FB * L
+def _attn_probs(qkv, bias, H: int, hd: int, scale: float):
+    """Shared attention-forward tile: packed [rows, 3D] qkv + additive bias
+    → (q3, k3, v3 [H, rows, hd] bf16, probs [H, rows, rows] fp32).
+    The single source of the logits/softmax math for every kernel here and
+    in pallas_block_attention (bf16 MXU dots, fp32 softmax island)."""
+    rows = qkv.shape[0]
     D = H * hd
-    qkv = qkv_ref[:].reshape(rows, 3 * D)
-    bias = _frame_diag_bias(rows, L)
-
     q3, k3, v3 = _split_heads(qkv, rows, D, H, hd)          # each [H, rows, hd]
     logits = jax.lax.dot_general(                            # ONE batched dot
         (q3.astype(jnp.float32) * scale).astype(jnp.bfloat16), k3,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)                  # [H, rows, rows]
-    probs = jax.nn.softmax(logits + bias[None], axis=-1).astype(jnp.bfloat16)
+    probs = jax.nn.softmax(logits + bias[None], axis=-1)     # fp32
+    return q3, k3, v3, probs
+
+
+def _attn_out_tile(probs, v3, rows: int, D: int, H: int):
+    """probs [H, rows, rows] fp32 × v3 → merged [rows, D] fp32."""
     out3 = jax.lax.dot_general(
-        probs, v3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        probs.astype(jnp.bfloat16), v3,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)                  # [H, rows, hd]
-    out = _merge_heads(out3, rows, D, H)   # [rows, D]
-    out_ref[:] = out.reshape(FB, L, D).astype(out_ref.dtype)
+    return _merge_heads(out3, rows, D, H)
 
 
-def _bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, L: int, H: int, hd: int,
-                scale: float):
-    FB = qkv_ref.shape[0]
-    rows = FB * L
-    D = H * hd
-    qkv = qkv_ref[:].reshape(rows, 3 * D)
-    g = g_ref[:].reshape(rows, D)
-    bias = _frame_diag_bias(rows, L)
-
-    q3, k3, v3 = _split_heads(qkv, rows, D, H, hd)          # each [H, rows, hd]
-    g3 = _split_heads(g, rows, D, H, hd, n_parts=1)[0]      # [H, rows, hd]
-
-    logits = jax.lax.dot_general(
-        (q3.astype(jnp.float32) * scale).astype(jnp.bfloat16), k3,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(logits + bias[None], axis=-1)     # fp32 [H,rows,rows]
+def _attn_bwd_tile(q3, k3, v3, probs, g3, H: int, scale: float):
+    """Shared softmax+attention backward: cotangent g3 [H, rows, hd] w.r.t.
+    the attention output → packed dqkv [rows, 3D] fp32.  The single source
+    of the dv/dprobs/dlogits/dq/dk math (softmax vjp:
+    dlogits = p·(dp − Σ_k dp·p)) for every backward kernel in this module
+    and in pallas_block_attention."""
     p16 = probs.astype(jnp.bfloat16)
-
     dv3 = jax.lax.dot_general(                               # probsᵀ @ g
         p16, g3, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)                  # [H, rows, hd]
     dprobs = jax.lax.dot_general(                            # g @ vᵀ
         g3, v3, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)                  # [H, rows, rows]
-    # softmax backward: dlogits = p * (dp - Σ_k dp·p)
     dlogits = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
                                         keepdims=True))
     dl16 = (dlogits * scale).astype(jnp.bfloat16)
@@ -177,72 +169,52 @@ def _bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, L: int, H: int, hd: int,
     dk3 = jax.lax.dot_general(
         dl16, q3, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)                  # [H, rows, hd]
-
-    dqkv = jnp.concatenate(
+    return jnp.concatenate(
         [dq3[h] for h in range(H)] + [dk3[h] for h in range(H)]
-        + [dv3[h] for h in range(H)], axis=1)                # [rows, 3D]
+        + [dv3[h] for h in range(H)], axis=1)                # [rows, 3D] f32
+
+
+def _fwd_kernel(qkv_ref, out_ref, *, L: int, H: int, hd: int, scale: float):
+    FB = qkv_ref.shape[0]
+    rows, D = FB * L, H * hd
+    qkv = qkv_ref[:].reshape(rows, 3 * D)
+    _, _, v3, probs = _attn_probs(qkv, _frame_diag_bias(rows, L), H, hd, scale)
+    out = _attn_out_tile(probs, v3, rows, D, H)
+    out_ref[:] = out.reshape(FB, L, D).astype(out_ref.dtype)
+
+
+def _bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, L: int, H: int, hd: int,
+                scale: float):
+    FB = qkv_ref.shape[0]
+    rows, D = FB * L, H * hd
+    qkv = qkv_ref[:].reshape(rows, 3 * D)
+    g3 = _split_heads(g_ref[:].reshape(rows, D), rows, D, H, hd, n_parts=1)[0]
+    q3, k3, v3, probs = _attn_probs(qkv, _frame_diag_bias(rows, L), H, hd,
+                                    scale)
+    dqkv = _attn_bwd_tile(q3, k3, v3, probs, g3, H, scale)
     dqkv_ref[:] = dqkv.reshape(FB, L, 3 * D).astype(dqkv_ref.dtype)
 
 
 def _fwd_kernel_biased(qkv_ref, bias_ref, out_ref, *, L: int, H: int,
                        hd: int, scale: float):
     FB = qkv_ref.shape[0]
-    rows = FB * L
-    D = H * hd
+    rows, D = FB * L, H * hd
     qkv = qkv_ref[:].reshape(rows, 3 * D)
-    bias = _tile_bias(bias_ref, FB, L)
-
-    q3, k3, v3 = _split_heads(qkv, rows, D, H, hd)
-    logits = jax.lax.dot_general(
-        (q3.astype(jnp.float32) * scale).astype(jnp.bfloat16), k3,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(logits + bias[None], axis=-1).astype(jnp.bfloat16)
-    out3 = jax.lax.dot_general(
-        probs, v3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    out = _merge_heads(out3, rows, D, H)
+    _, _, v3, probs = _attn_probs(qkv, _tile_bias(bias_ref, FB, L), H, hd,
+                                  scale)
+    out = _attn_out_tile(probs, v3, rows, D, H)
     out_ref[:] = out.reshape(FB, L, D).astype(out_ref.dtype)
 
 
 def _bwd_kernel_biased(qkv_ref, bias_ref, g_ref, dqkv_ref, *, L: int, H: int,
                        hd: int, scale: float):
     FB = qkv_ref.shape[0]
-    rows = FB * L
-    D = H * hd
+    rows, D = FB * L, H * hd
     qkv = qkv_ref[:].reshape(rows, 3 * D)
-    g = g_ref[:].reshape(rows, D)
-    bias = _tile_bias(bias_ref, FB, L)
-
-    q3, k3, v3 = _split_heads(qkv, rows, D, H, hd)
-    g3 = _split_heads(g, rows, D, H, hd, n_parts=1)[0]
-
-    logits = jax.lax.dot_general(
-        (q3.astype(jnp.float32) * scale).astype(jnp.bfloat16), k3,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(logits + bias[None], axis=-1)
-    p16 = probs.astype(jnp.bfloat16)
-
-    dv3 = jax.lax.dot_general(
-        p16, g3, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    dprobs = jax.lax.dot_general(
-        g3, v3, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    dlogits = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
-                                        keepdims=True))
-    dl16 = (dlogits * scale).astype(jnp.bfloat16)
-    dq3 = jax.lax.dot_general(
-        dl16, k3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    dk3 = jax.lax.dot_general(
-        dl16, q3, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-
-    dqkv = jnp.concatenate(
-        [dq3[h] for h in range(H)] + [dk3[h] for h in range(H)]
-        + [dv3[h] for h in range(H)], axis=1)
+    g3 = _split_heads(g_ref[:].reshape(rows, D), rows, D, H, hd, n_parts=1)[0]
+    q3, k3, v3, probs = _attn_probs(qkv, _tile_bias(bias_ref, FB, L), H, hd,
+                                    scale)
+    dqkv = _attn_bwd_tile(q3, k3, v3, probs, g3, H, scale)
     dqkv_ref[:] = dqkv.reshape(FB, L, 3 * D).astype(dqkv_ref.dtype)
 
 

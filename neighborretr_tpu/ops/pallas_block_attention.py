@@ -48,7 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_attention import (_frame_diag_bias, _merge_heads, _pick_fb,
-                               _split_heads, _tile_bias)
+                               _split_heads, _tile_bias, _attn_bwd_tile)
 
 
 def _qkv_tile(h_ref, wqkv_ref, bqkv_ref, rows, D):
@@ -122,25 +122,7 @@ def _bwd_kernel(h_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, g_ref,
                       n_parts=1)[0]                            # [H, rows, hd]
 
     # ---- attention backward (softmax vjp, then q/k/v) ----
-    p16 = probs.astype(jnp.bfloat16)
-    dv3 = jax.lax.dot_general(
-        p16, g3, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)                    # [H, rows, hd]
-    dprobs = jax.lax.dot_general(
-        g3, v3, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)                    # [H, rows, rows]
-    dlogits = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
-                                        keepdims=True))
-    dl16 = (dlogits * scale).astype(jnp.bfloat16)
-    dq3 = jax.lax.dot_general(
-        dl16, k3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    dk3 = jax.lax.dot_general(
-        dl16, q3, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    dqkv = jnp.concatenate(
-        [dq3[h] for h in range(H)] + [dk3[h] for h in range(H)]
-        + [dv3[h] for h in range(H)], axis=1)                  # [rows, 3D] f32
+    dqkv = _attn_bwd_tile(q3, k3, v3, probs, g3, H, scale)     # [rows, 3D] f32
 
     # ---- qkv projection backward ----
     dqkv16 = dqkv.astype(jnp.bfloat16)
@@ -209,25 +191,7 @@ def _bwd_kernel_biased(h_ref, bias_ref, wqkv_ref, bqkv_ref, wout_ref,
     g3 = _split_heads(dattn2.astype(jnp.bfloat16), rows, D, H, hd,
                       n_parts=1)[0]
 
-    p16 = probs.astype(jnp.bfloat16)
-    dv3 = jax.lax.dot_general(
-        p16, g3, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    dprobs = jax.lax.dot_general(
-        g3, v3, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    dlogits = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
-                                        keepdims=True))
-    dl16 = (dlogits * scale).astype(jnp.bfloat16)
-    dq3 = jax.lax.dot_general(
-        dl16, k3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    dk3 = jax.lax.dot_general(
-        dl16, q3, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    dqkv = jnp.concatenate(
-        [dq3[h] for h in range(H)] + [dk3[h] for h in range(H)]
-        + [dv3[h] for h in range(H)], axis=1)
+    dqkv = _attn_bwd_tile(q3, k3, v3, probs, g3, H, scale)
 
     dqkv16 = dqkv.astype(jnp.bfloat16)
     dh = jax.lax.dot_general(
@@ -477,25 +441,7 @@ def _make_bwd_ln_kernel(biased: bool):
         g3 = _split_heads(dattn2.astype(jnp.bfloat16), rows, D, H, hd,
                           n_parts=1)[0]
 
-        p16 = probs.astype(jnp.bfloat16)
-        dv3 = jax.lax.dot_general(
-            p16, g3, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        dprobs = jax.lax.dot_general(
-            g3, v3, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        dlogits = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
-                                            keepdims=True))
-        dl16 = (dlogits * scale).astype(jnp.bfloat16)
-        dq3 = jax.lax.dot_general(
-            dl16, k3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        dk3 = jax.lax.dot_general(
-            dl16, q3, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        dqkv = jnp.concatenate(
-            [dq3[h] for h in range(H)] + [dk3[h] for h in range(H)]
-            + [dv3[h] for h in range(H)], axis=1)                # f32
+        dqkv = _attn_bwd_tile(q3, k3, v3, probs, g3, H, scale)      # f32
 
         dqkv16 = dqkv.astype(jnp.bfloat16)
         dh = jax.lax.dot_general(                                # [rows, D] f32
