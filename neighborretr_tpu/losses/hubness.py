@@ -63,9 +63,7 @@ def centrality_weights(
     minimal consistent completion of Eq. 3's "centrality of entity i".
     """
 
-    def norm(x):
-        return x / jnp.maximum(
-            jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+    from ..ops.similarity import l2_normalize as norm
 
     B, T, D = text_feat.shape
     t_tokens = norm(text_feat.reshape(-1, D).astype(jnp.float32))

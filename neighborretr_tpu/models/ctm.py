@@ -44,13 +44,27 @@ def _conv1d_init(key, channels: int, kernel: int, bias: bool) -> Params:
     return p
 
 
+def _linear_torch_default_init(key, in_dim: int, out_dim: int) -> Params:
+    """torch nn.Linear default init: kaiming-uniform(a=√5) weight and
+    uniform bias, both bounded by 1/√fan_in."""
+    bound = 1.0 / math.sqrt(in_dim)
+    k1, k2 = jax.random.split(key)
+    return {"w": jax.random.uniform(k1, (in_dim, out_dim), jnp.float32,
+                                    -bound, bound),
+            "b": jax.random.uniform(k2, (out_dim,), jnp.float32,
+                                    -bound, bound)}
+
+
 def init_ctm(key, dim: int) -> Params:
     k_conv, k_score = jax.random.split(key)
     return {
         "conv": _conv1d_init(k_conv, dim, 3, bias=False),
         "norm": L.layer_norm_init(dim),
-        "score": {"w": L.trunc_normal_init(k_score, (dim, 1), std=0.02),
-                  "b": jnp.zeros((1,), jnp.float32)},
+        # torch Linear DEFAULTS, not trunc_normal: the reference's CTM never
+        # re-initializes itself (cluster.py applies _init_weights only inside
+        # TCAttention/TCBlock at :743/:816/:920; CTM at :670-717 does not),
+        # so its score head keeps kaiming-uniform weight + uniform bias
+        "score": _linear_torch_default_init(k_score, dim, 1),
     }
 
 
@@ -110,6 +124,10 @@ def ctm_apply(
         score_masked = score
     token_weight = jnp.exp(score_masked)[..., None]        # [B, N, 1]
 
+    # clamp like cluster_dpc_knn does internally: at most N clusters exist;
+    # an unclamped count would make merge_tokens emit phantom all-zero
+    # merged tokens past index N
+    cluster_num = min(cluster_num, x.shape[1])
     idx_cluster = cluster_dpc_knn(x, cluster_num, k, key, token_mask=mask)
     merged = merge_tokens(x, idx_cluster, cluster_num, token_weight)
     return merged, x, score_masked
