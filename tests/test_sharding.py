@@ -166,3 +166,27 @@ def test_tp_param_sharding_rules(params):
     assert shardings["clip"]["logit_scale"].spec == P()
     assert shardings["text_weight_fc"]["fc1"]["w"].spec == P()
     assert shardings["text_merge"]["block0"]["kv"]["w"].spec == P()
+
+
+def test_micro_batches_on_tp_mesh_matches_replicated(cfg, params, rng):
+    """--micro_batches composes with tensor parallelism: the [B] → [n, B/n]
+    reshape under a data×model mesh (batch sharded over `data` only) must
+    produce the same loss as the monolithic replicated encode."""
+    import dataclasses
+
+    batch = make_batch(rng, cfg, batch=B)
+    bank = mb.create(cfg.train.memory_bank_capacity, W, F,
+                     cfg.model.clip.embed_dim)
+    bank = fill_bank_step(params, bank, batch, cfg, 0)
+    key = jax.random.PRNGKey(5)
+    loss_single, _ = compute_losses(params, cfg, batch, bank, key)
+
+    mesh = pmesh.make_tp_mesh((2, 4))
+    cfg_mb = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, micro_batches=4))
+    tparams = pmesh.shard_params_tp(params, mesh)
+    tbank = mb.MemoryBank(*pmesh.replicate_tree(tuple(bank), mesh))
+    tbatch = pmesh.shard_batch(batch, mesh)
+    loss_tp, _ = jax.jit(compute_losses, static_argnames=("cfg",))(
+        tparams, cfg_mb, tbatch, tbank, key)
+    np.testing.assert_allclose(float(loss_tp), float(loss_single), rtol=2e-4)
