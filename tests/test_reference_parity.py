@@ -677,3 +677,168 @@ def test_tokenizer_parity_vs_reference_live():
     assert (ours.convert_tokens_to_ids(["<|startoftext|>", "<|endoftext|>"])
             == list(ref.convert_tokens_to_ids(
                 ["<|startoftext|>", "<|endoftext|>"])))
+
+
+def test_training_trajectory_parity(ref_model, our_setup, batch):
+    """Capstone golden test: THREE full optimizer steps — forward → 5 losses
+    → backward → global clip → BertAdam → logit-scale clamp → FIFO bank
+    refresh — run on the reference's own torch stack and on this framework
+    from identical weights/data/bank; every parameter must track.
+
+    DPC-KNN tie-break noise disabled on both sides (torch.rand → zeros;
+    key=None), matching the loss-level parity tests above."""
+    from NeighborRetr.models import optimization as ref_optim
+
+    from neighborretr_tpu.core.config import OptimizerConfig
+    from neighborretr_tpu.models.weights_io import (
+        reference_state_dict_from_params)
+    from neighborretr_tpu.train import bertadam as BA
+    from neighborretr_tpu.train.memory_bank import fifo_update
+
+    cfg, params0 = our_setup
+    STEPS, lr, coef_lr, wd, t_total, warm = 3, 1e-3, 0.1, 0.2, 10, 0.1
+    rng = np.random.default_rng(21)
+    Mb = 10
+    bank_t = rng.normal(0, 0.3, (Mb, MW, E)).astype(np.float32)
+    bank_v = rng.normal(0, 0.3, (Mb, MF, E)).astype(np.float32)
+    bmt = np.ones((Mb, MW), np.float32)
+    bmv = np.ones((Mb, MF), np.float32)
+
+    # one DISTINCT batch per step (the trainer pattern; repeating one batch
+    # makes the FIFO bank degenerate into the batch's own features and both
+    # implementations — faithfully — blow up the same way)
+    def make_step_batch(seed, idx_base):
+        r = np.random.default_rng(seed)
+        Bm = 6
+        ids = r.integers(1, VOCAB - 1, size=(Bm, MW)).astype(np.int64)
+        tm = np.zeros((Bm, MW), np.float32)
+        for i in range(Bm):
+            n = int(r.integers(3, MW + 1))
+            tm[i, :n] = 1
+            ids[i, n - 1] = VOCAB - 1
+            ids[i, n:] = 0
+        vid = r.normal(0.0, 1.0, size=(Bm, MF, RES, RES, 3)).astype(np.float32)
+        return {"text_ids": ids, "text_mask": tm, "video": vid,
+                "video_mask": np.ones((Bm, MF), np.float32),
+                "idx": np.arange(idx_base, idx_base + Bm, dtype=np.int64)}
+
+    step_batches = [make_step_batch(40 + s, 6 * s) for s in range(STEPS)]
+
+    # ---- reference side ----
+    saved = {k: v.clone() for k, v in ref_model.state_dict().items()}
+    real_rand = torch.rand
+    try:
+        ref_model.train().float()
+        ref_model.mb_ind = torch.arange(100, 100 + Mb)
+        ref_model.mb_feat_t = torch.from_numpy(bank_t.copy())
+        ref_model.mb_feat_v = torch.from_numpy(bank_v.copy())
+        ref_model.mb_mask_t = torch.from_numpy(bmt.copy())
+        ref_model.mb_mask_v = torch.from_numpy(bmv.copy())
+        ref_model.mb_batch = Mb
+
+        no_decay = ["bias", "LayerNorm.bias", "LayerNorm.weight"]
+        named = list(ref_model.named_parameters())
+        dec = [(n, p) for n, p in named
+               if not any(nd in n for nd in no_decay)]
+        nod = [(n, p) for n, p in named if any(nd in n for nd in no_decay)]
+        groups = [
+            {"params": [p for n, p in dec if "clip." in n],
+             "weight_decay": wd, "lr": lr * coef_lr},
+            {"params": [p for n, p in dec if "clip." not in n],
+             "weight_decay": wd},
+            {"params": [p for n, p in nod if "clip." in n],
+             "weight_decay": 0.0, "lr": lr * coef_lr},
+            {"params": [p for n, p in nod if "clip." not in n],
+             "weight_decay": 0.0},
+        ]
+        opt = ref_optim.BertAdam(
+            groups, lr=lr, warmup=warm, schedule="warmup_cosine", b1=0.9,
+            b2=0.98, e=1e-6, t_total=t_total, weight_decay=wd,
+            max_grad_norm=1.0)
+
+        torch.rand = lambda *a, **k: torch.zeros(*a, **k)
+        ref_losses_seen = []
+        for sb in step_batches:
+            for _, p in named:
+                p.grad = None
+            out = ref_model(
+                torch.from_numpy(sb["text_ids"]),
+                torch.from_numpy(sb["text_mask"]),
+                torch.from_numpy(sb["video"].transpose(0, 1, 4, 2, 3)),
+                torch.from_numpy(sb["video_mask"]),
+                torch.from_numpy(sb["idx"]))
+            out[0].backward()
+            torch.nn.utils.clip_grad_norm_([p for _, p in named], 1.0)
+            opt.step()
+            ref_losses_seen.append(float(out[0].detach()))
+            with torch.no_grad():      # trainer.py:112-119
+                ref_model.clip.logit_scale.clamp_(max=float(np.log(100.0)))
+        assert np.isfinite(ref_losses_seen).all(), ref_losses_seen
+        ref_final = {k: v.detach().clone()
+                     for k, v in ref_model.state_dict().items()}
+    finally:
+        torch.rand = real_rand
+        ref_model.load_state_dict(saved)
+        ref_model.eval()
+
+    # ---- our side (the train_step body, jitted once) ----
+    import functools
+
+    full_cfg = Config(model=cfg, loss=LossConfig(num_neighbors=3))
+    ocfg = OptimizerConfig(lr=lr, coef_lr=coef_lr, weight_decay=wd,
+                           warmup_proportion=warm)
+    bank = MemoryBank(
+        ind=jnp.arange(100, 100 + Mb, dtype=jnp.int32),
+        feat_t=jnp.asarray(bank_t), feat_v=jnp.asarray(bank_v),
+        mask_t=jnp.asarray(bmt), mask_v=jnp.asarray(bmv))
+
+    @functools.partial(jax.jit, static_argnames=("fcfg",))
+    def step_fn(p, opt_state, bank, jb, fcfg):
+        grads, aux = jax.grad(compute_losses, has_aux=True)(
+            p, fcfg, jb, bank, None)
+        p, opt_state = BA.bert_adam_update(grads, opt_state, p, ocfg, t_total)
+        p = model.clamp_logit_scale(p, fcfg.loss.max_logit_scale)
+        bank = fifo_update(bank, jb["idx"], aux["text_feat"],
+                           aux["video_feat"], jb["text_mask"],
+                           jb["video_mask"])
+        return p, opt_state, bank, aux["loss"]
+
+    p, opt_state = params0, BA.bert_adam_init(params0)
+    our_losses = []
+    for sb in step_batches:
+        jb = {"text_ids": jnp.asarray(sb["text_ids"].astype(np.int32)),
+              "text_mask": jnp.asarray(sb["text_mask"]),
+              "video": jnp.asarray(sb["video"]),
+              "video_mask": jnp.asarray(sb["video_mask"]),
+              "idx": jnp.asarray(sb["idx"].astype(np.int32))}
+        p, opt_state, bank, loss = step_fn(p, opt_state, bank, jb, full_cfg)
+        our_losses.append(float(loss))
+    assert np.isfinite(our_losses).all(), our_losses
+    # per-step losses track the reference's (same weights, data, bank state)
+    np.testing.assert_allclose(our_losses, ref_losses_seen, atol=5e-3)
+
+    exported = reference_state_dict_from_params(jax.device_get(p), cfg)
+    worst = ("", 0.0)
+    matched = 0
+    moved = 0.0
+    for name, ours in exported.items():
+        if name not in ref_final or name.startswith("mb_"):
+            continue
+        matched += 1
+        ours = np.asarray(ours, np.float32)
+        ref_np = ref_final[name].float().numpy()
+        if name in saved:
+            moved = max(moved, float(np.max(np.abs(
+                ref_np - saved[name].float().numpy()))))
+        diff = float(np.max(np.abs(ours - ref_np)))
+        if diff > worst[1]:
+            worst = (name, diff)
+        # measured headroom: worst observed divergence is 4.5e-6 against a
+        # 2.5e-3 total parameter movement — the trajectories agree to float
+        # rounding; 1e-4 leaves >20× slack for platform variation
+        np.testing.assert_allclose(
+            ours, ref_np, atol=1e-4, err_msg=f"{name} after {STEPS} steps")
+    assert matched > 100, f"only {matched} leaves compared"
+    assert moved > 1e-4, "reference parameters never moved — test is vacuous"
+    print(f"trajectory parity: {matched} leaves, ref moved {moved:.2e}, "
+          f"worst leaf {worst[0]} max|diff|={worst[1]:.2e}")
