@@ -23,7 +23,7 @@ from ..data.device_prefetch import prefetch_to_device
 from ..data.loader import BatchLoader
 from ..models import neighborretr as model
 from ..parallel import mesh as pmesh
-from ..utils.logging import MetricLogger, setup_logger
+from ..utils.logging import JsonlMetricsWriter, MetricLogger, setup_logger
 from . import memory_bank as mb
 from .evaluate import evaluate
 from .metrics import BestMetricsTracker
@@ -165,13 +165,15 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
             logger.info("Restored best-metrics tracker (mean R@1 %.2f)",
                         tracker.best_mean_r1)
 
+    jsonl = JsonlMetricsWriter(cfg.train.output_dir)
     guard = PreemptionGuard(
         enabled=cfg.train.save_checkpoints and cfg.train.save_on_preempt)
     with guard:
         state, tracker, best_host = _train_epochs(
             cfg, state, tracker, guard, train_loader, bank_loader,
             test_loader, test_ds, logger, mesh, key, t_total,
-            steps_per_epoch, start_epoch, global_step, best_path, best_host)
+            steps_per_epoch, start_epoch, global_step, best_path, best_host,
+            jsonl)
     if guard.requested:
         return state, tracker
 
@@ -197,7 +199,7 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
 def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
                   test_loader, test_ds, logger, mesh, key, t_total,
                   steps_per_epoch, start_epoch, global_step, best_path,
-                  best_host):
+                  best_host, jsonl):
     """Epoch loop body; returns early (with the preempt TrainState saved)
     when the guard catches SIGTERM."""
 
@@ -279,8 +281,11 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
                 # information is worth — meters average every n_display-th
                 # step, not every step (deviation from trainer.py's running
                 # means, documented)
-                meters.update(**{k: float(v) for k, v in metrics.items()
-                                 if np.ndim(v) == 0})
+                scalars = {k: float(v) for k, v in metrics.items()
+                           if np.ndim(v) == 0}
+                meters.update(**scalars)
+                jsonl.write(kind="train", step=global_step, epoch=epoch,
+                            **{k: round(v, 6) for k, v in scalars.items()})
                 done = it + 1
                 eta = (time.time() - epoch_tic) / done * (steps_per_epoch - done)
                 logger.info("Epoch %d/%d step %d/%d  %s  eta %.0fs",
@@ -295,6 +300,9 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
                 t2v, v2t = evaluate(state.params, cfg, test_loader,
                                     dataset=test_ds, logger=logger,
                                     mesh=mesh)
+                jsonl.write(kind="eval", step=global_step, epoch=epoch,
+                            t2v={k: float(v) for k, v in t2v.items()},
+                            v2t={k: float(v) for k, v in v2t.items()})
                 if tracker.update(t2v, v2t) and cfg.train.save_checkpoints:
                     # collective (TP shards may span processes) — all
                     # processes fetch; only process 0 writes
@@ -308,6 +316,9 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
         # per-epoch eval + checkpoint (main.py:333-365)
         t2v, v2t = evaluate(state.params, cfg, test_loader, dataset=test_ds,
                             logger=logger, mesh=mesh)
+        jsonl.write(kind="eval", step=global_step, epoch=epoch,
+                    t2v={k: float(v) for k, v in t2v.items()},
+                    v2t={k: float(v) for k, v in v2t.items()})
         if tracker.update(t2v, v2t) and cfg.train.save_checkpoints:
             best_host = pmesh.fetch_to_host(state.params)
             if jax.process_index() == 0:

@@ -92,3 +92,27 @@ class Timer:
 
     def elapsed(self) -> float:
         return time.time() - self.start
+
+
+class JsonlMetricsWriter:
+    """Machine-readable training log: one JSON object per display step and
+    per evaluation, appended to <output_dir>/metrics.jsonl — the
+    monitoring-system counterpart of the human log.txt (the reference has
+    console logs only; its requirements list wandb but never import it,
+    SURVEY §5).  Process-0 only; append mode so resumed runs continue the
+    same file."""
+
+    def __init__(self, output_dir: str = "", enabled: bool = True):
+        import jax
+        self.path = (os.path.join(output_dir, "metrics.jsonl")
+                     if output_dir else None)
+        self.enabled = bool(enabled and self.path
+                            and jax.process_index() == 0)
+
+    def write(self, **fields) -> None:
+        if not self.enabled:
+            return
+        import json
+        fields.setdefault("time", round(time.time(), 3))
+        with open(self.path, "a") as f:
+            f.write(json.dumps(fields) + "\n")

@@ -52,6 +52,17 @@ def test_run_training_end_to_end(tmp_path, datasets):
     assert os.path.exists(os.path.join(out, "best.npz"))
     assert os.path.exists(os.path.join(out, "state_epoch0.npz"))
 
+    # machine-readable metrics log: valid JSON lines of both kinds
+    import json
+    with open(os.path.join(out, "metrics.jsonl")) as f:
+        rows = [json.loads(ln) for ln in f]
+    kinds = {r["kind"] for r in rows}
+    assert kinds == {"train", "eval"}, kinds
+    train_rows = [r for r in rows if r["kind"] == "train"]
+    assert all(np.isfinite(r["loss"]) for r in train_rows)
+    eval_rows = [r for r in rows if r["kind"] == "eval"]
+    assert all("R1" in r["t2v"] and "R1" in r["v2t"] for r in eval_rows)
+
     # mid-run resume: a fresh run pointed at the saved TrainState continues
     # from the recorded step instead of re-training epoch 0
     resumed, _ = run_training(
