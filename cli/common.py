@@ -1,0 +1,75 @@
+"""Shared setup for the eval-style CLIs (cli/eval.py, cli/index.py).
+
+One implementation of the config/tiny-switch/dataset/params plumbing these
+entry points previously copy-pasted — fixes land in one place (e.g. the
+friendly unknown-datatype error and the checkpoint dispatch below).
+"""
+
+from __future__ import annotations
+
+
+def resolve_eval_config(args, batch_size_val: int, logger):
+    """Config for an eval-style CLI run, honoring --tiny / synthetic."""
+    from neighborretr_tpu.core.config import (ClipConfig, Config, ModelConfig,
+                                              TrainConfig)
+
+    clip_cfg = ClipConfig.from_name(args.base_encoder)
+    cfg = Config(model=ModelConfig(clip=clip_cfg, max_words=args.max_words,
+                                   max_frames=args.max_frames),
+                 train=TrainConfig(batch_size_val=batch_size_val))
+    if args.tiny or (args.datatype == "synthetic"
+                     and args.clip_checkpoint is None):
+        import dataclasses as dc
+        tiny = ModelConfig.tiny(max_words=args.max_words,
+                                max_frames=args.max_frames)
+        cfg = dc.replace(cfg, model=dc.replace(
+            cfg.model, clip=tiny.clip, temporal_layers=tiny.temporal_layers,
+            compute_dtype=tiny.compute_dtype))
+        logger.info("Using tiny model architecture (--tiny/smoke run)")
+    return cfg
+
+
+def build_eval_dataset(args, cfg, batch_size: int):
+    """Synthetic smoke data or a real dataset split (friendly errors)."""
+    if args.datatype == "synthetic":
+        from neighborretr_tpu.data.datasets.synthetic import SyntheticDataset
+        return SyntheticDataset(
+            n=max(32, batch_size), seed=2,
+            max_words=args.max_words, max_frames=args.max_frames,
+            resolution=cfg.model.clip.image_resolution,
+            vocab_size=cfg.model.clip.vocab_size)
+    from neighborretr_tpu.data.registry import EVAL_SUBSET, build_dataset
+    from neighborretr_tpu.data.tokenizer import ClipTokenizer
+    if args.subset is None and args.datatype not in EVAL_SUBSET:
+        raise SystemExit(
+            f"unknown datatype '{args.datatype}'; available: "
+            f"{sorted(EVAL_SUBSET)} (or 'synthetic')")
+    subset = args.subset or EVAL_SUBSET[args.datatype]
+    return build_dataset(args.datatype, subset, args.anno_path,
+                         args.video_path, ClipTokenizer(),
+                         max_words=args.max_words,
+                         max_frames=args.max_frames,
+                         resolution=cfg.model.clip.image_resolution,
+                         video_framerate=args.video_framerate)
+
+
+def load_eval_params(args, cfg, logger):
+    """init → optional OpenAI CLIP weights → optional trained checkpoint
+    (native .npz or reference-trained torch, one dispatch)."""
+    import jax
+
+    from neighborretr_tpu.models import neighborretr as model
+
+    params = model.init_params(jax.random.PRNGKey(0), cfg.model)
+    if args.clip_checkpoint:
+        from neighborretr_tpu.models.weights_io import load_openai_clip_into
+        params = load_openai_clip_into(params, cfg.model,
+                                       args.clip_checkpoint)
+        logger.info("Loaded CLIP weights from %s", args.clip_checkpoint)
+    if args.checkpoint:
+        from neighborretr_tpu.models.weights_io import \
+            load_model_checkpoint_into
+        params = load_model_checkpoint_into(params, cfg.model,
+                                            args.checkpoint)
+        logger.info("Loaded checkpoint %s", args.checkpoint)
+    return params

@@ -38,20 +38,28 @@ def prepare_input_output_pairs(input_root: str, output_root: str):
 
 
 def compress(job) -> str:
-    """One ffmpeg re-encode: short side -> size px, fps capped (keeps AR)."""
+    """One ffmpeg re-encode: short side -> size px, fps capped (keeps AR).
+
+    Encodes to a temp name and renames on success, so a failed or
+    interrupted run never leaves a partial file that the skip-if-exists
+    check would treat as complete."""
     src, dst, fps, size = job
     if os.path.exists(dst) and os.path.getsize(dst) > 0:
         return f"skip {dst}"
     os.makedirs(os.path.dirname(dst), exist_ok=True)
+    tmp = dst + ".part" + os.path.splitext(dst)[1]
     scale = (f"scale='if(gt(iw,ih),-2,{size})':'if(gt(iw,ih),{size},-2)'")
     cmd = ["ffmpeg", "-y", "-i", src,
            "-filter:v", f"{scale},fps={fps}",
            "-map", "0:v", "-an",            # drop audio: retrieval never reads it
-           "-loglevel", "error", dst]
+           "-loglevel", "error", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, dst)
         return f"ok   {dst}"
     except subprocess.CalledProcessError as e:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
         return f"FAIL {src}: {e.stderr.decode(errors='replace')[:200]}"
 
 
@@ -61,7 +69,8 @@ def main(argv=None) -> int:
     p.add_argument("--output_root", required=True)
     p.add_argument("--fps", type=int, default=3)
     p.add_argument("--size", type=int, default=224)
-    p.add_argument("--workers", type=int, default=max(1, os.cpu_count() // 2))
+    p.add_argument("--workers", type=int,
+                   default=max(1, (os.cpu_count() or 2) // 2))
     args = p.parse_args(argv)
 
     if shutil.which("ffmpeg") is None:
@@ -76,9 +85,14 @@ def main(argv=None) -> int:
         return 1
     jobs = [(s, d, args.fps, args.size) for s, d in pairs]
     print(f"{len(jobs)} videos, {args.workers} workers")
+    failures = 0
     with mp.Pool(args.workers) as pool:
         for i, msg in enumerate(pool.imap_unordered(compress, jobs), 1):
             print(f"[{i}/{len(jobs)}] {msg}")
+            failures += msg.startswith("FAIL")
+    if failures:
+        print(f"{failures}/{len(jobs)} videos FAILED", file=sys.stderr)
+        return 1
     return 0
 
 

@@ -45,57 +45,23 @@ def main():
     import jax
     from neighborretr_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+    from cli.common import (build_eval_dataset, load_eval_params,
+                            resolve_eval_config)
     from neighborretr_tpu import serving
-    from neighborretr_tpu.core.config import (ClipConfig, Config, ModelConfig,
-                                              TrainConfig)
     from neighborretr_tpu.data.loader import BatchLoader
-    from neighborretr_tpu.data.registry import EVAL_SUBSET, build_dataset
-    from neighborretr_tpu.data.tokenizer import ClipTokenizer
-    from neighborretr_tpu.models import neighborretr as model
     from neighborretr_tpu.utils.logging import setup_logger
 
-    clip_cfg = ClipConfig.from_name(args.base_encoder)
-    cfg = Config(model=ModelConfig(clip=clip_cfg, max_words=args.max_words,
-                                   max_frames=args.max_frames),
-                 train=TrainConfig(batch_size_val=args.batch_size))
-    logger = setup_logger()
+    if jax.process_count() > 1:
+        raise SystemExit(
+            "cli/index.py builds the index in one process (the host-side "
+            "dedup walks global batches); run it on a single controller")
 
-    if args.tiny or (args.datatype == "synthetic"
-                     and args.clip_checkpoint is None):
-        import dataclasses as dc
-        cfg = dc.replace(cfg, model=ModelConfig.tiny(
-            max_words=args.max_words, max_frames=args.max_frames))
-        logger.info("Using tiny model architecture (--tiny/smoke run)")
-    if args.datatype == "synthetic":
-        from neighborretr_tpu.data.datasets.synthetic import SyntheticDataset
-        ds = SyntheticDataset(
-            n=max(32, args.batch_size), seed=2,
-            max_words=args.max_words, max_frames=args.max_frames,
-            resolution=cfg.model.clip.image_resolution,
-            vocab_size=cfg.model.clip.vocab_size)
-    else:
-        tokenizer = ClipTokenizer()
-        subset = args.subset or EVAL_SUBSET[args.datatype]
-        ds = build_dataset(args.datatype, subset, args.anno_path,
-                           args.video_path, tokenizer,
-                           max_words=args.max_words,
-                           max_frames=args.max_frames,
-                           resolution=cfg.model.clip.image_resolution,
-                           video_framerate=args.video_framerate)
+    logger = setup_logger()
+    cfg = resolve_eval_config(args, args.batch_size, logger)
+    ds = build_eval_dataset(args, cfg, args.batch_size)
     loader = BatchLoader(ds, args.batch_size, shuffle=False, drop_last=False,
                          workers=args.workers, pad_to_batch=True)
-
-    params = model.init_params(jax.random.PRNGKey(0), cfg.model)
-    if args.clip_checkpoint:
-        from neighborretr_tpu.models.weights_io import load_openai_clip_into
-        params = load_openai_clip_into(params, cfg.model, args.clip_checkpoint)
-        logger.info("Loaded CLIP weights from %s", args.clip_checkpoint)
-    if args.checkpoint:
-        from neighborretr_tpu.models.weights_io import \
-            load_model_checkpoint_into
-        params = load_model_checkpoint_into(params, cfg.model,
-                                            args.checkpoint)
-        logger.info("Loaded checkpoint %s", args.checkpoint)
+    params = load_eval_params(args, cfg, logger)
 
     index = serving.build_video_index(params, cfg, loader, dataset=ds,
                                       logger=logger)

@@ -20,6 +20,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(num_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     devices = jax.devices()
     if num_devices is not None:
+        if num_devices > len(devices):
+            raise ValueError(
+                f"num_devices {num_devices} exceeds the {len(devices)} "
+                "visible devices — refusing to silently run on fewer")
         devices = devices[:num_devices]
     return Mesh(np.array(devices), axis_names=(axis,))
 
