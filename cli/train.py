@@ -84,6 +84,13 @@ def parse_args():
                    help="shard tower weight matrices (Megatron layout) over "
                         "a `model` mesh axis of this size; remaining devices "
                         "form the data axis (GSPMD path only)")
+    p.add_argument("--pipeline_parallel", type=int, default=1,
+                   help="split transformer towers depth-wise over a `stage` "
+                        "mesh axis of this size (GPipe over ICI ppermute); "
+                        "remaining devices form the data axis")
+    p.add_argument("--pipeline_microbatches", type=int, default=0,
+                   help="microbatches streamed through the pipeline per "
+                        "step (0 → 4×stages)")
     p.add_argument("--video_chunk_frames", type=int, default=0,
                    help="encode the vision tower in sequential frame chunks "
                         "of this size, each fully rematerialized (bounds "
@@ -156,12 +163,17 @@ def main():
                           num_devices=args.num_devices,
                           profile_dir=args.profile_dir,
                           explicit_spmd=args.explicit_spmd,
-                          micro_batches=args.micro_batches),
+                          micro_batches=args.micro_batches,
+                          pipeline_parallel=args.pipeline_parallel,
+                          pipeline_microbatches=args.pipeline_microbatches),
     )
 
     import jax
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    if args.tensor_parallel > 1 and args.pipeline_parallel > 1:
+        raise SystemExit("--tensor_parallel and --pipeline_parallel are "
+                         "separate 2-D meshes; combine is not supported yet")
     if args.tensor_parallel > 1:
         if args.explicit_spmd:
             raise SystemExit("--tensor_parallel requires the GSPMD path "
@@ -172,6 +184,15 @@ def main():
                              f"divide the device count {n}")
         mesh = pmesh.make_tp_mesh((n // args.tensor_parallel,
                                    args.tensor_parallel))
+        validate(cfg, mesh.shape["data"])
+    elif args.pipeline_parallel > 1:
+        from neighborretr_tpu.parallel.pipeline import make_pp_mesh
+        n = args.num_devices or len(jax.devices())
+        if n % args.pipeline_parallel:
+            raise SystemExit(f"--pipeline_parallel {args.pipeline_parallel} "
+                             f"must divide the device count {n}")
+        mesh = make_pp_mesh((n // args.pipeline_parallel,
+                             args.pipeline_parallel))
         validate(cfg, mesh.shape["data"])
     else:
         mesh = pmesh.make_mesh(num_devices=args.num_devices)

@@ -280,6 +280,14 @@ class TrainConfig:
     # outgrow HBM (contrastive losses can't use naive grad accumulation)
     # train on one chip.  1 = off.
     micro_batches: int = 1
+    # GPipe pipeline parallelism (parallel/pipeline.py): split transformer
+    # towers depth-wise over a `stage` mesh axis of this size and stream
+    # microbatches through the ring.  Requires a (data, stage) mesh
+    # (pipeline.make_pp_mesh / cli --pipeline_parallel).  ≤1 = off.
+    pipeline_parallel: int = 1
+    # microbatches streamed through the pipeline per step; 0 → 4·stages
+    # (bubble fraction (S−1)/(M+S−1))
+    pipeline_microbatches: int = 0
 
     @property
     def memory_bank_capacity(self) -> int:
@@ -340,3 +348,23 @@ def validate(cfg: Config, num_devices: int) -> None:
             "micro_batches applies to the GSPMD path; the explicit-SPMD path "
             "already encodes per shard (use model.video_chunk_frames to "
             "bound its memory)")
+    pp = cfg.train.pipeline_parallel
+    if pp > 1:
+        if cfg.train.explicit_spmd:
+            raise ValueError(
+                "pipeline_parallel nests shard_map and cannot combine with "
+                "explicit_spmd's shard_map losses — use the GSPMD path")
+        if mb > 1:
+            raise ValueError(
+                "pipeline_parallel already microbatches the towers; "
+                "micro_batches > 1 is redundant (and lax.map around the "
+                "pipeline's shard_map is unsupported)")
+        # num_devices is the DATA-parallel degree (callers pass the mesh's
+        # `data` axis size, same convention as the batch checks above)
+        m = cfg.train.pipeline_microbatches or 4 * pp
+        if cfg.train.batch_size % (num_devices * m):
+            raise ValueError(
+                f"batch_size {cfg.train.batch_size} must divide by "
+                f"data×pipeline_microbatches = {num_devices}×{m} so "
+                "text/temporal rows split into whole microbatches per "
+                "data shard")

@@ -308,7 +308,19 @@ def transformer_apply(p: Params, x, n_head: int, attn_bias=None,
     unroll=True: Python loop over layer slices — larger program, but XLA can
     schedule/fuse across layer boundaries (worth it for shallow stacks when
     chasing utilization; measure before enabling).
+
+    When a pipeline context is active (train/step.py activates it from
+    cfg.train.pipeline_parallel, a jit-static quantity) and this tower's
+    depth divides the stage count, the stack runs as a GPipe pipeline over
+    the mesh's `stage` axis instead (parallel/pipeline.py); towers that
+    don't divide fall back to this plain path.
     """
+    from ..parallel import pipeline as pp
+    ctx = pp.current()
+    if ctx is not None and pp.supports(ctx, num_layers(p), x):
+        return pp.pipeline_transformer_apply(
+            p, x, n_head, ctx, attn_bias=attn_bias, dtype=dtype,
+            fused_attention=fused_attention, remat=remat)
 
     def body(carry, layer_p):
         y = block_apply(layer_p, carry, n_head, attn_bias, dtype,

@@ -59,13 +59,14 @@ def make_hybrid_mesh(shape: Tuple[int, int],
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Batch-dim sharding over the data-parallel mesh axes (1-D mesh of any
     axis name, or the hybrid (replica, data) mesh — axis 0 of the array
-    splits over all).  A `model` (tensor-parallel) axis is excluded: batches
-    replicate across it, parameters shard over it (`tp_param_shardings`).
+    splits over all).  `model` (tensor-parallel) and `stage` (pipeline)
+    axes are excluded: batches replicate across them, parameters shard over
+    them (`tp_param_shardings` / pipeline.pp_param_shardings).
     The mesh's OWN axis names are used; `axis` is accepted for signature
     compatibility but ignored (a caller-supplied name that differs from the
     mesh's would only ever raise at placement time)."""
     del axis
-    dp_axes = tuple(a for a in mesh.axis_names if a != "model")
+    dp_axes = tuple(a for a in mesh.axis_names if a not in ("model", "stage"))
     return NamedSharding(mesh, P(dp_axes))
 
 
@@ -183,7 +184,11 @@ def fetch_to_host(tree):
 
 def place_params(params, mesh: Mesh):
     """Mesh-appropriate parameter placement: TP shardings when the mesh has
-    a `model` axis, plain replication otherwise."""
+    a `model` axis, stage (layer-slice) shardings on a pipeline mesh,
+    plain replication otherwise."""
     if "model" in mesh.axis_names:
         return shard_params_tp(params, mesh)
+    if "stage" in mesh.axis_names:
+        from .pipeline import shard_params_pp
+        return shard_params_pp(params, mesh)
     return replicate_tree(params, mesh)

@@ -188,8 +188,21 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
         grads, aux = jax.grad(loss_fn, has_aux=True)(
             state.params, cfg, batch, state.bank, key)
     else:
-        grads, aux = jax.grad(compute_losses, has_aux=True)(
-            state.params, cfg, batch, state.bank, key)
+        from ..parallel import pipeline as pp
+        ctx = None
+        if (mesh is not None and cfg.train.pipeline_parallel > 1
+                and "stage" in mesh.axis_names):
+            ctx = pp.PipelineContext(
+                mesh=mesh, stages=cfg.train.pipeline_parallel,
+                microbatches=(cfg.train.pipeline_microbatches
+                              or 4 * cfg.train.pipeline_parallel),
+                data_axis=cfg.train.data_axis)
+        # the context routes transformer_apply at TRACE time and derives
+        # only from jit-static args (cfg, mesh), so cached executables and
+        # their traces always agree
+        with pp.activated(ctx):
+            grads, aux = jax.grad(compute_losses, has_aux=True)(
+                state.params, cfg, batch, state.bank, key)
 
     new_params, new_opt = bertadam.bert_adam_update(
         grads, state.opt, state.params, cfg.optim, t_total)
