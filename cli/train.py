@@ -91,6 +91,11 @@ def parse_args():
     p.add_argument("--pipeline_microbatches", type=int, default=0,
                    help="microbatches streamed through the pipeline per "
                         "step (0 → 4×stages)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3/FSDP: shard every parameter and its Adam "
+                        "moments over the data axes (GSPMD just-in-time "
+                        "weight gathers + gradient reduce-scatter); ~dp× "
+                        "lower param+moment memory")
     p.add_argument("--video_chunk_frames", type=int, default=0,
                    help="encode the vision tower in sequential frame chunks "
                         "of this size, each fully rematerialized (bounds "
@@ -165,16 +170,32 @@ def main():
                           explicit_spmd=args.explicit_spmd,
                           micro_batches=args.micro_batches,
                           pipeline_parallel=args.pipeline_parallel,
-                          pipeline_microbatches=args.pipeline_microbatches),
+                          pipeline_microbatches=args.pipeline_microbatches,
+                          fsdp=args.fsdp),
     )
 
     import jax
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    if args.fsdp and (args.tensor_parallel > 1 or args.pipeline_parallel > 1):
+        raise SystemExit("--fsdp applies to pure data-parallel meshes; drop "
+                         "--tensor_parallel/--pipeline_parallel")
     if args.tensor_parallel > 1 and args.pipeline_parallel > 1:
-        raise SystemExit("--tensor_parallel and --pipeline_parallel are "
-                         "separate 2-D meshes; combine is not supported yet")
-    if args.tensor_parallel > 1:
+        # 3-D data×stage×model mesh: GPipe over `stage`, Megatron over
+        # `model` (auto/GSPMD inside each stage), batch over `data`
+        from neighborretr_tpu.parallel.pipeline import make_pp_tp_mesh
+        if args.explicit_spmd:
+            raise SystemExit("--tensor_parallel/--pipeline_parallel require "
+                             "the GSPMD path (drop --explicit_spmd)")
+        n = args.num_devices or len(jax.devices())
+        chips = args.tensor_parallel * args.pipeline_parallel
+        if n % chips:
+            raise SystemExit(f"--tensor_parallel×--pipeline_parallel = "
+                             f"{chips} must divide the device count {n}")
+        mesh = make_pp_tp_mesh((n // chips, args.pipeline_parallel,
+                                args.tensor_parallel))
+        validate(cfg, mesh.shape["data"])
+    elif args.tensor_parallel > 1:
         if args.explicit_spmd:
             raise SystemExit("--tensor_parallel requires the GSPMD path "
                              "(drop --explicit_spmd)")

@@ -288,6 +288,11 @@ class TrainConfig:
     # microbatches streamed through the pipeline per step; 0 → 4·stages
     # (bubble fraction (S−1)/(M+S−1))
     pipeline_microbatches: int = 0
+    # FSDP / ZeRO-3: shard every parameter and its Adam moments over the
+    # data axes (parallel/mesh.py::fsdp_param_shardings) — GSPMD gathers
+    # weights just in time and reduce-scatters gradients.  ~dp× lower
+    # param+moment memory for one extra weight all-gather per step.
+    fsdp: bool = False
 
     @property
     def memory_bank_capacity(self) -> int:
@@ -348,8 +353,16 @@ def validate(cfg: Config, num_devices: int) -> None:
             "micro_batches applies to the GSPMD path; the explicit-SPMD path "
             "already encodes per shard (use model.video_chunk_frames to "
             "bound its memory)")
+    if cfg.train.fsdp and cfg.train.explicit_spmd:
+        raise ValueError(
+            "fsdp shards params by GSPMD placement; the explicit-SPMD "
+            "shard_map path would re-gather the full tree every step")
     pp = cfg.train.pipeline_parallel
     if pp > 1:
+        if cfg.train.fsdp:
+            raise ValueError(
+                "fsdp applies to pure data-parallel meshes; pipeline "
+                "parallelism already shards params over `stage`")
         if cfg.train.explicit_spmd:
             raise ValueError(
                 "pipeline_parallel nests shard_map and cannot combine with "

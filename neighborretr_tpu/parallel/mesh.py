@@ -17,14 +17,21 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(num_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+def take_devices(n: int):
+    """First n visible devices, with a friendly error instead of the
+    cryptic numpy reshape failure a silent `jax.devices()[:n]` under-slice
+    would produce downstream."""
     devices = jax.devices()
-    if num_devices is not None:
-        if num_devices > len(devices):
-            raise ValueError(
-                f"num_devices {num_devices} exceeds the {len(devices)} "
-                "visible devices — refusing to silently run on fewer")
-        devices = devices[:num_devices]
+    if n > len(devices):
+        raise ValueError(
+            f"requested {n} devices but only {len(devices)} are visible — "
+            "refusing to silently run on fewer")
+    return devices[:n]
+
+
+def make_mesh(num_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devices = (jax.devices() if num_devices is None
+               else take_devices(num_devices))
     return Mesh(np.array(devices), axis_names=(axis,))
 
 
@@ -52,7 +59,7 @@ def make_hybrid_mesh(shape: Tuple[int, int],
         devices = mesh_utils.create_hybrid_device_mesh(
             (shape[1],), dcn_mesh_shape=(shape[0],))
         return Mesh(devices.reshape(shape), axis_names=axes)
-    devices = np.array(jax.devices()[:n]).reshape(shape)
+    devices = np.array(take_devices(n)).reshape(shape)
     return Mesh(devices, axis_names=axes)
 
 
@@ -112,7 +119,7 @@ def make_tp_mesh(shape: Tuple[int, int],
     placement — the model code is unchanged; XLA partitions the einsums and
     inserts the all-reduces the Megatron pattern implies."""
     n = shape[0] * shape[1]
-    devices = np.array(jax.devices()[:n]).reshape(shape)
+    devices = np.array(take_devices(n)).reshape(shape)
     return Mesh(devices, axis_names=axes)
 
 
@@ -182,10 +189,52 @@ def fetch_to_host(tree):
     return jax.tree.map(get, tree)
 
 
-def place_params(params, mesh: Mesh):
+def fsdp_param_shardings(params, mesh: Mesh):
+    """ZeRO-3 / FSDP-style shardings: every parameter splits over the
+    data-parallel axes on its largest evenly-divisible dimension (later
+    dims win ties, so the stacked-layer axis stays whole and the towers'
+    lax.scan slices stay layout-local).  Under GSPMD this is placement
+    only: the forward all-gathers one layer's weights just in time per
+    scan step, the backward reduce-scatters the matching gradient shard,
+    and the Adam moments (placed with the same rule via `place_params`)
+    never exist replicated — per-chip param+moment memory drops ~dp×.
+    Leaves with no divisible dim (scalars, tiny vectors) replicate."""
+    dp_axes = tuple(a for a in mesh.axis_names if a not in ("model", "stage"))
+    dp = int(np.prod([mesh.shape[a] for a in dp_axes])) if dp_axes else 1
+    axis_val = dp_axes if len(dp_axes) > 1 else (dp_axes[0] if dp_axes else None)
+
+    def spec_for(leaf):
+        if dp == 1 or leaf.ndim == 0:
+            return P()
+        best = None
+        for d in range(leaf.ndim):
+            if leaf.shape[d] % dp == 0 and leaf.shape[d] >= dp:
+                if best is None or leaf.shape[d] >= leaf.shape[best]:
+                    best = d
+        if best is None:
+            return P()
+        sp = [None] * leaf.ndim
+        sp[best] = axis_val
+        return P(*sp)
+
+    return jax.tree.map(lambda l: NamedSharding(mesh, spec_for(l)), params)
+
+
+def place_params(params, mesh: Mesh, fsdp: bool = False):
     """Mesh-appropriate parameter placement: TP shardings when the mesh has
     a `model` axis, stage (layer-slice) shardings on a pipeline mesh,
-    plain replication otherwise."""
+    FSDP (ZeRO-3) data-axis shardings when requested, plain replication
+    otherwise."""
+    if fsdp:
+        if "model" in mesh.axis_names or "stage" in mesh.axis_names:
+            raise ValueError("fsdp applies to pure data-parallel meshes "
+                             "(tensor/pipeline parallelism shard params "
+                             "through their own rules)")
+        return jax.tree.map(jax.device_put, params,
+                            fsdp_param_shardings(params, mesh))
+    if "model" in mesh.axis_names and "stage" in mesh.axis_names:
+        from .pipeline import shard_params_pp_tp
+        return shard_params_pp_tp(params, mesh)
     if "model" in mesh.axis_names:
         return shard_params_tp(params, mesh)
     if "stage" in mesh.axis_names:

@@ -89,8 +89,9 @@ def make_pp_mesh(shape, axes=("data", "stage")) -> Mesh:
     """2-D mesh for data + pipeline parallelism: batches shard over `data`,
     tower depth shards over `stage` (consecutive chips = consecutive layer
     slices, so ppermute's ring rides neighbor ICI links)."""
+    from .mesh import take_devices
     n = shape[0] * shape[1]
-    devices = np.array(jax.devices()[:n]).reshape(shape)
+    devices = np.array(take_devices(n)).reshape(shape)
     return Mesh(devices, axis_names=axes)
 
 
@@ -115,14 +116,60 @@ def shard_params_pp(params, mesh: Mesh, stage_axis: str = "stage"):
                         pp_param_shardings(params, mesh, stage_axis))
 
 
-def _shard_map(f, mesh, in_specs, out_specs):
+def make_pp_tp_mesh(shape, axes=("data", "stage", "model")) -> Mesh:
+    """3-D mesh composing data, pipeline and tensor parallelism.  `model`
+    is the innermost (fastest-ICI) axis — Megatron all-reduces are the most
+    latency-sensitive collective; the stage ring rides the middle axis."""
+    from .mesh import take_devices
+    n = int(np.prod(shape))
+    devices = np.array(take_devices(n)).reshape(shape)
+    return Mesh(devices, axis_names=axes)
+
+
+def pp_tp_param_shardings(params, mesh: Mesh, stage_axis: str = "stage",
+                          model_axis: str = "model"):
+    """Combined shardings for a data×stage×model mesh: Megatron column/row
+    sharding on the weight-matrix axes (mesh.tp_param_shardings) PLUS the
+    stage sharding on each tower's leading layer axis.  The two never
+    collide — TP shards trailing axes, the pipeline shards axis 0."""
+    from .mesh import tp_param_shardings
+    S = mesh.shape[stage_axis]
+    tp = tp_param_shardings(params, mesh, model_axis)
+
+    def combine(path, leaf, tpsh):
+        names = tuple(getattr(k, "key", None) for k in path)
+        spec = list(tpsh.spec) + [None] * (leaf.ndim - len(tpsh.spec))
+        if ("transformer" in names and leaf.ndim >= 1
+                and leaf.shape[0] % S == 0):
+            spec[0] = stage_axis
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map_with_path(combine, params, tp)
+
+
+def shard_params_pp_tp(params, mesh: Mesh):
+    return jax.tree.map(jax.device_put, params,
+                        pp_tp_param_shardings(params, mesh))
+
+
+def _shard_map(f, mesh, in_specs, out_specs, manual_axes=None):
     """Version-portable shard_map, replication checking off (the final psum
     replicates outputs over `stage`, which the checker cannot always prove
-    through the where/scan structure)."""
+    through the where/scan structure).
+
+    manual_axes: mesh axes the body is manual over.  Axes NOT listed (e.g.
+    a Megatron `model` axis on a 3-D data×stage×model mesh) stay AUTO:
+    the body's arrays remain global w.r.t. them and GSPMD partitions the
+    einsums inside each stage — this is how pipeline and tensor parallelism
+    compose in one program."""
+    auto = manual_axes is not None and set(mesh.axis_names) - set(manual_axes)
+    kwargs = {"axis_names": frozenset(manual_axes)} if auto else {}
     try:
         return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
-                             out_specs=out_specs, check_vma=False)
+                             out_specs=out_specs, check_vma=False, **kwargs)
     except (AttributeError, TypeError):  # pragma: no cover - older JAX
+        if auto:
+            raise  # partial-manual (auto axes) needs the jax.shard_map API
         from jax.experimental.shard_map import shard_map as _sm
         return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
                    check_rep=False)
@@ -235,8 +282,10 @@ def pipeline_transformer_apply(p, x, n_head: int, ctx: PipelineContext,
     # constant biases ([1,1,L,L]) replicate to every stage via P(); the
     # no-bias case ships a scalar placeholder that body/stage_apply ignore
     bias_arg = attn_bias if has_bias else jnp.zeros((), x.dtype)
+    manual = {a for a in (ctx.stage_axis, ctx.data_axis)
+              if a in mesh.axis_names}
     return _shard_map(
         body, mesh,
         in_specs=(P(ctx.stage_axis), x_spec, bias_spec),
-        out_specs=x_spec,
+        out_specs=x_spec, manual_axes=manual,
     )(p_st, x, bias_arg)

@@ -121,8 +121,9 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
 
     if mesh is not None:
         # params: replicated on DP meshes, Megatron-sharded when the mesh
-        # has a `model` axis (--tensor_parallel); bank always replicates
-        params = pmesh.place_params(params, mesh)
+        # has a `model` axis (--tensor_parallel), FSDP data-axis-sharded
+        # under --fsdp; bank always replicates
+        params = pmesh.place_params(params, mesh, fsdp=cfg.train.fsdp)
         bank = mb.MemoryBank(*pmesh.replicate_tree(tuple(bank), mesh))
 
     state = create_train_state(params, bank,
@@ -142,11 +143,14 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
             # params (and their optimizer moments) keep the mesh placement
             # rule — TP shardings on a data×model mesh, replicated otherwise
             state = state._replace(
-                params=pmesh.place_params(state.params, mesh),
+                params=pmesh.place_params(state.params, mesh,
+                                          fsdp=cfg.train.fsdp),
                 opt=state.opt._replace(
                     step=jax.device_put(state.opt.step, pmesh.replicated(mesh)),
-                    m=pmesh.place_params(state.opt.m, mesh),
-                    v=pmesh.place_params(state.opt.v, mesh)),
+                    m=pmesh.place_params(state.opt.m, mesh,
+                                         fsdp=cfg.train.fsdp),
+                    v=pmesh.place_params(state.opt.v, mesh,
+                                         fsdp=cfg.train.fsdp)),
                 bank=jax.device_put(state.bank, pmesh.replicated(mesh)),
                 step=jax.device_put(state.step, pmesh.replicated(mesh)))
         global_step = int(state.step)
@@ -188,7 +192,8 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
         best_params = ckpt.load_params(best_path, jax.device_get(state.params))
     if cfg.train.save_checkpoints and best_params is not None:
         if mesh is not None:
-            best_params = pmesh.place_params(best_params, mesh)
+            best_params = pmesh.place_params(best_params, mesh,
+                                             fsdp=cfg.train.fsdp)
         logger.info("Final test on best checkpoint:")
         evaluate(best_params, cfg, test_loader, dataset=test_ds,
                  logger=logger, mesh=mesh)

@@ -19,9 +19,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# persistent compile cache: the suite's dominant cost is repeated jit
-# compiles of tiny-model train steps across modules; cached executables
-# make re-runs several times faster (VERDICT r1 weak #7)
+# Persistent compile cache: a no-op here since the platform is pinned to
+# cpu above — serializing CPU executables for the cache has segfaulted
+# jaxlib mid-suite on some hosts, and entries AOT-compiled on a different
+# host can SIGILL after a VM migration (see utils/cache.py).  Re-enable
+# for an iteration session with NRTPU_CACHE_CPU=1 at your own risk.
 from neighborretr_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()

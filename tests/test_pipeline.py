@@ -161,6 +161,69 @@ def test_train_step_loss_matches_data_parallel(rng):
                                    rtol=2e-3, atol=1e-5)
 
 
+def test_pp_tp_forward_and_grad(tower):
+    """Pipeline × tensor parallelism on a 3-D data×stage×model mesh: the
+    `model` axis stays AUTO inside the pipeline's shard_map (GSPMD
+    Megatron-partitions each stage's einsums) — outputs and grads match
+    the plain path."""
+    mesh = pp.make_pp_tp_mesh((2, 2, 2))
+    ctx = pp.PipelineContext(mesh=mesh, stages=2, microbatches=4)
+    placed = pp.shard_params_pp_tp(tower, mesh)
+    x = _x(rows=16)
+    ref = L.transformer_apply(tower, x, HEADS)
+    out = jax.jit(lambda p, xx: pp.pipeline_transformer_apply(
+        p, xx, HEADS, ctx))(placed, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_pp(p):
+        return jnp.sum(jnp.square(
+            pp.pipeline_transformer_apply(p, x, HEADS, ctx)))
+
+    def loss_plain(p):
+        return jnp.sum(jnp.square(L.transformer_apply(p, x, HEADS)))
+
+    g_pp = jax.jit(jax.grad(loss_pp))(placed)
+    g_ref = jax.grad(loss_plain)(tower)
+    for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(g_pp),
+                            jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5, err_msg=str(path))
+
+
+def test_pp_tp_train_step_loss_matches(rng):
+    """Full training step on the 3-D mesh == single-device step."""
+    cfg = Config(model=ModelConfig.tiny(max_words=W, max_frames=F),
+                 loss=LossConfig(num_neighbors=3),
+                 train=TrainConfig(batch_size=B, mb_batch=1))
+    params = model.init_params(jax.random.PRNGKey(0), cfg.model)
+    params_host = jax.device_get(params)
+    batch = make_batch(rng, cfg, batch=B)
+    batch_host = jax.device_get(batch)
+    bank = mb.create(cfg.train.memory_bank_capacity, W, F,
+                     cfg.model.clip.embed_dim)
+    key = jax.random.PRNGKey(7)
+
+    bank_ref = fill_bank_step(params, bank, batch, cfg, 0)
+    state_ref = create_train_state(params, bank_ref)
+    _, m_ref = train_step(state_ref, batch, key, cfg, t_total=10)
+
+    cfg_pp = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, pipeline_parallel=2, pipeline_microbatches=4))
+    mesh = pp.make_pp_tp_mesh((2, 2, 2))
+    params_p = pmesh.place_params(params_host, mesh)
+    bank2 = mb.create(cfg.train.memory_bank_capacity, W, F,
+                      cfg.model.clip.embed_dim)
+    bank_p = mb.MemoryBank(*pmesh.replicate_tree(tuple(bank2), mesh))
+    batch_p = pmesh.shard_batch(batch_host, mesh)
+    bank_p = fill_bank_step(params_p, bank_p, batch_p, cfg_pp, 0)
+    state_p = create_train_state(params_p, bank_p)
+    _, m_pp = train_step(state_p, batch_p, key, cfg_pp, t_total=10, mesh=mesh)
+
+    np.testing.assert_allclose(float(m_ref["loss"]), float(m_pp["loss"]),
+                               rtol=2e-4)
+
+
 def test_validate_rejects_bad_combos():
     data = DataConfig(max_words=W, max_frames=F)
     cfg = Config(model=ModelConfig.tiny(max_words=W, max_frames=F), data=data,

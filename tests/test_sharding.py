@@ -190,3 +190,43 @@ def test_micro_batches_on_tp_mesh_matches_replicated(cfg, params, rng):
     loss_tp, _ = jax.jit(compute_losses, static_argnames=("cfg",))(
         tparams, cfg_mb, tbatch, tbank, key)
     np.testing.assert_allclose(float(loss_tp), float(loss_single), rtol=2e-4)
+
+
+def test_fsdp_matches_replicated_and_stays_sharded(cfg, params, rng):
+    """FSDP (ZeRO-3 placement): identical loss to the replicated run, and
+    the donated train step keeps params AND Adam moments sharded — the
+    memory win survives the step (XLA propagates the input shardings)."""
+    import dataclasses
+    mesh = pmesh.make_mesh()
+    cfg_f = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, fsdp=True))
+    batch = make_batch(rng, cfg, batch=B)
+    batch_host = jax.device_get(batch)
+    bank = mb.create(cfg.train.memory_bank_capacity, W, F,
+                     cfg.model.clip.embed_dim)
+    key = jax.random.PRNGKey(9)
+
+    bank_r = fill_bank_step(params, bank, batch, cfg, 0)
+    state_r = create_train_state(jax.device_get(params), bank_r)
+    _, m_ref = train_step(state_r, batch, key, cfg, t_total=10)
+
+    placed = pmesh.place_params(jax.device_get(params), mesh, fsdp=True)
+    # the big 2-D leaves really shard over data
+    tok = placed["clip"]["text"]["token_embedding"]
+    assert not tok.sharding.is_fully_replicated
+    bank2 = mb.create(cfg.train.memory_bank_capacity, W, F,
+                      cfg.model.clip.embed_dim)
+    bank_f = mb.MemoryBank(*pmesh.replicate_tree(tuple(bank2), mesh))
+    batch_f = pmesh.shard_batch(batch_host, mesh)
+    bank_f = fill_bank_step(placed, bank_f, batch_f, cfg_f, 0)
+    state_f = create_train_state(placed, bank_f)
+    state_f, m_fsdp = train_step(state_f, batch_f, key, cfg_f, t_total=10,
+                                 mesh=mesh)
+
+    np.testing.assert_allclose(float(m_ref["loss"]), float(m_fsdp["loss"]),
+                               rtol=2e-4)
+    # sharding survives the donated update for params and both moments
+    for tree in (state_f.params, state_f.opt.m, state_f.opt.v):
+        leaf = tree["clip"]["text"]["token_embedding"]
+        assert not leaf.sharding.is_fully_replicated, (
+            "FSDP sharding lost through train_step")
