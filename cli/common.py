@@ -61,6 +61,12 @@ def load_eval_params(args, cfg, logger):
     from neighborretr_tpu.models import neighborretr as model
 
     params = model.init_params(jax.random.PRNGKey(0), cfg.model)
+    if (args.clip_checkpoint is None and args.checkpoint is None
+            and args.datatype != "synthetic" and not args.tiny):
+        # no trained checkpoint to supply the weights: resolve the published
+        # OpenAI checkpoint for the named backbone, as the reference does
+        from neighborretr_tpu.models.fetch import ensure_clip_checkpoint
+        args.clip_checkpoint = ensure_clip_checkpoint(args.base_encoder)
     if args.clip_checkpoint:
         from neighborretr_tpu.models.weights_io import load_openai_clip_into
         params = load_openai_clip_into(params, cfg.model,

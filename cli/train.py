@@ -29,7 +29,11 @@ def parse_args():
     p.add_argument("--output_dir", default="outputs/run")
     p.add_argument("--base_encoder", default="ViT-B/32",
                    choices=list(_BACKBONE_CHOICES))
-    p.add_argument("--clip_checkpoint", default=None)
+    p.add_argument("--clip_checkpoint", default=None,
+                   help="OpenAI CLIP .pt to start from; default fetches the "
+                        "published checkpoint for --base_encoder into the "
+                        "local cache (reference UX); 'random' skips CLIP "
+                        "init entirely")
     p.add_argument("--tiny", action="store_true",
                    help="tiny towers for smoke runs (also implied by "
                         "--datatype synthetic without --clip_checkpoint)")
@@ -131,6 +135,16 @@ def main():
     from neighborretr_tpu.parallel import mesh as pmesh
     from neighborretr_tpu.train.loop import run_training
     from neighborretr_tpu.utils.logging import setup_logger
+
+    if args.clip_checkpoint == "random":
+        # explicit random init (the old implicit default for real datasets)
+        args.clip_checkpoint = None
+    elif (args.clip_checkpoint is None and args.datatype != "synthetic"
+            and not args.tiny):
+        # reference UX (module_clip.py:22-81): a named backbone resolves to
+        # the published OpenAI checkpoint, fetched once into the local cache
+        from neighborretr_tpu.models.fetch import ensure_clip_checkpoint
+        args.clip_checkpoint = ensure_clip_checkpoint(args.base_encoder)
 
     clip_cfg = ClipConfig.from_name(args.base_encoder)
     cfg = Config(
