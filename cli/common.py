@@ -8,6 +8,24 @@ friendly unknown-datatype error and the checkpoint dispatch below).
 from __future__ import annotations
 
 
+def resolve_clip_checkpoint(args, weights_already_supplied: bool) -> None:
+    """Shared --clip_checkpoint resolution for every CLI.
+
+    'random' → None (explicit random init).  Omitted → fetch the published
+    OpenAI checkpoint for --base_encoder (models/fetch.py), UNLESS another
+    checkpoint already supplies the full weight set (a --resume state or a
+    trained --checkpoint), the data is synthetic, or the run is --tiny.
+    """
+    if args.clip_checkpoint == "random":
+        args.clip_checkpoint = None
+        return
+    if (args.clip_checkpoint is None and not weights_already_supplied
+            and getattr(args, "datatype", None) != "synthetic"
+            and not getattr(args, "tiny", False)):
+        from neighborretr_tpu.models.fetch import ensure_clip_checkpoint
+        args.clip_checkpoint = ensure_clip_checkpoint(args.base_encoder)
+
+
 def resolve_eval_config(args, batch_size_val: int, logger):
     """Config for an eval-style CLI run, honoring --tiny / synthetic."""
     from neighborretr_tpu.core.config import (ClipConfig, Config, ModelConfig,
@@ -61,12 +79,10 @@ def load_eval_params(args, cfg, logger):
     from neighborretr_tpu.models import neighborretr as model
 
     params = model.init_params(jax.random.PRNGKey(0), cfg.model)
-    if (args.clip_checkpoint is None and args.checkpoint is None
-            and args.datatype != "synthetic" and not args.tiny):
-        # no trained checkpoint to supply the weights: resolve the published
-        # OpenAI checkpoint for the named backbone, as the reference does
-        from neighborretr_tpu.models.fetch import ensure_clip_checkpoint
-        args.clip_checkpoint = ensure_clip_checkpoint(args.base_encoder)
+    # a trained --checkpoint supplies every weight; only fetch CLIP when
+    # nothing else would populate the towers
+    resolve_clip_checkpoint(args,
+                            weights_already_supplied=bool(args.checkpoint))
     if args.clip_checkpoint:
         from neighborretr_tpu.models.weights_io import load_openai_clip_into
         params = load_openai_clip_into(params, cfg.model,

@@ -66,6 +66,11 @@ def main():
     serving.check_meta(index, cfg)
 
     params = model.init_params(jax.random.PRNGKey(0), cfg.model)
+    # no trained checkpoint (e.g. a pure-CLIP index): fetch the published
+    # CLIP weights so the query tower matches what built the index
+    from cli.common import resolve_clip_checkpoint
+    resolve_clip_checkpoint(args,
+                            weights_already_supplied=bool(args.checkpoint))
     if args.clip_checkpoint:
         from neighborretr_tpu.models.weights_io import load_openai_clip_into
         params = load_openai_clip_into(params, cfg.model, args.clip_checkpoint)

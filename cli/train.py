@@ -136,15 +136,15 @@ def main():
     from neighborretr_tpu.train.loop import run_training
     from neighborretr_tpu.utils.logging import setup_logger
 
-    if args.clip_checkpoint == "random":
-        # explicit random init (the old implicit default for real datasets)
-        args.clip_checkpoint = None
-    elif (args.clip_checkpoint is None and args.datatype != "synthetic"
-            and not args.tiny):
-        # reference UX (module_clip.py:22-81): a named backbone resolves to
-        # the published OpenAI checkpoint, fetched once into the local cache
-        from neighborretr_tpu.models.fetch import ensure_clip_checkpoint
-        args.clip_checkpoint = ensure_clip_checkpoint(args.base_encoder)
+    # reference UX (module_clip.py:22-81): a named backbone resolves to the
+    # published OpenAI checkpoint, fetched once into the local cache.  A
+    # --resume state restores every weight, so it suppresses the fetch; an
+    # --init_checkpoint does NOT (reference semantics: init_model is a
+    # strict=False PARTIAL load on top of CLIP-initialized towers,
+    # main.py:60-66)
+    from cli.common import resolve_clip_checkpoint
+    resolve_clip_checkpoint(
+        args, weights_already_supplied=bool(args.resume_checkpoint))
 
     clip_cfg = ClipConfig.from_name(args.base_encoder)
     cfg = Config(
@@ -236,6 +236,12 @@ def main():
     logger = setup_logger(output_dir=args.output_dir)
     logger.info("Devices: %s", jax.devices())
     logger.info("Config:\n%s", cfg.to_json())
+    if args.pipeline_parallel > 1 and (args.unroll_layers
+                                       or args.remat_skip_last):
+        logger.warning(
+            "--unroll_layers/--remat_skip_last shape the plain scan path; "
+            "pipelined towers use their own per-microbatch schedule and "
+            "ignore them (--remat and --remat_policy do carry over)")
 
     if args.tiny or (args.datatype == "synthetic"
                      and args.clip_checkpoint is None):

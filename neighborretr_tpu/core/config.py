@@ -372,6 +372,12 @@ def validate(cfg: Config, num_devices: int) -> None:
                 "pipeline_parallel already microbatches the towers; "
                 "micro_batches > 1 is redundant (and lax.map around the "
                 "pipeline's shard_map is unsupported)")
+        if cfg.model.video_chunk_frames:
+            raise ValueError(
+                "video_chunk_frames wraps the vision tower in lax.map, "
+                "which cannot nest around the pipeline's shard_map (and "
+                "its chunk rarely divides into pipeline microbatches) — "
+                "pipeline stages already bound per-chip memory; drop one")
         # num_devices is the DATA-parallel degree (callers pass the mesh's
         # `data` axis size, same convention as the batch checks above)
         m = cfg.train.pipeline_microbatches or 4 * pp

@@ -48,14 +48,40 @@ def _sha256_file(path: str) -> str:
     return h.hexdigest()
 
 
+def _stat_tag(path: str) -> str:
+    st = os.stat(path)
+    return f"{st.st_size}-{st.st_mtime_ns}"
+
+
+def _is_verified(target: str, expected_sha: str) -> bool:
+    """True when `target` was digest-verified in the state it is in now.
+
+    A sidecar marker records (sha, size, mtime) at verification time, so
+    steady-state startups skip re-hashing a GB-scale file (the reference
+    re-hashes on every call, module_clip.py:63); any modification to the
+    file invalidates the marker and forces a fresh digest check."""
+    marker = target + ".verified"
+    try:
+        recorded = open(marker).read().split()
+    except OSError:
+        recorded = None
+    if recorded == [expected_sha, _stat_tag(target)]:
+        return True
+    if _sha256_file(target) != expected_sha:
+        return False
+    with open(marker, "w") as f:
+        f.write(f"{expected_sha} {_stat_tag(target)}")
+    return True
+
+
 def ensure_clip_checkpoint(backbone: str,
                            cache_dir: Optional[str] = None,
                            url: Optional[str] = None,
-                           progress: bool = True) -> str:
+                           progress: bool = True,
+                           timeout: float = 60.0) -> str:
     """Local path to `backbone`'s published OpenAI .pt, fetching on first
-    use.  Cached files are digest-checked before reuse and silently
-    re-fetched on mismatch (partial writes never reach the cache path, so a
-    mismatch means external corruption)."""
+    use.  Cached files are digest-checked before reuse (memoized via a
+    stat-keyed sidecar marker) and silently re-fetched on mismatch."""
     url = url or CLIP_CHECKPOINT_URLS.get(backbone)
     if url is None:
         raise ValueError(
@@ -68,7 +94,7 @@ def ensure_clip_checkpoint(backbone: str,
     os.makedirs(cache_dir, exist_ok=True)
     target = os.path.join(cache_dir, filename)
     if os.path.isfile(target):
-        if _sha256_file(target) == expected_sha:
+        if _is_verified(target, expected_sha):
             return target
         os.remove(target)
 
@@ -78,27 +104,29 @@ def ensure_clip_checkpoint(backbone: str,
     digest = hashlib.sha256()
     fd, tmp = tempfile.mkstemp(dir=cache_dir, prefix=filename + ".part-")
     try:
-        try:
-            src = urllib.request.urlopen(url)
-        except (urllib.error.URLError, OSError) as e:
-            raise RuntimeError(
-                f"could not fetch {filename} from {url} ({e}); on an "
-                "offline machine, download it elsewhere and pass "
-                "--clip_checkpoint /path/to/" + filename) from e
-        with os.fdopen(fd, "wb") as out, src:
-            total = int(src.headers.get("Content-Length") or 0)
-            done = 0
-            while True:
-                buf = src.read(_CHUNK)
-                if not buf:
-                    break
-                digest.update(buf)
-                out.write(buf)
-                done += len(buf)
-                if progress and total:
-                    print(f"\rfetching {filename}: {done >> 20}/"
-                          f"{total >> 20} MiB", end="", file=sys.stderr,
-                          flush=True)
+        with os.fdopen(fd, "wb") as out:
+            try:
+                # timeout applies to connect AND each read (socket timeout)
+                src = urllib.request.urlopen(url, timeout=timeout)
+            except (urllib.error.URLError, OSError) as e:
+                raise RuntimeError(
+                    f"could not fetch {filename} from {url} ({e}); on an "
+                    "offline machine, download it elsewhere and pass "
+                    "--clip_checkpoint /path/to/" + filename) from e
+            with src:
+                total = int(src.headers.get("Content-Length") or 0)
+                done = 0
+                while True:
+                    buf = src.read(_CHUNK)
+                    if not buf:
+                        break
+                    digest.update(buf)
+                    out.write(buf)
+                    done += len(buf)
+                    if progress and total:
+                        print(f"\rfetching {filename}: {done >> 20}/"
+                              f"{total >> 20} MiB", end="", file=sys.stderr,
+                              flush=True)
         if progress and total:
             print(file=sys.stderr)
         if digest.hexdigest() != expected_sha:
@@ -112,4 +140,6 @@ def ensure_clip_checkpoint(backbone: str,
         except OSError:
             pass
         raise
+    with open(target + ".verified", "w") as f:
+        f.write(f"{expected_sha} {_stat_tag(target)}")
     return target

@@ -318,9 +318,13 @@ def transformer_apply(p: Params, x, n_head: int, attn_bias=None,
     from ..parallel import pipeline as pp
     ctx = pp.current()
     if ctx is not None and pp.supports(ctx, num_layers(p), x):
+        # unroll/remat_skip_last are scan-structure knobs of THIS path; the
+        # pipeline has its own schedule (per-microbatch checkpoint), so
+        # only the remat policy carries over
         return pp.pipeline_transformer_apply(
             p, x, n_head, ctx, attn_bias=attn_bias, dtype=dtype,
-            fused_attention=fused_attention, remat=remat)
+            fused_attention=fused_attention, remat=remat,
+            remat_policy=remat_policy)
 
     def body(carry, layer_p):
         y = block_apply(layer_p, carry, n_head, attn_bias, dtype,

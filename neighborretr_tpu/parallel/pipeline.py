@@ -190,7 +190,8 @@ def supports(ctx: Optional[PipelineContext], n_layers: int, x) -> bool:
 
 def pipeline_transformer_apply(p, x, n_head: int, ctx: PipelineContext,
                                attn_bias=None, dtype=jnp.float32,
-                               fused_attention=False, remat: bool = True):
+                               fused_attention=False, remat: bool = True,
+                               remat_policy: str = "full"):
     """Run a stacked transformer tower as an S-stage GPipe pipeline.
 
     p: stacked [layers, ...] block pytree (models/layers.transformer_init).
@@ -246,7 +247,11 @@ def pipeline_transformer_apply(p, x, n_head: int, ctx: PipelineContext,
                 return L.block_apply(layer_p, carry, n_head, bias, dtype,
                                      fused_attention=fused_attention), None
 
-            f = jax.checkpoint(blk) if remat else blk
+            if remat:
+                policy = L.REMAT_POLICIES[remat_policy]
+                f = jax.checkpoint(blk, policy=policy() if policy else None)
+            else:
+                f = blk
             y, _ = jax.lax.scan(f, x_mb, p_loc)
             return y
 

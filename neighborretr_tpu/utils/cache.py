@@ -50,9 +50,16 @@ def enable_compilation_cache(path: str | None = None) -> None:
                                   "/tmp/nrtpu_jax_cache")
     if base.lower() in ("", "off", "none", "0"):
         return
-    platforms = (jax.config.jax_platforms or "").split(",")[0]
-    if platforms == "cpu" and os.environ.get("NRTPU_CACHE_CPU") != "1":
-        return
+    if os.environ.get("NRTPU_CACHE_CPU") != "1":
+        platforms = (jax.config.jax_platforms or "").split(",")[0]
+        if platforms == "cpu":
+            return
+        if not platforms:
+            # nothing pinned: ask the backend (this initializes it, which
+            # every caller does moments later anyway — the CLIs/bench enable
+            # the cache immediately before creating their mesh/devices)
+            if jax.default_backend() == "cpu":
+                return
     path = os.path.join(base, _host_tag())
     try:
         os.makedirs(path, exist_ok=True)

@@ -81,3 +81,65 @@ def test_zoo_urls_carry_sha_component():
     for name, url in fetch.CLIP_CHECKPOINT_URLS.items():
         sha = url.rstrip("/").split("/")[-2]
         assert len(sha) == 64 and int(sha, 16) >= 0, (name, url)
+
+
+def test_cache_hit_skips_rehash(tmp_path, monkeypatch):
+    """Steady-state startups must not re-hash the GB-scale file: the
+    sidecar marker memoizes the verified digest keyed on (size, mtime)."""
+    payload = os.urandom(4096)
+    url = _publish(tmp_path, payload)
+    cache = str(tmp_path / "cache")
+    fetch.ensure_clip_checkpoint("ViT-B/32", cache_dir=cache, url=url,
+                                 progress=False)
+
+    def no_hash(path):  # pragma: no cover - would fail the test
+        raise AssertionError("re-hashed a marker-verified cache entry")
+
+    monkeypatch.setattr(fetch, "_sha256_file", no_hash)
+    fetch.ensure_clip_checkpoint("ViT-B/32", cache_dir=cache, url=url,
+                                 progress=False)
+
+
+class _Args:
+    def __init__(self, **kw):
+        self.clip_checkpoint = None
+        self.datatype = "msrvtt"
+        self.tiny = False
+        self.base_encoder = "ViT-B/32"
+        self.__dict__.update(kw)
+
+
+def test_resolve_clip_checkpoint_paths(monkeypatch, tmp_path):
+    """Shared CLI resolution (cli/common.py): 'random' opts out; supplied
+    weights suppress the fetch (offline resume works); synthetic/tiny skip;
+    otherwise the published checkpoint is fetched."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from cli.common import resolve_clip_checkpoint
+
+    a = _Args(clip_checkpoint="random")
+    resolve_clip_checkpoint(a, weights_already_supplied=False)
+    assert a.clip_checkpoint is None
+
+    fetched = []
+    monkeypatch.setattr(fetch, "ensure_clip_checkpoint",
+                        lambda name, **kw: fetched.append(name) or "/x.pt")
+
+    # a resume/trained checkpoint supplies the weights: no fetch (offline ok)
+    a = _Args()
+    resolve_clip_checkpoint(a, weights_already_supplied=True)
+    assert a.clip_checkpoint is None and fetched == []
+
+    for quiet in (_Args(datatype="synthetic"), _Args(tiny=True)):
+        resolve_clip_checkpoint(quiet, weights_already_supplied=False)
+        assert quiet.clip_checkpoint is None and fetched == []
+
+    a = _Args()
+    resolve_clip_checkpoint(a, weights_already_supplied=False)
+    assert a.clip_checkpoint == "/x.pt" and fetched == ["ViT-B/32"]
+
+    # an explicit path is always respected
+    a = _Args(clip_checkpoint="mine.pt")
+    resolve_clip_checkpoint(a, weights_already_supplied=False)
+    assert a.clip_checkpoint == "mine.pt" and fetched == ["ViT-B/32"]

@@ -242,3 +242,34 @@ def test_validate_rejects_bad_combos():
                                    pipeline_microbatches=3))
     with pytest.raises(ValueError, match="pipeline_microbatches"):
         validate(cfg, 2)
+    import dataclasses as dc
+    tiny = ModelConfig.tiny(max_words=W, max_frames=F)
+    cfg = Config(model=dc.replace(tiny, video_chunk_frames=8), data=data,
+                 train=TrainConfig(batch_size=B, mb_batch=1,
+                                   pipeline_parallel=2))
+    with pytest.raises(ValueError, match="video_chunk_frames"):
+        validate(cfg, 2)
+
+
+def test_pipeline_honors_remat_policy(tower):
+    """--remat_policy carries into the pipelined towers (review fix): the
+    'attn' save-policy path runs and matches the plain tower."""
+    mesh = pp.make_pp_mesh((4, 2))
+    ctx = pp.PipelineContext(mesh=mesh, stages=2, microbatches=2)
+    placed = pp.shard_params_pp(tower, mesh)
+    x = _x(rows=16)
+    ref = L.transformer_apply(tower, x, HEADS)
+
+    def run(p, xx):
+        return pp.pipeline_transformer_apply(p, xx, HEADS, ctx,
+                                             remat=True, remat_policy="attn")
+
+    out = jax.jit(run)(placed, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    g = jax.jit(jax.grad(lambda p: jnp.sum(jnp.square(run(p, x)))))(placed)
+    g_ref = jax.grad(lambda p: jnp.sum(jnp.square(
+        L.transformer_apply(p, x, HEADS))))(tower)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
