@@ -82,9 +82,82 @@ def unflatten_into(tree_like, flat: Dict[str, np.ndarray], strict: bool = True):
     return tree, report
 
 
-def save_params(path: str, params) -> None:
+def _atomic_savez(path: str, payload: Dict[str, np.ndarray]) -> None:
+    """np.savez via temp file + rename: a crash (or TPU preemption signal)
+    mid-write can never leave a truncated npz at the real path — the
+    previous best.npz/state survives until the new one is complete."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez(path, **flatten_tree(params))
+    tmp = path + ".tmp"
+    try:
+        # a file object, not a name: np.savez would append '.npz' to a name
+        with open(tmp, "wb") as f:
+            np.savez(f, **payload)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
+
+
+class AsyncWriter:
+    """Single background checkpoint writer.
+
+    `submit(fn)` returns immediately; `fn` (a closure over already-fetched
+    HOST arrays) runs on a daemon thread in submission order, so the npz
+    serialization + disk write overlap the next training steps instead of
+    stalling them.  `wait()` drains the queue and re-raises the first
+    error — call it before READING any file a submitted write produces and
+    at run teardown.  Beyond-reference: the reference's rank-0
+    torch.save blocks the step loop (main.py:161-187)."""
+
+    def __init__(self):
+        import queue
+        import threading
+        self._q = queue.Queue(maxsize=4)
+        self._error = None
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="ckpt-writer")
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            fn = self._q.get()
+            if fn is None:
+                self._q.task_done()
+                return
+            try:
+                if self._error is None:
+                    fn()
+            except BaseException as e:  # surfaced by wait()
+                self._error = e
+            finally:
+                self._q.task_done()
+
+    def submit(self, fn) -> None:
+        if not self._thread.is_alive():
+            # writer died (interpreter teardown edge) — fall back to sync
+            fn()
+            return
+        self._q.put(fn)
+
+    def wait(self) -> None:
+        """Block until every submitted write finished; re-raise failures."""
+        self._q.join()
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+    def close(self) -> None:
+        self.wait()
+        if self._thread.is_alive():
+            self._q.put(None)
+            self._thread.join(timeout=60)
+
+
+def save_params(path: str, params) -> None:
+    _atomic_savez(path, flatten_tree(params))
 
 
 def load_params(path: str, params_like, strict: bool = True):
@@ -104,7 +177,6 @@ def load_params(path: str, params_like, strict: bool = True):
 
 def save_train_state(path: str, state) -> None:
     """state: train.step.TrainState (params, opt(m, v, step), bank, step)."""
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     payload = {}
     for name, tree in (("params", state.params), ("opt_m", state.opt.m),
                        ("opt_v", state.opt.v), ("bank", state.bank._asdict())):
@@ -112,7 +184,7 @@ def save_train_state(path: str, state) -> None:
             payload[f"{name}{_SEP}{k}"] = v
     payload["opt_step"] = np.asarray(state.opt.step)
     payload["step"] = np.asarray(state.step)
-    np.savez(path, **payload)
+    _atomic_savez(path, payload)
 
 
 def load_train_state(path: str, state_like):

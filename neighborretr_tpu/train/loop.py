@@ -172,39 +172,53 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
     jsonl = JsonlMetricsWriter(cfg.train.output_dir)
     guard = PreemptionGuard(
         enabled=cfg.train.save_checkpoints and cfg.train.save_on_preempt)
-    with guard:
-        state, tracker, best_host = _train_epochs(
-            cfg, state, tracker, guard, train_loader, bank_loader,
-            test_loader, test_ds, logger, mesh, key, t_total,
-            steps_per_epoch, start_epoch, global_step, best_path, best_host,
-            jsonl)
-    if guard.requested:
+    # checkpoint npz writes happen on a background thread so the step loop
+    # never stalls on disk IO; every read-back below waits for the queue
+    writer = ckpt.AsyncWriter() if cfg.train.save_checkpoints else None
+    try:
+        with guard:
+            state, tracker, best_host = _train_epochs(
+                cfg, state, tracker, guard, train_loader, bank_loader,
+                test_loader, test_ds, logger, mesh, key, t_total,
+                steps_per_epoch, start_epoch, global_step, best_path,
+                best_host, jsonl, writer)
+        if guard.requested:
+            return state, tracker
+        if writer is not None:
+            writer.wait()  # surface write errors; make best.npz readable
+
+        # final test on the best checkpoint (main.py:389-409).  The gate must
+        # be identical on every process (evaluate() runs SPMD collectives):
+        # the in-memory best copy is captured by ALL processes at update
+        # time, so it never depends on process-0-only disk state.  A disk
+        # fallback covers the single-process resume case where best.npz
+        # predates this run.
+        best_params = best_host
+        if best_params is None and jax.process_count() == 1 \
+                and cfg.train.save_checkpoints and os.path.exists(best_path):
+            best_params = ckpt.load_params(best_path,
+                                           jax.device_get(state.params))
+        if cfg.train.save_checkpoints and best_params is not None:
+            if mesh is not None:
+                best_params = pmesh.place_params(best_params, mesh,
+                                                 fsdp=cfg.train.fsdp)
+            logger.info("Final test on best checkpoint:")
+            evaluate(best_params, cfg, test_loader, dataset=test_ds,
+                     logger=logger, mesh=mesh)
+
         return state, tracker
-
-    # final test on the best checkpoint (main.py:389-409).  The gate must be
-    # identical on every process (evaluate() runs SPMD collectives): the
-    # in-memory best copy is captured by ALL processes at update time, so it
-    # never depends on process-0-only disk state.  A disk fallback covers the
-    # single-process resume case where best.npz predates this run.
-    best_params = best_host
-    if best_params is None and jax.process_count() == 1 \
-            and cfg.train.save_checkpoints and os.path.exists(best_path):
-        best_params = ckpt.load_params(best_path, jax.device_get(state.params))
-    if cfg.train.save_checkpoints and best_params is not None:
-        if mesh is not None:
-            best_params = pmesh.place_params(best_params, mesh,
-                                             fsdp=cfg.train.fsdp)
-        logger.info("Final test on best checkpoint:")
-        evaluate(best_params, cfg, test_loader, dataset=test_ds,
-                 logger=logger, mesh=mesh)
-
-    return state, tracker
+    finally:
+        if writer is not None:
+            try:
+                writer.close()
+            except Exception:
+                logger.exception("background checkpoint write failed")
 
 
 def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
                   test_loader, test_ds, logger, mesh, key, t_total,
                   steps_per_epoch, start_epoch, global_step, best_path,
-                  best_host, jsonl):
+                  best_host, jsonl, writer=None):
     """Epoch loop body; returns early (with the preempt TrainState saved)
     when the guard catches SIGTERM."""
 
@@ -310,10 +324,13 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
                             v2t={k: float(v) for k, v in v2t.items()})
                 if tracker.update(t2v, v2t) and cfg.train.save_checkpoints:
                     # collective (TP shards may span processes) — all
-                    # processes fetch; only process 0 writes
+                    # processes fetch; only process 0 writes (async: the
+                    # fetched host copy is immutable, the npz write overlaps
+                    # the next training steps)
                     best_host = pmesh.fetch_to_host(state.params)
                     if jax.process_index() == 0:
-                        ckpt.save_params(best_path, best_host)
+                        writer.submit(lambda p=best_host: ckpt.save_params(
+                            best_path, p))
                         logger.info("Saved best checkpoint (mean R@1 %.2f)",
                                     tracker.best_mean_r1)
                     persist_tracker()
@@ -327,7 +344,8 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
         if tracker.update(t2v, v2t) and cfg.train.save_checkpoints:
             best_host = pmesh.fetch_to_host(state.params)
             if jax.process_index() == 0:
-                ckpt.save_params(best_path, best_host)
+                writer.submit(lambda p=best_host: ckpt.save_params(
+                    best_path, p))
                 logger.info("Saved best checkpoint (mean R@1 %.2f)",
                             tracker.best_mean_r1)
             persist_tracker()
@@ -338,10 +356,10 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
         if cfg.train.save_checkpoints:
             state_host = pmesh.fetch_to_host(state)
             if jax.process_index() == 0:
-                ckpt.save_train_state(
-                    os.path.join(cfg.train.output_dir,
-                                 f"state_epoch{epoch}.npz"),
-                    state_host)
+                writer.submit(lambda s=state_host, e=epoch:
+                              ckpt.save_train_state(
+                                  os.path.join(cfg.train.output_dir,
+                                               f"state_epoch{e}.npz"), s))
 
         # epoch-end bank clear (main.py:368-374): re-created next epoch
         state = state._replace(bank=mb.create(

@@ -169,3 +169,49 @@ def test_partial_load_strict_false(cfg, tmp_path):
     # strict mode still refuses
     with pytest.raises(KeyError):
         ckpt.load_params(path, like)
+
+
+def test_atomic_save_leaves_no_partial_file(tmp_path, monkeypatch):
+    """A crash mid-write must never corrupt the existing checkpoint: the
+    write goes to a temp file, promoted by rename only on success."""
+    path = str(tmp_path / "best.npz")
+    ckpt.save_params(path, {"a": np.arange(4.0)})
+    before = open(path, "rb").read()
+
+    real_savez = np.savez
+
+    def exploding_savez(f, **kw):
+        real_savez(f, **kw)  # temp file fully written...
+        raise OSError("disk died mid-save")  # ...then the failure
+
+    monkeypatch.setattr(np, "savez", exploding_savez)
+    with pytest.raises(OSError):
+        ckpt.save_params(path, {"a": np.arange(8.0)})
+    # original survives untouched; no .tmp debris
+    assert open(path, "rb").read() == before
+    assert sorted(p.name for p in tmp_path.iterdir()) == ["best.npz"]
+
+
+def test_async_writer_orders_waits_and_raises(tmp_path):
+    w = ckpt.AsyncWriter()
+    order = []
+    w.submit(lambda: order.append(1))
+    w.submit(lambda: order.append(2))
+    path = str(tmp_path / "x.npz")
+    w.submit(lambda: ckpt.save_params(path, {"a": np.ones(3)}))
+    w.wait()
+    assert order == [1, 2] and np.load(path)["a"].shape == (3,)
+
+    def boom():
+        raise RuntimeError("write failed")
+
+    w.submit(boom)
+    w.submit(lambda: order.append(3))  # skipped after the error
+    with pytest.raises(RuntimeError, match="write failed"):
+        w.wait()
+    assert order == [1, 2]
+    # the writer recovers after the error is surfaced
+    w.submit(lambda: order.append(4))
+    w.wait()
+    assert order == [1, 2, 4]
+    w.close()
