@@ -35,6 +35,10 @@ def main():
                    help="best.npz / state_epochN.npz / reference best.pth")
     p.add_argument("--clip_checkpoint", default=None)
     p.add_argument("--out", required=True, help="output index .npz path")
+    p.add_argument("--feature_dtype", default="float16",
+                   choices=["float16", "int8"],
+                   help="stored feature precision: int8 quarters the index "
+                        "size (symmetric per-frame-token scales)")
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--max_words", type=int, default=24)
     p.add_argument("--max_frames", type=int, default=12)
@@ -64,7 +68,8 @@ def main():
     params = load_eval_params(args, cfg, logger)
 
     index = serving.build_video_index(params, cfg, loader, dataset=ds,
-                                      logger=logger)
+                                      logger=logger,
+                                      feature_dtype=args.feature_dtype)
     written = serving.save_index(args.out, index)
     logger.info("Wrote %s: %d videos, %.1f MB", written,
                 len(index["video_ids"]),

@@ -10,7 +10,11 @@ stored video features (the MXU computes in bf16 anyway).
 
 Index layout (npz):
   video_ids [N]      unicode video ids (dataset order, deduplicated)
-  v_feat    [N,F,E]  temporal video features, fp16 (halved disk/HBM traffic)
+  v_feat    [N,F,E]  temporal video features: fp16 (default, halved
+                     disk/HBM traffic) or int8 (quartered; symmetric
+                     per-(video, frame) scales in `v_scale` [N,F] fp16 —
+                     CLIP-style features are near-Gaussian per token, so a
+                     per-token absmax scale keeps ranking intact)
   v_mask    [N,F]    frame validity
   meta      json     model-config + weights fingerprint checked at query time
 """
@@ -63,11 +67,34 @@ def _config_meta(cfg: Config, params: Optional[Params] = None) -> Dict[str, Any]
     return meta
 
 
+def quantize_features(v: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetric int8 quantization with a per-token (last-axis) absmax
+    scale: v ≈ q * scale[..., None].  Returns (q int8 [..., E],
+    scale fp16 [...])."""
+    scale = np.abs(v).max(axis=-1, keepdims=True).astype(np.float32) / 127.0
+    scale = np.maximum(scale, 1e-8)
+    q = np.clip(np.rint(v / scale), -127, 127).astype(np.int8)
+    return q, scale[..., 0].astype(np.float16)
+
+
+def index_video_features(index: Dict[str, np.ndarray]) -> jnp.ndarray:
+    """Device fp32 view of the stored features, dequantizing int8 indexes."""
+    if "v_scale" in index:
+        return (jnp.asarray(index["v_feat"], jnp.float32)
+                * jnp.asarray(index["v_scale"], jnp.float32)[..., None])
+    return jnp.asarray(index["v_feat"], jnp.float32)
+
+
 def build_video_index(params: Params, cfg: Config, loader,
-                      dataset=None, logger=None) -> Dict[str, np.ndarray]:
+                      dataset=None, logger=None,
+                      feature_dtype: str = "float16",
+                      ) -> Dict[str, np.ndarray]:
     """Encode every unique video the loader yields (deduplicated by the
     stable per-video hash — multi-sentence datasets repeat each video once
-    per caption, dataloader_msvd_retrieval.py semantics)."""
+    per caption, dataloader_msvd_retrieval.py semantics).
+
+    feature_dtype: 'float16' (default) or 'int8' (quarter-size index via
+    quantize_features; ranking quality asserted in tests/test_serving.py)."""
     dataset = dataset if dataset is not None else loader.dataset
     pairs = getattr(dataset, "pairs", None)
     seen = set()
@@ -101,12 +128,19 @@ def build_video_index(params: Params, cfg: Config, loader,
         raise ValueError(
             "no valid videos to index: the loader yielded nothing (empty "
             "split, or every row failed decoding)")
-    return {"video_ids": np.asarray(ids),
-            "v_feat": np.concatenate(feats),
-            "v_mask": np.concatenate(masks),
-            "meta": np.frombuffer(
-                json.dumps(_config_meta(cfg, params)).encode(),
-                dtype=np.uint8)}
+    if feature_dtype not in ("float16", "int8"):
+        raise ValueError(f"feature_dtype must be float16 or int8, "
+                         f"got {feature_dtype!r}")
+    index = {"video_ids": np.asarray(ids),
+             "v_feat": np.concatenate(feats),
+             "v_mask": np.concatenate(masks),
+             "meta": np.frombuffer(
+                 json.dumps(_config_meta(cfg, params)).encode(),
+                 dtype=np.uint8)}
+    if feature_dtype == "int8":
+        index["v_feat"], index["v_scale"] = quantize_features(
+            index["v_feat"].astype(np.float32))
+    return index
 
 
 def save_index(path: str, index: Dict[str, np.ndarray]) -> str:
@@ -174,7 +208,7 @@ def search(params: Params, cfg: Config, index: Dict[str, np.ndarray],
     t_feat, t_mask = encode_queries(params, cfg, tokenizer, queries)
     sim = np.asarray(similarity_matrix_device(
         params, cfg, t_feat, t_mask,
-        jnp.asarray(index["v_feat"], jnp.float32),
+        index_video_features(index),
         jnp.asarray(index["v_mask"], jnp.float32)))
     k = min(topk, sim.shape[1])
     video_ids = index["video_ids"]

