@@ -92,6 +92,8 @@ def _atomic_savez(path: str, payload: Dict[str, np.ndarray]) -> None:
         # a file object, not a name: np.savez would append '.npz' to a name
         with open(tmp, "wb") as f:
             np.savez(f, **payload)
+            f.flush()
+            os.fsync(f.fileno())  # survive host power loss, not just SIGKILL
         os.replace(tmp, path)
     except BaseException:
         try:
@@ -115,23 +117,31 @@ class AsyncWriter:
     def __init__(self):
         import queue
         import threading
-        self._q = queue.Queue(maxsize=4)
+        # maxsize=1: at most one queued + one in-flight write, so slow disks
+        # bound the extra host RAM to ~one TrainState copy (each submitted
+        # closure pins its fetched host arrays until written)
+        self._q = queue.Queue(maxsize=1)
         self._error = None
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="ckpt-writer")
         self._thread.start()
 
     def _run(self):
+        import logging
         while True:
             fn = self._q.get()
             if fn is None:
                 self._q.task_done()
                 return
             try:
+                # every write is attempted — a transient failure (ENOSPC,
+                # flaky NFS) must not silently drop all later checkpoints
+                fn()
+            except BaseException as e:  # first error surfaced by wait()
+                logging.getLogger("neighborretr_tpu").exception(
+                    "background checkpoint write failed")
                 if self._error is None:
-                    fn()
-            except BaseException as e:  # surfaced by wait()
-                self._error = e
+                    self._error = e
             finally:
                 self._q.task_done()
 

@@ -93,8 +93,13 @@ def build_video_index(params: Params, cfg: Config, loader,
     stable per-video hash — multi-sentence datasets repeat each video once
     per caption, dataloader_msvd_retrieval.py semantics).
 
-    feature_dtype: 'float16' (default) or 'int8' (quarter-size index via
+    feature_dtype: 'float16' (default) or 'int8' (halves the index again via
     quantize_features; ranking quality asserted in tests/test_serving.py)."""
+    if feature_dtype not in ("float16", "int8"):
+        # validate BEFORE the corpus encode: a typo must fail in
+        # microseconds, not after hours of ViT forwards
+        raise ValueError(f"feature_dtype must be float16 or int8, "
+                         f"got {feature_dtype!r}")
     dataset = dataset if dataset is not None else loader.dataset
     pairs = getattr(dataset, "pairs", None)
     seen = set()
@@ -128,9 +133,6 @@ def build_video_index(params: Params, cfg: Config, loader,
         raise ValueError(
             "no valid videos to index: the loader yielded nothing (empty "
             "split, or every row failed decoding)")
-    if feature_dtype not in ("float16", "int8"):
-        raise ValueError(f"feature_dtype must be float16 or int8, "
-                         f"got {feature_dtype!r}")
     index = {"video_ids": np.asarray(ids),
              "v_feat": np.concatenate(feats),
              "v_mask": np.concatenate(masks),
@@ -138,16 +140,20 @@ def build_video_index(params: Params, cfg: Config, loader,
                  json.dumps(_config_meta(cfg, params)).encode(),
                  dtype=np.uint8)}
     if feature_dtype == "int8":
+        # fp16 input is fine: the scale math is fp32 inside and the
+        # division broadcasts up — no fp32 corpus copy needed
         index["v_feat"], index["v_scale"] = quantize_features(
-            index["v_feat"].astype(np.float32))
+            index["v_feat"])
     return index
 
 
 def save_index(path: str, index: Dict[str, np.ndarray]) -> str:
-    """Returns the actual path written (np.savez appends .npz)."""
+    """Returns the actual path written.  Atomic (temp + rename): killing an
+    hours-long rebuild mid-write cannot destroy the existing index."""
+    from .core.checkpoint import _atomic_savez
     if not path.endswith(".npz"):
         path += ".npz"
-    np.savez(path, **index)
+    _atomic_savez(path, index)
     return path
 
 

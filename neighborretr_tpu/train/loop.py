@@ -222,14 +222,27 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
     """Epoch loop body; returns early (with the preempt TrainState saved)
     when the guard catches SIGTERM."""
 
-    def persist_tracker():
-        """best.npz is only meaningful with its metric: persist the tracker
-        next to it so a resumed run cannot regress the best checkpoint."""
-        if jax.process_index() == 0:
-            import json
-            with open(os.path.join(cfg.train.output_dir,
-                                   "best_metrics.json"), "w") as f:
-                json.dump(tracker.to_dict(), f)
+    def save_best(best_host_copy):
+        """best.npz + best_metrics.json in ONE submitted closure, in that
+        order: the tracker json claims a best that exists on disk only once
+        the npz write completed — a crash between the two can lose the new
+        best but can never record a phantom one (which would make a resumed
+        run refuse to re-save it).  The tracker state is captured NOW so a
+        later in-epoch update cannot leak into this write."""
+        if jax.process_index() != 0:
+            return
+        import json
+        tracker_dict = tracker.to_dict()
+        best_r1 = tracker.best_mean_r1
+        json_path = os.path.join(cfg.train.output_dir, "best_metrics.json")
+
+        def write():
+            ckpt.save_params(best_path, best_host_copy)
+            with open(json_path, "w") as f:
+                json.dump(tracker_dict, f)
+            logger.info("Saved best checkpoint (mean R@1 %.2f)", best_r1)
+
+        writer.submit(write)
 
     def save_preempt():
         path = os.path.join(cfg.train.output_dir, "state_preempt.npz")
@@ -310,6 +323,18 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
                 logger.info("Epoch %d/%d step %d/%d  %s  eta %.0fs",
                             epoch + 1, cfg.train.epochs, done,
                             steps_per_epoch, meters, eta)
+                # HBM watermark every n_display*5 steps (the reference
+                # prints peak CUDA memory on the same cadence,
+                # trainer.py:164-165); backends without memory_stats
+                # (CPU) simply skip
+                if it % (cfg.train.n_display * 5) == 0:
+                    stats = jax.local_devices()[0].memory_stats() or {}
+                    peak, limit = (stats.get("peak_bytes_in_use"),
+                                   stats.get("bytes_limit"))
+                    if peak:
+                        logger.info(
+                            "Device memory: peak %.2f GB%s", peak / 2**30,
+                            f" of {limit / 2**30:.2f} GB" if limit else "")
 
             # mid-epoch validation (trainer.py:167-202): every n_display*3
             # steps and once near the start
@@ -328,12 +353,7 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
                     # fetched host copy is immutable, the npz write overlaps
                     # the next training steps)
                     best_host = pmesh.fetch_to_host(state.params)
-                    if jax.process_index() == 0:
-                        writer.submit(lambda p=best_host: ckpt.save_params(
-                            best_path, p))
-                        logger.info("Saved best checkpoint (mean R@1 %.2f)",
-                                    tracker.best_mean_r1)
-                    persist_tracker()
+                    save_best(best_host)
 
         # per-epoch eval + checkpoint (main.py:333-365)
         t2v, v2t = evaluate(state.params, cfg, test_loader, dataset=test_ds,
@@ -343,12 +363,7 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
                     v2t={k: float(v) for k, v in v2t.items()})
         if tracker.update(t2v, v2t) and cfg.train.save_checkpoints:
             best_host = pmesh.fetch_to_host(state.params)
-            if jax.process_index() == 0:
-                writer.submit(lambda p=best_host: ckpt.save_params(
-                    best_path, p))
-                logger.info("Saved best checkpoint (mean R@1 %.2f)",
-                            tracker.best_mean_r1)
-            persist_tracker()
+            save_best(best_host)
         # checkpoint IO is process-0 only (reference rank-0 saves,
         # main.py:161-187).  The host fetch is OUTSIDE the gate: with
         # --tensor_parallel on a multi-host mesh the params span processes,

@@ -206,12 +206,14 @@ def test_async_writer_orders_waits_and_raises(tmp_path):
         raise RuntimeError("write failed")
 
     w.submit(boom)
-    w.submit(lambda: order.append(3))  # skipped after the error
+    # later writes still happen — a transient failure must not silently
+    # drop every subsequent checkpoint
+    w.submit(lambda: order.append(3))
     with pytest.raises(RuntimeError, match="write failed"):
         w.wait()
-    assert order == [1, 2]
-    # the writer recovers after the error is surfaced
+    assert order == [1, 2, 3]
+    # the writer keeps going after the error is surfaced
     w.submit(lambda: order.append(4))
     w.wait()
-    assert order == [1, 2, 4]
+    assert order == [1, 2, 3, 4]
     w.close()
