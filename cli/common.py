@@ -31,9 +31,11 @@ def resolve_eval_config(args, batch_size_val: int, logger):
     from neighborretr_tpu.core.config import (ClipConfig, Config, ModelConfig,
                                               TrainConfig)
 
+    n_temporal = getattr(args, "num_hidden_layers", 4)
     clip_cfg = ClipConfig.from_name(args.base_encoder)
     cfg = Config(model=ModelConfig(clip=clip_cfg, max_words=args.max_words,
-                                   max_frames=args.max_frames),
+                                   max_frames=args.max_frames,
+                                   temporal_layers=n_temporal),
                  train=TrainConfig(batch_size_val=batch_size_val))
     if args.tiny or (args.datatype == "synthetic"
                      and args.clip_checkpoint is None):
@@ -41,7 +43,9 @@ def resolve_eval_config(args, batch_size_val: int, logger):
         tiny = ModelConfig.tiny(max_words=args.max_words,
                                 max_frames=args.max_frames)
         cfg = dc.replace(cfg, model=dc.replace(
-            cfg.model, clip=tiny.clip, temporal_layers=tiny.temporal_layers,
+            cfg.model, clip=tiny.clip,
+            # tiny's 2-layer text tower can seed at most 2 temporal layers
+            temporal_layers=min(n_temporal, tiny.clip.transformer_layers),
             compute_dtype=tiny.compute_dtype))
         logger.info("Using tiny model architecture (--tiny/smoke run)")
     return cfg

@@ -32,6 +32,9 @@ def main():
                    choices=list(_BACKBONE_CHOICES))
     p.add_argument("--max_words", type=int, default=24)
     p.add_argument("--max_frames", type=int, default=12)
+    p.add_argument("--num_hidden_layers", type=int, default=4,
+                   help="temporal transformer depth (must match the "
+                        "checkpoint; args_parser.py:137)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny-tower architecture (smoke checkpoints)")
     args = p.parse_args()
@@ -43,12 +46,16 @@ def main():
     from neighborretr_tpu.models.weights_io import save_reference_checkpoint
 
     if args.tiny:
+        import dataclasses as dc
         cfg = ModelConfig.tiny(max_words=args.max_words,
                                max_frames=args.max_frames)
+        cfg = dc.replace(cfg, temporal_layers=min(
+            args.num_hidden_layers, cfg.clip.transformer_layers))
     else:
         clip_cfg = ClipConfig.from_name(args.base_encoder)
         cfg = ModelConfig(clip=clip_cfg, max_words=args.max_words,
-                          max_frames=args.max_frames)
+                          max_frames=args.max_frames,
+                          temporal_layers=args.num_hidden_layers)
     params = model.init_params(jax.random.PRNGKey(0), cfg)
     params = ckpt.load_params(args.checkpoint, params)
     save_reference_checkpoint(params, cfg, args.out)

@@ -41,6 +41,9 @@ def main():
                         "size (symmetric per-frame-token scales)")
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--max_words", type=int, default=24)
+    p.add_argument("--num_hidden_layers", type=int, default=4,
+                   help="temporal transformer depth (must match the "
+                        "checkpoint; args_parser.py:137)")
     p.add_argument("--max_frames", type=int, default=12)
     p.add_argument("--video_framerate", type=int, default=1)
     p.add_argument("--workers", type=int, default=8)

@@ -35,6 +35,9 @@ def main():
                    help="best.npz / state_epochN.npz / reference best.pth")
     p.add_argument("--clip_checkpoint", default=None)
     p.add_argument("--max_words", type=int, default=24)
+    p.add_argument("--num_hidden_layers", type=int, default=4,
+                   help="temporal transformer depth (must match the "
+                        "checkpoint; args_parser.py:137)")
     args = p.parse_args()
 
     queries = args.query or [ln.strip() for ln in sys.stdin if ln.strip()]
@@ -55,11 +58,15 @@ def main():
     max_frames = index["v_mask"].shape[1]
 
     if args.tiny:
+        import dataclasses as dc
         mcfg = ModelConfig.tiny(max_words=args.max_words,
                                 max_frames=max_frames)
+        mcfg = dc.replace(mcfg, temporal_layers=min(
+            args.num_hidden_layers, mcfg.clip.transformer_layers))
     else:
         mcfg = ModelConfig(clip=ClipConfig.from_name(args.base_encoder),
-                           max_words=args.max_words, max_frames=max_frames)
+                           max_words=args.max_words, max_frames=max_frames,
+                           temporal_layers=args.num_hidden_layers)
     cfg = Config(model=mcfg)
     # fail on a config mismatch BEFORE paying model init + checkpoint load;
     # serving.search re-checks with the weights fingerprint once params exist

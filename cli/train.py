@@ -46,6 +46,9 @@ def parse_args():
     p.add_argument("--max_words", type=int, default=24)
     p.add_argument("--max_frames", type=int, default=12)
     p.add_argument("--video_framerate", type=int, default=1)
+    p.add_argument("--num_hidden_layers", type=int, default=4,
+                   help="temporal transformer depth, initialized from the "
+                        "first N CLIP text resblocks (args_parser.py:137)")
     p.add_argument("--mb_batch", type=int, default=15)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--coef_lr", type=float, default=1e-3)
@@ -149,7 +152,9 @@ def main():
     clip_cfg = ClipConfig.from_name(args.base_encoder)
     cfg = Config(
         model=ModelConfig(clip=clip_cfg, max_words=args.max_words,
-                          max_frames=args.max_frames, remat=args.remat,
+                          max_frames=args.max_frames,
+                          temporal_layers=args.num_hidden_layers,
+                          remat=args.remat,
                           remat_policy=args.remat_policy,
                           attention_impl=args.attention_impl,
                           use_pallas=args.use_pallas,
@@ -253,7 +258,10 @@ def main():
         tiny = ModelConfig.tiny(max_words=args.max_words,
                                 max_frames=args.max_frames)
         cfg = dc.replace(cfg, model=dc.replace(
-            cfg.model, clip=tiny.clip, temporal_layers=tiny.temporal_layers,
+            cfg.model, clip=tiny.clip,
+            # tiny's 2-layer text tower can seed at most 2 temporal layers
+            temporal_layers=min(args.num_hidden_layers,
+                                tiny.clip.transformer_layers),
             compute_dtype=tiny.compute_dtype))
         logger.info("Using tiny model architecture (--tiny/smoke run):\n%s",
                     cfg.to_json())

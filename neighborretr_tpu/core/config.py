@@ -338,6 +338,13 @@ def validate(cfg: Config, num_devices: int) -> None:
         )
     if cfg.model.max_words != cfg.data.max_words or cfg.model.max_frames != cfg.data.max_frames:
         raise ValueError("model and data max_words/max_frames must agree")
+    tl = cfg.model.temporal_layers
+    if not 1 <= tl <= cfg.model.clip.transformer_layers:
+        raise ValueError(
+            f"temporal_layers {tl} must be in "
+            f"[1, {cfg.model.clip.transformer_layers}]: the temporal tower "
+            "is seeded from the first N CLIP text resblocks "
+            "(modeling.py:199-220)")
     mb = cfg.train.micro_batches
     if mb < 1 or cfg.train.batch_size % mb != 0:
         raise ValueError(

@@ -327,3 +327,22 @@ def test_micro_batches_validation():
         cfg.data, max_words=W, max_frames=F))
     with pytest.raises(ValueError, match="micro_batches"):
         validate(cfg, num_devices=1)
+
+
+def test_temporal_layers_validation():
+    """--num_hidden_layers must fit the text tower it is seeded from
+    (modeling.py:199-220 seeds the temporal tower from the first N text
+    resblocks)."""
+    import dataclasses
+
+    from neighborretr_tpu.core.config import validate
+    base = Config(model=ModelConfig.tiny(max_words=W, max_frames=F))
+    base = dataclasses.replace(base, data=dataclasses.replace(
+        base.data, max_words=W, max_frames=F))
+    # tiny text tower has 2 layers: 2 is fine, 3 and 0 are not
+    validate(base, num_devices=1)
+    for bad in (0, base.model.clip.transformer_layers + 1):
+        cfg = dataclasses.replace(base, model=dataclasses.replace(
+            base.model, temporal_layers=bad))
+        with pytest.raises(ValueError, match="temporal_layers"):
+            validate(cfg, num_devices=1)
