@@ -1,0 +1,210 @@
+"""HTTP retrieval service over a precomputed video index (cli/index.py).
+
+    python -m cli.serve --index msrvtt_index.npz \
+        --checkpoint outputs/msrvtt/best.npz --port 8080
+
+The daemon form of cli/search.py: model weights and the corpus features
+stay resident on device, the query path is compiled once at startup
+(serving.Searcher), and every request reuses it — no per-process JAX
+init, no per-query index upload.  The reference ships no deployment path
+at all (SURVEY §2).
+
+JSON API (stdlib http.server, threaded):
+  GET  /healthz                     → {"status":"ok","videos":N,...}
+  GET  /search?q=<text>[&topk=K]    → single-query convenience
+  POST /search  {"queries": ["..."], "topk": K}
+Response: {"results": [[{"video_id": id, "score": s}, ...], ...]}
+Errors are JSON with HTTP 400/404/413.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# cheap import (pure dataclasses): single source for the backbone menu
+from neighborretr_tpu.core.config import ClipConfig as _ClipConfig
+_BACKBONE_CHOICES = _ClipConfig.backbone_names()
+
+MAX_QUERIES_PER_REQUEST = 256
+MAX_BODY_BYTES = 1 << 20  # 1 MiB of JSON is already ~4k captions
+
+
+def make_handler(searcher, default_topk: int = 5, logger=None):
+    """Handler class closed over a serving.Searcher.
+
+    Requests serialize through one lock: device dispatch is thread-safe,
+    but serializing keeps host-side result memory bounded and gives each
+    request the full chip instead of interleaving compiled programs.
+    """
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _error(self, code: int, message: str) -> None:
+            self._reply(code, {"error": message})
+
+        def _run_search(self, queries, topk) -> None:
+            if not isinstance(queries, list) or not queries or \
+                    not all(isinstance(q, str) for q in queries):
+                return self._error(400, "queries must be a non-empty "
+                                        "list of strings")
+            if len(queries) > MAX_QUERIES_PER_REQUEST:
+                return self._error(413, f"at most {MAX_QUERIES_PER_REQUEST} "
+                                        "queries per request")
+            try:
+                topk = int(topk)
+            except (TypeError, ValueError):
+                return self._error(400, "topk must be an integer")
+            if topk < 1:
+                return self._error(400, "topk must be >= 1")
+            with lock:
+                results = searcher.search(queries, topk=topk)
+            self._reply(200, {"results": [
+                [{"video_id": vid, "score": score} for vid, score in hits]
+                for hits in results]})
+
+        def do_GET(self):  # noqa: N802 (http.server contract)
+            url = urlparse(self.path)
+            if url.path == "/healthz":
+                return self._reply(200, {
+                    "status": "ok", "videos": len(searcher),
+                    "query_batch": searcher.query_batch})
+            if url.path == "/search":
+                q = parse_qs(url.query)
+                queries = q.get("q")
+                topk = q.get("topk", [default_topk])[-1]
+                if not queries:
+                    return self._error(400, "missing q= query parameter")
+                return self._run_search(queries, topk)
+            self._error(404, f"unknown path {url.path!r}; use /healthz "
+                             "or /search")
+
+        def do_POST(self):  # noqa: N802
+            if urlparse(self.path).path != "/search":
+                return self._error(404, "POST /search only")
+            length = int(self.headers.get("Content-Length") or 0)
+            if length > MAX_BODY_BYTES:
+                return self._error(413, "request body too large")
+            try:
+                body = json.loads(self.rfile.read(length) or b"{}")
+            except json.JSONDecodeError as e:
+                return self._error(400, f"invalid JSON: {e}")
+            if not isinstance(body, dict):
+                return self._error(400, "body must be a JSON object")
+            self._run_search(body.get("queries"),
+                             body.get("topk", default_topk))
+
+        def log_message(self, fmt, *args):
+            if logger is not None:
+                logger.info("%s %s", self.address_string(), fmt % args)
+
+    return Handler
+
+
+def make_server(searcher, host: str = "127.0.0.1", port: int = 0,
+                default_topk: int = 5, logger=None) -> ThreadingHTTPServer:
+    """Bound-but-not-serving HTTP server (tests drive it on port 0)."""
+    return ThreadingHTTPServer((host, port),
+                               make_handler(searcher, default_topk, logger))
+
+
+def main():
+    p = argparse.ArgumentParser(description="Video retrieval HTTP service")
+    p.add_argument("--index", required=True, help="index .npz from cli/index.py")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--topk", type=int, default=5, help="default result count")
+    p.add_argument("--query_batch", type=int, default=8,
+                   help="compile bucket: request batches pad up to a "
+                        "multiple of this (one compiled program per bucket)")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny towers (index built from a --tiny run)")
+    p.add_argument("--base_encoder", default="ViT-B/32",
+                   choices=list(_BACKBONE_CHOICES))
+    p.add_argument("--checkpoint", default=None,
+                   help="best.npz / state_epochN.npz / reference best.pth")
+    p.add_argument("--clip_checkpoint", default=None)
+    p.add_argument("--max_words", type=int, default=24)
+    p.add_argument("--num_hidden_layers", type=int, default=4,
+                   help="temporal transformer depth (must match the "
+                        "checkpoint; args_parser.py:137)")
+    args = p.parse_args()
+
+    import jax
+    from neighborretr_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from neighborretr_tpu import serving
+    from neighborretr_tpu.core.config import ClipConfig, Config, ModelConfig
+    from neighborretr_tpu.data.tokenizer import ClipTokenizer
+    from neighborretr_tpu.models import neighborretr as model
+    from neighborretr_tpu.utils.logging import setup_logger
+
+    logger = setup_logger()
+    index = serving.load_index(args.index)
+    max_frames = index["v_mask"].shape[1]
+
+    if args.tiny:
+        import dataclasses as dc
+        mcfg = ModelConfig.tiny(max_words=args.max_words,
+                                max_frames=max_frames)
+        mcfg = dc.replace(mcfg, temporal_layers=min(
+            args.num_hidden_layers, mcfg.clip.transformer_layers))
+    else:
+        mcfg = ModelConfig(clip=ClipConfig.from_name(args.base_encoder),
+                           max_words=args.max_words, max_frames=max_frames,
+                           temporal_layers=args.num_hidden_layers)
+    cfg = Config(model=mcfg)
+    # fail on a config mismatch BEFORE paying model init + checkpoint load;
+    # the Searcher re-checks with the weights fingerprint once params exist
+    serving.check_meta(index, cfg)
+
+    params = model.init_params(jax.random.PRNGKey(0), cfg.model)
+    from cli.common import resolve_clip_checkpoint
+    resolve_clip_checkpoint(args,
+                            weights_already_supplied=bool(args.checkpoint))
+    if args.clip_checkpoint:
+        from neighborretr_tpu.models.weights_io import load_openai_clip_into
+        params = load_openai_clip_into(params, cfg.model, args.clip_checkpoint)
+    if args.checkpoint:
+        from neighborretr_tpu.models.weights_io import \
+            load_model_checkpoint_into
+        params = load_model_checkpoint_into(params, cfg.model,
+                                            args.checkpoint)
+        logger.info("Loaded checkpoint %s", args.checkpoint)
+
+    searcher = serving.Searcher(params, cfg, index, ClipTokenizer(),
+                                query_batch=args.query_batch)
+    logger.info("Index: %d videos; compiling the query path ...",
+                len(searcher))
+    searcher.warmup()
+    server = make_server(searcher, args.host, args.port,
+                         default_topk=args.topk, logger=logger)
+    logger.info("Serving on http://%s:%d (GET /healthz, GET|POST /search)",
+                *server.server_address)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        logger.info("Shutting down")
+    finally:
+        server.server_close()
+
+
+if __name__ == "__main__":
+    main()

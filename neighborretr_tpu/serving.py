@@ -205,21 +205,62 @@ def encode_queries(params: Params, cfg: Config, tokenizer,
     return t_feat, mask
 
 
+class Searcher:
+    """Persistent query engine over a loaded index (the daemon form of
+    `search`, used by cli/serve.py): the corpus features live on device
+    across requests (no per-query ~100 MB host→HBM upload), and query
+    batches pad up to a multiple of `query_batch` so repeated requests hit
+    the same compiled program instead of recompiling per query count."""
+
+    def __init__(self, params: Params, cfg: Config,
+                 index: Dict[str, np.ndarray], tokenizer,
+                 query_batch: int = 8):
+        if query_batch < 1:
+            raise ValueError(f"query_batch must be >= 1, got {query_batch}")
+        check_meta(index, cfg, params)
+        self.params, self.cfg, self.tokenizer = params, cfg, tokenizer
+        self.video_ids = [str(v) for v in index["video_ids"]]
+        self.query_batch = int(query_batch)
+        self._v_feat = index_video_features(index)
+        self._v_mask = jnp.asarray(index["v_mask"], jnp.float32)
+
+    def __len__(self) -> int:
+        return len(self.video_ids)
+
+    def warmup(self) -> None:
+        """Pay the text-encode + similarity compiles before the first
+        request (the daemon calls this before binding the port)."""
+        self.similarities(["warmup"])
+
+    def similarities(self, queries: Sequence[str]) -> np.ndarray:
+        """[Q, N] similarity rows for free-text queries."""
+        n = len(queries)
+        if n == 0:
+            return np.zeros((0, len(self.video_ids)), np.float32)
+        # pad to the compile bucket; "" encodes to the empty CLS/SEP caption
+        padded = list(queries) + [""] * ((-n) % self.query_batch)
+        t_feat, t_mask = encode_queries(self.params, self.cfg,
+                                        self.tokenizer, padded)
+        sim = similarity_matrix_device(self.params, self.cfg, t_feat, t_mask,
+                                       self._v_feat, self._v_mask)
+        return np.asarray(sim)[:n]
+
+    def search(self, queries: Sequence[str], topk: int = 5,
+               ) -> List[List[Tuple[str, float]]]:
+        """Top-k videos per query: [(video_id, similarity), ...] per query,
+        ranked by the full token-interaction eval similarity."""
+        sim = self.similarities(queries)
+        k = max(min(topk, sim.shape[1]), 0)
+        out = []
+        for row in sim:
+            top = np.argsort(-row)[:k]
+            out.append([(self.video_ids[j], float(row[j])) for j in top])
+        return out
+
+
 def search(params: Params, cfg: Config, index: Dict[str, np.ndarray],
            tokenizer, queries: Sequence[str], topk: int = 5,
            ) -> List[List[Tuple[str, float]]]:
-    """Top-k videos per query: [(video_id, similarity), ...] per query,
-    ranked by the full token-interaction eval similarity."""
-    check_meta(index, cfg, params)
-    t_feat, t_mask = encode_queries(params, cfg, tokenizer, queries)
-    sim = np.asarray(similarity_matrix_device(
-        params, cfg, t_feat, t_mask,
-        index_video_features(index),
-        jnp.asarray(index["v_mask"], jnp.float32)))
-    k = min(topk, sim.shape[1])
-    video_ids = index["video_ids"]
-    out = []
-    for row in sim:
-        top = np.argsort(-row)[:k]
-        out.append([(str(video_ids[j]), float(row[j])) for j in top])
-    return out
+    """One-shot top-k search (cli/search.py); daemons keep a Searcher."""
+    return Searcher(params, cfg, index, tokenizer,
+                    query_batch=max(len(queries), 1)).search(queries, topk)

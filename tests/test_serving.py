@@ -219,3 +219,85 @@ def test_build_index_rejects_unknown_dtype(setup):
     with pytest.raises(ValueError, match="feature_dtype"):
         serving.build_video_index(params, cfg, loader, dataset=ds,
                                   feature_dtype="int4")
+
+
+def test_searcher_matches_one_shot_search_with_padding(setup):
+    """The daemon path (Searcher, padded query buckets) returns exactly the
+    one-shot search results — padding rows must never leak into results."""
+    cfg, ds, params, index = setup
+    tok = _StubTokenizer()
+    queries = ["a cat plays piano", "someone rides a bike downhill",
+               "city at night"]
+    want = serving.search(params, cfg, index, tok, queries, topk=4)
+
+    searcher = serving.Searcher(params, cfg, index, tok, query_batch=8)
+    assert len(searcher) == N
+    got = searcher.search(queries, topk=4)   # 3 queries pad to a bucket of 8
+    assert got == want
+
+    sims = searcher.similarities(queries)
+    assert sims.shape == (3, N)
+    assert searcher.similarities([]).shape == (0, N)
+    with pytest.raises(ValueError, match="query_batch"):
+        serving.Searcher(params, cfg, index, tok, query_batch=0)
+
+
+def test_http_server_round_trip(setup):
+    """cli/serve.py end-to-end on an ephemeral port: healthz, GET and POST
+    search against the live Searcher, malformed requests get JSON errors."""
+    import http.client
+    import json
+    import threading
+
+    from cli.serve import make_server
+
+    cfg, ds, params, index = setup
+    tok = _StubTokenizer()
+    searcher = serving.Searcher(params, cfg, index, tok, query_batch=4)
+    queries = ["a cat plays piano", "someone rides a bike downhill"]
+    want = searcher.search(queries, topk=3)
+
+    server = make_server(searcher, "127.0.0.1", 0, default_topk=3)
+    host, port = server.server_address
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        def request(method, path, body=None):
+            conn = http.client.HTTPConnection(host, port, timeout=30)
+            headers = {"Content-Type": "application/json"} if body else {}
+            conn.request(method, path,
+                         json.dumps(body) if body else None, headers)
+            resp = conn.getresponse()
+            out = resp.status, json.loads(resp.read().decode())
+            conn.close()
+            return out
+
+        status, health = request("GET", "/healthz")
+        assert status == 200 and health["videos"] == N
+
+        status, got = request("POST", "/search",
+                              {"queries": queries, "topk": 3})
+        assert status == 200
+        assert got["results"] == [
+            [{"video_id": vid, "score": pytest.approx(score)}
+             for vid, score in hits] for hits in want]
+
+        from urllib.parse import quote
+        status, got1 = request(
+            "GET", f"/search?q={quote(queries[0])}&topk=3")
+        assert status == 200
+        assert [h["video_id"] for h in got1["results"][0]] == \
+            [vid for vid, _ in want[0]]
+
+        assert request("POST", "/search", {"queries": []})[0] == 400
+        assert request("POST", "/search", {"queries": "not-a-list"})[0] == 400
+        assert request("POST", "/search",
+                       {"queries": ["x"], "topk": "NaN"})[0] == 400
+        assert request("GET", "/search")[0] == 400        # missing q=
+        assert request("GET", "/nope")[0] == 404
+        big = ["q"] * 257
+        assert request("POST", "/search", {"queries": big})[0] == 413
+    finally:
+        server.shutdown()
+        server.server_close()
+        thread.join(timeout=10)
