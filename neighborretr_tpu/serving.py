@@ -248,14 +248,29 @@ class Searcher:
     def search(self, queries: Sequence[str], topk: int = 5,
                ) -> List[List[Tuple[str, float]]]:
         """Top-k videos per query: [(video_id, similarity), ...] per query,
-        ranked by the full token-interaction eval similarity."""
-        sim = self.similarities(queries)
-        k = max(min(topk, sim.shape[1]), 0)
-        out = []
-        for row in sim:
-            top = np.argsort(-row)[:k]
-            out.append([(self.video_ids[j], float(row[j])) for j in top])
-        return out
+        ranked by the full token-interaction eval similarity.
+
+        Top-k runs ON DEVICE (lax.top_k): only [Q, k] values+indices cross
+        to the host, not the [Q, N] matrix — measured 112 → ~70 ms per
+        64-query request at N=10k over the tunnel (the full-matrix fetch +
+        host argsort were over a third of the request)."""
+        n = len(queries)
+        k = max(min(topk, len(self.video_ids)), 0)
+        if n == 0 or k == 0:
+            return [[] for _ in queries]
+        padded = list(queries) + [""] * ((-n) % self.query_batch)
+        t_feat, t_mask = encode_queries(self.params, self.cfg,
+                                        self.tokenizer, padded)
+        sim = similarity_matrix_device(self.params, self.cfg, t_feat, t_mask,
+                                       self._v_feat, self._v_mask)
+        # bucket k (next power of two, min 8) so varying topk reuses a few
+        # compiled top-k programs instead of one per distinct k
+        kk = min(max(8, 1 << (k - 1).bit_length()), sim.shape[1])
+        vals, idx = jax.lax.top_k(sim, kk)      # sorted descending
+        vals = np.asarray(vals)[:n, :k]
+        idx = np.asarray(idx)[:n, :k]
+        return [[(self.video_ids[j], float(v)) for j, v in zip(irow, vrow)]
+                for irow, vrow in zip(idx, vals)]
 
 
 def search(params: Params, cfg: Config, index: Dict[str, np.ndarray],

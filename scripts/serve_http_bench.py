@@ -1,0 +1,90 @@
+"""End-to-end HTTP serving throughput on the real chip: the full daemon
+path (socket → JSON → BPE tokenize → text tower → corpus scoring → top-k →
+JSON) against a 10k-video index, vs the raw Searcher call.
+
+Complements scripts/serve_bench.py, which times ONLY the device scoring
+stage (no tokenizer, no text encode, no HTTP).
+"""
+import json
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(
+    __import__("os").path.abspath(__file__))))
+from neighborretr_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax  # noqa: E402
+
+from neighborretr_tpu import serving  # noqa: E402
+from neighborretr_tpu.core.config import Config, ModelConfig  # noqa: E402
+from neighborretr_tpu.data.tokenizer import ClipTokenizer  # noqa: E402
+from neighborretr_tpu.models import neighborretr as model  # noqa: E402
+from cli.serve import make_server  # noqa: E402
+
+N_VIDEOS, Q, REPS = 10_000, 64, 10
+WORDS = ("man woman dog cat car street beach kitchen playing running "
+         "cooking singing jumping red blue small large fast slow night").split()
+
+
+def main():
+    print("device:", jax.devices()[0], flush=True)
+    cfg = Config(model=ModelConfig())
+    params = model.init_params(jax.random.PRNGKey(0), cfg.model)
+    rng = np.random.default_rng(0)
+    F, E = cfg.model.max_frames, cfg.model.clip.embed_dim
+
+    index = {
+        "video_ids": np.asarray([f"video{i}" for i in range(N_VIDEOS)]),
+        "v_feat": rng.normal(size=(N_VIDEOS, F, E)).astype(np.float16),
+        "v_mask": np.ones((N_VIDEOS, F), np.float32),
+        "meta": np.frombuffer(json.dumps(
+            serving._config_meta(cfg, params)).encode(), dtype=np.uint8),
+    }
+    queries = [" ".join(rng.choice(WORDS, size=8)) for _ in range(Q)]
+
+    searcher = serving.Searcher(params, cfg, index, ClipTokenizer(),
+                                query_batch=Q)
+    searcher.warmup()
+    searcher.search(queries, topk=5)             # pay the Q-bucket compile
+
+    tic = time.perf_counter()
+    for _ in range(REPS):
+        searcher.search(queries, topk=5)
+    direct = (time.perf_counter() - tic) / REPS
+    print(f"direct Searcher.search: {Q} queries in {direct * 1e3:.1f} ms "
+          f"({Q / direct:.0f} queries/s)", flush=True)
+
+    server = make_server(searcher, "127.0.0.1", 0, default_topk=5)
+    host, port = server.server_address
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    import http.client
+    body = json.dumps({"queries": queries, "topk": 5})
+
+    def post():
+        conn = http.client.HTTPConnection(host, port, timeout=120)
+        conn.request("POST", "/search", body,
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        out = json.loads(resp.read().decode())
+        conn.close()
+        assert resp.status == 200 and len(out["results"]) == Q
+
+    post()                                        # warm connection path
+    tic = time.perf_counter()
+    for _ in range(REPS):
+        post()
+    http_t = (time.perf_counter() - tic) / REPS
+    print(f"HTTP POST /search:      {Q} queries in {http_t * 1e3:.1f} ms "
+          f"({Q / http_t:.0f} queries/s; +{(http_t - direct) * 1e3:.1f} ms "
+          f"HTTP/JSON overhead)", flush=True)
+    server.shutdown()
+    server.server_close()
+
+
+if __name__ == "__main__":
+    main()
