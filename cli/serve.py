@@ -134,6 +134,10 @@ def main():
     p.add_argument("--query_batch", type=int, default=8,
                    help="compile bucket: request batches pad up to a "
                         "multiple of this (one compiled program per bucket)")
+    p.add_argument("--num_devices", type=int, default=1,
+                   help="shard the corpus features over this many devices "
+                        "(row-sharded mesh; for indexes that outgrow one "
+                        "chip's HBM). 1 = single device")
     p.add_argument("--tiny", action="store_true",
                    help="tiny towers (index built from a --tiny run)")
     p.add_argument("--base_encoder", default="ViT-B/32",
@@ -189,8 +193,13 @@ def main():
                                             args.checkpoint)
         logger.info("Loaded checkpoint %s", args.checkpoint)
 
+    mesh = None
+    if args.num_devices > 1:
+        from neighborretr_tpu.parallel import mesh as pmesh
+        mesh = pmesh.make_mesh(num_devices=args.num_devices)
+        logger.info("Sharding the corpus over %d devices", args.num_devices)
     searcher = serving.Searcher(params, cfg, index, ClipTokenizer(),
-                                query_batch=args.query_batch)
+                                query_batch=args.query_batch, mesh=mesh)
     logger.info("Index: %d videos; compiling the query path ...",
                 len(searcher))
     searcher.warmup()

@@ -21,6 +21,7 @@ Index layout (npz):
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import json
 from typing import Any, Dict, List, Optional, Sequence, Tuple
@@ -205,45 +206,101 @@ def encode_queries(params: Params, cfg: Config, tokenizer,
     return t_feat, mask
 
 
+def _host_features(index: Dict[str, np.ndarray]) -> np.ndarray:
+    """Host fp32 view of the stored features (dequantizing int8 indexes)."""
+    if "v_scale" in index:
+        return (index["v_feat"].astype(np.float32)
+                * index["v_scale"].astype(np.float32)[..., None])
+    return np.asarray(index["v_feat"], np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("kk", "n_valid"))
+def _masked_topk(sim, kk: int, n_valid: int):
+    """Device top-k over the first n_valid columns (pad columns → -inf)."""
+    if n_valid < sim.shape[1]:
+        col = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+        sim = jnp.where(col < n_valid, sim, -jnp.inf)
+    return jax.lax.top_k(sim, kk)               # sorted descending
+
+
 class Searcher:
     """Persistent query engine over a loaded index (the daemon form of
     `search`, used by cli/serve.py): the corpus features live on device
     across requests (no per-query ~100 MB host→HBM upload), and query
     batches pad up to a multiple of `query_batch` so repeated requests hit
-    the same compiled program instead of recompiling per query count."""
+    the same compiled program instead of recompiling per query count.
+
+    With a `mesh`, the corpus shards over the mesh's first axis (N rows
+    padded up to the device count; queries and params replicate) — the
+    serving analogue of data-parallel training, for corpora whose features
+    outgrow one chip's HBM (~1M fp32-dequantized 12-frame videos per
+    16 GB v5e chip).  GSPMD inserts the collectives; the Pallas similarity
+    kernel doesn't auto-partition, so sharded mode pins the XLA einsum
+    path (scores identical — tested)."""
 
     def __init__(self, params: Params, cfg: Config,
                  index: Dict[str, np.ndarray], tokenizer,
-                 query_batch: int = 8):
+                 query_batch: int = 8, mesh=None):
         if query_batch < 1:
             raise ValueError(f"query_batch must be >= 1, got {query_batch}")
         check_meta(index, cfg, params)
         self.params, self.cfg, self.tokenizer = params, cfg, tokenizer
         self.video_ids = [str(v) for v in index["video_ids"]]
         self.query_batch = int(query_batch)
-        self._v_feat = index_video_features(index)
-        self._v_mask = jnp.asarray(index["v_mask"], jnp.float32)
+        self._mesh = mesh
+        if mesh is None:
+            self._params_sim, self._cfg_sim = params, cfg
+            self._v_feat = index_video_features(index)
+            self._v_mask = jnp.asarray(index["v_mask"], jnp.float32)
+            self._replicate = None
+        else:
+            import dataclasses as dc
+
+            from jax.sharding import NamedSharding, PartitionSpec
+            self._cfg_sim = dc.replace(cfg, model=dc.replace(
+                cfg.model, use_pallas="off"))
+            vf = _host_features(index)
+            vm = np.asarray(index["v_mask"], np.float32)
+            pad = (-len(self.video_ids)) % mesh.devices.size
+            if pad:  # rows must split evenly; copies of row 0, ranked out
+                vf = np.concatenate([vf, np.repeat(vf[:1], pad, 0)])
+                vm = np.concatenate([vm, np.repeat(vm[:1], pad, 0)])
+            rows = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+            self._replicate = NamedSharding(mesh, PartitionSpec())
+            self._v_feat = jax.device_put(vf, rows)
+            self._v_mask = jax.device_put(vm, rows)
+            self._params_sim = jax.device_put(params, self._replicate)
 
     def __len__(self) -> int:
         return len(self.video_ids)
 
     def warmup(self) -> None:
-        """Pay the text-encode + similarity compiles before the first
-        request (the daemon calls this before binding the port)."""
+        """Pay the text-encode + similarity + top-k compiles before the
+        first request (the daemon calls this before binding the port)."""
+        self.search(["warmup"], topk=1)
         self.similarities(["warmup"])
+
+    def _similarity(self, queries: Sequence[str]):
+        """Device [Q_padded, N_padded] similarity for a padded query list."""
+        padded = list(queries) + [""] * ((-len(queries)) % self.query_batch)
+        t_feat, t_mask = encode_queries(self.params, self.cfg,
+                                        self.tokenizer, padded)
+        if self._replicate is not None:
+            # co-locate with the sharded corpus (text encode ran on the
+            # default device; GSPMD needs one device set per program)
+            t_feat = jax.device_put(t_feat, self._replicate)
+            t_mask = jax.device_put(np.asarray(t_mask, np.float32),
+                                    self._replicate)
+        return similarity_matrix_device(self._params_sim, self._cfg_sim,
+                                        t_feat, t_mask,
+                                        self._v_feat, self._v_mask)
 
     def similarities(self, queries: Sequence[str]) -> np.ndarray:
         """[Q, N] similarity rows for free-text queries."""
         n = len(queries)
         if n == 0:
             return np.zeros((0, len(self.video_ids)), np.float32)
-        # pad to the compile bucket; "" encodes to the empty CLS/SEP caption
-        padded = list(queries) + [""] * ((-n) % self.query_batch)
-        t_feat, t_mask = encode_queries(self.params, self.cfg,
-                                        self.tokenizer, padded)
-        sim = similarity_matrix_device(self.params, self.cfg, t_feat, t_mask,
-                                       self._v_feat, self._v_mask)
-        return np.asarray(sim)[:n]
+        return np.asarray(self._similarity(queries))[:n, :len(self.video_ids)]
 
     def search(self, queries: Sequence[str], topk: int = 5,
                ) -> List[List[Tuple[str, float]]]:
@@ -251,22 +308,18 @@ class Searcher:
         ranked by the full token-interaction eval similarity.
 
         Top-k runs ON DEVICE (lax.top_k): only [Q, k] values+indices cross
-        to the host, not the [Q, N] matrix — measured 112 → ~70 ms per
+        to the host, not the [Q, N] matrix — measured 112 → 72 ms per
         64-query request at N=10k over the tunnel (the full-matrix fetch +
         host argsort were over a third of the request)."""
         n = len(queries)
         k = max(min(topk, len(self.video_ids)), 0)
         if n == 0 or k == 0:
             return [[] for _ in queries]
-        padded = list(queries) + [""] * ((-n) % self.query_batch)
-        t_feat, t_mask = encode_queries(self.params, self.cfg,
-                                        self.tokenizer, padded)
-        sim = similarity_matrix_device(self.params, self.cfg, t_feat, t_mask,
-                                       self._v_feat, self._v_mask)
+        sim = self._similarity(queries)
         # bucket k (next power of two, min 8) so varying topk reuses a few
         # compiled top-k programs instead of one per distinct k
         kk = min(max(8, 1 << (k - 1).bit_length()), sim.shape[1])
-        vals, idx = jax.lax.top_k(sim, kk)      # sorted descending
+        vals, idx = _masked_topk(sim, kk, len(self.video_ids))
         vals = np.asarray(vals)[:n, :k]
         idx = np.asarray(idx)[:n, :k]
         return [[(self.video_ids[j], float(v)) for j, v in zip(irow, vrow)]

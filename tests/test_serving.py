@@ -301,3 +301,38 @@ def test_http_server_round_trip(setup):
         server.shutdown()
         server.server_close()
         thread.join(timeout=10)
+
+
+def test_searcher_sharded_corpus_matches_single_device(setup):
+    """--num_devices corpus sharding: identical results to the replicated
+    Searcher, including when N doesn't divide the device count (pad rows
+    are copies of video 0 and must be ranked out via the -inf column
+    mask)."""
+    from neighborretr_tpu.parallel import mesh as pmesh
+
+    cfg, ds, params, index = setup
+    tok = _StubTokenizer()
+    # 21 videos over 8 devices → pads to 24 with 3 copies of row 0
+    small = {"video_ids": index["video_ids"][:21],
+             "v_feat": index["v_feat"][:21],
+             "v_mask": index["v_mask"][:21],
+             "meta": index["meta"]}
+    queries = ["a cat plays piano", "someone rides a bike downhill"]
+
+    plain = serving.Searcher(params, cfg, small, tok, query_batch=4)
+    mesh = pmesh.make_mesh(num_devices=8)
+    sharded = serving.Searcher(params, cfg, small, tok, query_batch=4,
+                               mesh=mesh)
+    assert len(sharded) == 21
+
+    want = plain.search(queries, topk=21)       # every video, ranked
+    got = sharded.search(queries, topk=21)
+    for w_hits, g_hits in zip(want, got):
+        assert [v for v, _ in w_hits] == [v for v, _ in g_hits]
+        np.testing.assert_allclose([s for _, s in g_hits],
+                                   [s for _, s in w_hits], rtol=2e-5)
+        # the 3 pad copies of video 0 never appear
+        assert len(g_hits) == 21
+
+    np.testing.assert_allclose(sharded.similarities(queries),
+                               plain.similarities(queries), rtol=2e-5)
