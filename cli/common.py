@@ -41,11 +41,10 @@ def resolve_eval_config(args, batch_size_val: int, logger):
                      and args.clip_checkpoint is None):
         import dataclasses as dc
         tiny = ModelConfig.tiny(max_words=args.max_words,
-                                max_frames=args.max_frames)
+                                max_frames=args.max_frames,
+                                temporal_layers=n_temporal)
         cfg = dc.replace(cfg, model=dc.replace(
-            cfg.model, clip=tiny.clip,
-            # tiny's 2-layer text tower can seed at most 2 temporal layers
-            temporal_layers=min(n_temporal, tiny.clip.transformer_layers),
+            cfg.model, clip=tiny.clip, temporal_layers=tiny.temporal_layers,
             compute_dtype=tiny.compute_dtype))
         logger.info("Using tiny model architecture (--tiny/smoke run)")
     return cfg
@@ -73,6 +72,49 @@ def build_eval_dataset(args, cfg, batch_size: int):
                          max_frames=args.max_frames,
                          resolution=cfg.model.clip.image_resolution,
                          video_framerate=args.video_framerate)
+
+
+def load_query_model(args, index, logger):
+    """Config + params for the index-driven CLIs (cli/search.py,
+    cli/serve.py): model geometry from flags + the index's frame count,
+    meta checked BEFORE paying model init + checkpoint load, then
+    init → optional CLIP weights → optional trained checkpoint."""
+    import jax
+
+    from neighborretr_tpu import serving
+    from neighborretr_tpu.core.config import ClipConfig, Config, ModelConfig
+    from neighborretr_tpu.models import neighborretr as model
+
+    max_frames = index["v_mask"].shape[1]
+    if args.tiny:
+        mcfg = ModelConfig.tiny(max_words=args.max_words,
+                                max_frames=max_frames,
+                                temporal_layers=args.num_hidden_layers)
+    else:
+        mcfg = ModelConfig(clip=ClipConfig.from_name(args.base_encoder),
+                           max_words=args.max_words, max_frames=max_frames,
+                           temporal_layers=args.num_hidden_layers)
+    cfg = Config(model=mcfg)
+    # fail on a config mismatch BEFORE paying model init + checkpoint load;
+    # the query path re-checks with the weights fingerprint once params exist
+    serving.check_meta(index, cfg)
+
+    params = model.init_params(jax.random.PRNGKey(0), cfg.model)
+    # no trained checkpoint (e.g. a pure-CLIP index): fetch the published
+    # CLIP weights so the query tower matches what built the index
+    resolve_clip_checkpoint(args,
+                            weights_already_supplied=bool(args.checkpoint))
+    if args.clip_checkpoint:
+        from neighborretr_tpu.models.weights_io import load_openai_clip_into
+        params = load_openai_clip_into(params, cfg.model,
+                                       args.clip_checkpoint)
+    if args.checkpoint:
+        from neighborretr_tpu.models.weights_io import \
+            load_model_checkpoint_into
+        params = load_model_checkpoint_into(params, cfg.model,
+                                            args.checkpoint)
+        logger.info("Loaded checkpoint %s", args.checkpoint)
+    return cfg, params
 
 
 def load_eval_params(args, cfg, logger):

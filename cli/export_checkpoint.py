@@ -46,11 +46,9 @@ def main():
     from neighborretr_tpu.models.weights_io import save_reference_checkpoint
 
     if args.tiny:
-        import dataclasses as dc
         cfg = ModelConfig.tiny(max_words=args.max_words,
-                               max_frames=args.max_frames)
-        cfg = dc.replace(cfg, temporal_layers=min(
-            args.num_hidden_layers, cfg.clip.transformer_layers))
+                               max_frames=args.max_frames,
+                               temporal_layers=args.num_hidden_layers)
     else:
         clip_cfg = ClipConfig.from_name(args.base_encoder)
         cfg = ModelConfig(clip=clip_cfg, max_words=args.max_words,

@@ -44,49 +44,17 @@ def main():
     if not queries:
         raise SystemExit("no queries (pass --query or pipe lines on stdin)")
 
-    import jax
     from neighborretr_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     from neighborretr_tpu import serving
-    from neighborretr_tpu.core.config import ClipConfig, Config, ModelConfig
     from neighborretr_tpu.data.tokenizer import ClipTokenizer
-    from neighborretr_tpu.models import neighborretr as model
     from neighborretr_tpu.utils.logging import setup_logger
+
+    from cli.common import load_query_model
 
     logger = setup_logger()
     index = serving.load_index(args.index)
-    max_frames = index["v_mask"].shape[1]
-
-    if args.tiny:
-        import dataclasses as dc
-        mcfg = ModelConfig.tiny(max_words=args.max_words,
-                                max_frames=max_frames)
-        mcfg = dc.replace(mcfg, temporal_layers=min(
-            args.num_hidden_layers, mcfg.clip.transformer_layers))
-    else:
-        mcfg = ModelConfig(clip=ClipConfig.from_name(args.base_encoder),
-                           max_words=args.max_words, max_frames=max_frames,
-                           temporal_layers=args.num_hidden_layers)
-    cfg = Config(model=mcfg)
-    # fail on a config mismatch BEFORE paying model init + checkpoint load;
-    # serving.search re-checks with the weights fingerprint once params exist
-    serving.check_meta(index, cfg)
-
-    params = model.init_params(jax.random.PRNGKey(0), cfg.model)
-    # no trained checkpoint (e.g. a pure-CLIP index): fetch the published
-    # CLIP weights so the query tower matches what built the index
-    from cli.common import resolve_clip_checkpoint
-    resolve_clip_checkpoint(args,
-                            weights_already_supplied=bool(args.checkpoint))
-    if args.clip_checkpoint:
-        from neighborretr_tpu.models.weights_io import load_openai_clip_into
-        params = load_openai_clip_into(params, cfg.model, args.clip_checkpoint)
-    if args.checkpoint:
-        from neighborretr_tpu.models.weights_io import \
-            load_model_checkpoint_into
-        params = load_model_checkpoint_into(params, cfg.model,
-                                            args.checkpoint)
-        logger.info("Loaded checkpoint %s", args.checkpoint)
+    cfg, params = load_query_model(args, index, logger)
 
     results = serving.search(params, cfg, index, ClipTokenizer(), queries,
                              topk=args.topk)

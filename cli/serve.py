@@ -96,11 +96,31 @@ def make_handler(searcher, default_topk: int = 5, logger=None):
             self._error(404, f"unknown path {url.path!r}; use /healthz "
                              "or /search")
 
+        def _drain(self, length: int) -> None:
+            """Consume an unread request body so a keep-alive connection
+            stays in sync after an early-exit reply."""
+            while length > 0:
+                chunk = self.rfile.read(min(length, 1 << 16))
+                if not chunk:
+                    break
+                length -= len(chunk)
+
         def do_POST(self):  # noqa: N802
+            try:
+                length = int(self.headers.get("Content-Length") or 0)
+            except ValueError:
+                self.close_connection = True    # cannot locate the body end
+                return self._error(400, "invalid Content-Length header")
+            if length < 0:
+                self.close_connection = True
+                return self._error(400, "invalid Content-Length header")
             if urlparse(self.path).path != "/search":
+                self._drain(length)
                 return self._error(404, "POST /search only")
-            length = int(self.headers.get("Content-Length") or 0)
             if length > MAX_BODY_BYTES:
+                # draining an arbitrarily large body is a DoS vector;
+                # close instead of resyncing
+                self.close_connection = True
                 return self._error(413, "request body too large")
             try:
                 body = json.loads(self.rfile.read(length) or b"{}")
@@ -151,47 +171,17 @@ def main():
                         "checkpoint; args_parser.py:137)")
     args = p.parse_args()
 
-    import jax
     from neighborretr_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     from neighborretr_tpu import serving
-    from neighborretr_tpu.core.config import ClipConfig, Config, ModelConfig
     from neighborretr_tpu.data.tokenizer import ClipTokenizer
-    from neighborretr_tpu.models import neighborretr as model
     from neighborretr_tpu.utils.logging import setup_logger
+
+    from cli.common import load_query_model
 
     logger = setup_logger()
     index = serving.load_index(args.index)
-    max_frames = index["v_mask"].shape[1]
-
-    if args.tiny:
-        import dataclasses as dc
-        mcfg = ModelConfig.tiny(max_words=args.max_words,
-                                max_frames=max_frames)
-        mcfg = dc.replace(mcfg, temporal_layers=min(
-            args.num_hidden_layers, mcfg.clip.transformer_layers))
-    else:
-        mcfg = ModelConfig(clip=ClipConfig.from_name(args.base_encoder),
-                           max_words=args.max_words, max_frames=max_frames,
-                           temporal_layers=args.num_hidden_layers)
-    cfg = Config(model=mcfg)
-    # fail on a config mismatch BEFORE paying model init + checkpoint load;
-    # the Searcher re-checks with the weights fingerprint once params exist
-    serving.check_meta(index, cfg)
-
-    params = model.init_params(jax.random.PRNGKey(0), cfg.model)
-    from cli.common import resolve_clip_checkpoint
-    resolve_clip_checkpoint(args,
-                            weights_already_supplied=bool(args.checkpoint))
-    if args.clip_checkpoint:
-        from neighborretr_tpu.models.weights_io import load_openai_clip_into
-        params = load_openai_clip_into(params, cfg.model, args.clip_checkpoint)
-    if args.checkpoint:
-        from neighborretr_tpu.models.weights_io import \
-            load_model_checkpoint_into
-        params = load_model_checkpoint_into(params, cfg.model,
-                                            args.checkpoint)
-        logger.info("Loaded checkpoint %s", args.checkpoint)
+    cfg, params = load_query_model(args, index, logger)
 
     mesh = None
     if args.num_devices > 1:

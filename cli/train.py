@@ -256,12 +256,10 @@ def main():
         # chunking) is re-applied so smoke runs exercise the requested paths
         import dataclasses as dc
         tiny = ModelConfig.tiny(max_words=args.max_words,
-                                max_frames=args.max_frames)
+                                max_frames=args.max_frames,
+                                temporal_layers=args.num_hidden_layers)
         cfg = dc.replace(cfg, model=dc.replace(
-            cfg.model, clip=tiny.clip,
-            # tiny's 2-layer text tower can seed at most 2 temporal layers
-            temporal_layers=min(args.num_hidden_layers,
-                                tiny.clip.transformer_layers),
+            cfg.model, clip=tiny.clip, temporal_layers=tiny.temporal_layers,
             compute_dtype=tiny.compute_dtype))
         logger.info("Using tiny model architecture (--tiny/smoke run):\n%s",
                     cfg.to_json())

@@ -167,6 +167,16 @@ class ModelConfig:
             raise ValueError(
                 "embed_dim must equal transformer_width "
                 f"(got {self.clip.embed_dim} vs {self.clip.transformer_width})")
+        # Constructor-level so EVERY entry point (train/eval/index/search/
+        # serve/export and API users) is covered: an oversized depth would
+        # otherwise silently truncate in seed_temporal_from_clip's layer
+        # slice — a different model than requested, with no error.
+        if not 1 <= self.temporal_layers <= self.clip.transformer_layers:
+            raise ValueError(
+                f"temporal_layers {self.temporal_layers} must be in "
+                f"[1, {self.clip.transformer_layers}]: the temporal tower "
+                "is seeded from the first N CLIP text resblocks "
+                "(modeling.py:199-220)")
 
     @property
     def width(self) -> int:
@@ -187,12 +197,15 @@ class ModelConfig:
         return self.merge_sizes(self.max_frames, self.video_merge_ratios)
 
     @staticmethod
-    def tiny(max_words: int = 8, max_frames: int = 4) -> "ModelConfig":
+    def tiny(max_words: int = 8, max_frames: int = 4,
+             temporal_layers: int = 2) -> "ModelConfig":
+        clip = ClipConfig.tiny()
         return ModelConfig(
-            clip=ClipConfig.tiny(),
+            clip=clip,
             max_words=max_words,
             max_frames=max_frames,
-            temporal_layers=2,
+            # tiny's 2-layer text tower can seed at most 2 temporal layers
+            temporal_layers=min(temporal_layers, clip.transformer_layers),
             compute_dtype="float32",
         )
 
@@ -338,13 +351,8 @@ def validate(cfg: Config, num_devices: int) -> None:
         )
     if cfg.model.max_words != cfg.data.max_words or cfg.model.max_frames != cfg.data.max_frames:
         raise ValueError("model and data max_words/max_frames must agree")
-    tl = cfg.model.temporal_layers
-    if not 1 <= tl <= cfg.model.clip.transformer_layers:
-        raise ValueError(
-            f"temporal_layers {tl} must be in "
-            f"[1, {cfg.model.clip.transformer_layers}]: the temporal tower "
-            "is seeded from the first N CLIP text resblocks "
-            "(modeling.py:199-220)")
+    # temporal_layers bounds are enforced in ModelConfig.__post_init__ so
+    # every entry point is covered at construction time
     mb = cfg.train.micro_batches
     if mb < 1 or cfg.train.batch_size % mb != 0:
         raise ValueError(

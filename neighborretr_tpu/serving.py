@@ -206,14 +206,6 @@ def encode_queries(params: Params, cfg: Config, tokenizer,
     return t_feat, mask
 
 
-def _host_features(index: Dict[str, np.ndarray]) -> np.ndarray:
-    """Host fp32 view of the stored features (dequantizing int8 indexes)."""
-    if "v_scale" in index:
-        return (index["v_feat"].astype(np.float32)
-                * index["v_scale"].astype(np.float32)[..., None])
-    return np.asarray(index["v_feat"], np.float32)
-
-
 @functools.partial(jax.jit, static_argnames=("kk", "n_valid"))
 def _masked_topk(sim, kk: int, n_valid: int):
     """Device top-k over the first n_valid columns (pad columns → -inf)."""
@@ -257,19 +249,39 @@ class Searcher:
             import dataclasses as dc
 
             from jax.sharding import NamedSharding, PartitionSpec
+            # Pallas kernels don't auto-partition under GSPMD: pin the XLA
+            # paths for the whole sharded query program (scores identical,
+            # parity-tested against the kernels)
             self._cfg_sim = dc.replace(cfg, model=dc.replace(
-                cfg.model, use_pallas="off"))
-            vf = _host_features(index)
-            vm = np.asarray(index["v_mask"], np.float32)
+                cfg.model, use_pallas="off", attention_impl="einsum"))
             pad = (-len(self.video_ids)) % mesh.devices.size
-            if pad:  # rows must split evenly; copies of row 0, ranked out
-                vf = np.concatenate([vf, np.repeat(vf[:1], pad, 0)])
-                vm = np.concatenate([vm, np.repeat(vm[:1], pad, 0)])
-            rows = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+
+            def rows_sharded(a):  # pad rows (copies of row 0, ranked out
+                # by the -inf column mask) so N splits evenly, then shard.
+                # Upload in the STORED dtype — the fp32 view materializes
+                # only on device, so host RAM and transfer stay at
+                # fp16/int8 size for the big-corpus case this mode serves
+                if pad:
+                    a = np.concatenate([a, np.repeat(a[:1], pad, 0)])
+                return jax.device_put(a, NamedSharding(
+                    mesh, PartitionSpec(mesh.axis_names[0])))
+
+            to_f32 = jax.jit(lambda a: a.astype(jnp.float32))
+            if "v_scale" in index:
+                q8 = rows_sharded(index["v_feat"])
+                scale = rows_sharded(index["v_scale"].astype(np.float32))
+                self._v_feat = jax.jit(
+                    lambda q, s: q.astype(jnp.float32) * s[..., None])(
+                        q8, scale)
+            else:
+                self._v_feat = to_f32(rows_sharded(index["v_feat"]))
+            self._v_mask = to_f32(rows_sharded(
+                np.asarray(index["v_mask"], np.float32)))
             self._replicate = NamedSharding(mesh, PartitionSpec())
-            self._v_feat = jax.device_put(vf, rows)
-            self._v_mask = jax.device_put(vm, rows)
-            self._params_sim = jax.device_put(params, self._replicate)
+            # ONE replicated copy serves text encode and similarity (a
+            # second default-device copy would double param HBM on chip 0)
+            self.params = self._params_sim = jax.device_put(
+                params, self._replicate)
 
     def __len__(self) -> int:
         return len(self.video_ids)
@@ -283,14 +295,23 @@ class Searcher:
     def _similarity(self, queries: Sequence[str]):
         """Device [Q_padded, N_padded] similarity for a padded query list."""
         padded = list(queries) + [""] * ((-len(queries)) % self.query_batch)
-        t_feat, t_mask = encode_queries(self.params, self.cfg,
-                                        self.tokenizer, padded)
-        if self._replicate is not None:
-            # co-locate with the sharded corpus (text encode ran on the
-            # default device; GSPMD needs one device set per program)
-            t_feat = jax.device_put(t_feat, self._replicate)
-            t_mask = jax.device_put(np.asarray(t_mask, np.float32),
-                                    self._replicate)
+        if self._replicate is None:
+            t_feat, t_mask = encode_queries(self.params, self.cfg,
+                                            self.tokenizer, padded)
+        else:
+            # place token ids/masks replicated over the mesh BEFORE the
+            # encode so the whole query program runs on one device set
+            # (params are replicated; a default-device input would mix
+            # device sets and fail to lower)
+            enc = [encode_caption(self.tokenizer, q, self.cfg.model.max_words)
+                   for q in padded]
+            ids = jax.device_put(np.stack([e[0] for e in enc]),
+                                 self._replicate)
+            t_mask = jax.device_put(
+                np.stack([e[1] for e in enc]).astype(np.float32),
+                self._replicate)
+            t_feat = _encode_text_batch(self._params_sim, self._cfg_sim,
+                                        ids, t_mask)
         return similarity_matrix_device(self._params_sim, self._cfg_sim,
                                         t_feat, t_mask,
                                         self._v_feat, self._v_mask)

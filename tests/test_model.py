@@ -332,17 +332,20 @@ def test_micro_batches_validation():
 def test_temporal_layers_validation():
     """--num_hidden_layers must fit the text tower it is seeded from
     (modeling.py:199-220 seeds the temporal tower from the first N text
-    resblocks)."""
+    resblocks).  Enforced at ModelConfig CONSTRUCTION so every entry point
+    (train/eval/index/search/serve/export, API users) is covered — an
+    oversized depth would otherwise silently truncate in the seeding
+    slice, running a different model than requested."""
     import dataclasses
 
-    from neighborretr_tpu.core.config import validate
-    base = Config(model=ModelConfig.tiny(max_words=W, max_frames=F))
-    base = dataclasses.replace(base, data=dataclasses.replace(
-        base.data, max_words=W, max_frames=F))
+    base = ModelConfig.tiny(max_words=W, max_frames=F)
     # tiny text tower has 2 layers: 2 is fine, 3 and 0 are not
-    validate(base, num_devices=1)
-    for bad in (0, base.model.clip.transformer_layers + 1):
-        cfg = dataclasses.replace(base, model=dataclasses.replace(
-            base.model, temporal_layers=bad))
+    assert base.temporal_layers == 2
+    for bad in (0, base.clip.transformer_layers + 1):
         with pytest.raises(ValueError, match="temporal_layers"):
-            validate(cfg, num_devices=1)
+            dataclasses.replace(base, temporal_layers=bad)
+    # the tiny factory clamps a user-passed depth to its 2-layer text tower
+    assert ModelConfig.tiny(max_words=W, max_frames=F,
+                            temporal_layers=4).temporal_layers == 2
+    assert ModelConfig.tiny(max_words=W, max_frames=F,
+                            temporal_layers=1).temporal_layers == 1
