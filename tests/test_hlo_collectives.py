@@ -123,3 +123,56 @@ def test_pp_tp_composition_has_both_collectives(tower):
     assert _count(hlo, "all-reduce") >= 1, (
         "Megatron psums should appear inside each pipeline stage")
     assert _count(hlo, "all-to-all") == 0
+
+
+def test_sharded_serving_query_program_has_no_collectives():
+    """Corpus-sharded serving (Searcher(mesh=...)): each device scores its
+    own corpus rows against replicated queries — the similarity program
+    must contain ZERO collectives (in particular no corpus-sized
+    all-gather, which would silently defeat the memory scaling the mode
+    exists for).  The [Q, N] result leaves the program sharded; only the
+    separate top-k / host fetch assembles it."""
+    import json
+
+    import numpy as np
+
+    from neighborretr_tpu import serving
+    from neighborretr_tpu.core.config import Config, ModelConfig
+    from neighborretr_tpu.data.text import encode_caption
+    from neighborretr_tpu.models import neighborretr as model
+    from neighborretr_tpu.train.evaluate import (_encode_text_batch,
+                                                 _sim_block)
+
+    W, F, N = 8, 4, 1600
+    cfg = Config(model=ModelConfig.tiny(max_words=W, max_frames=F))
+    params = model.init_params(jax.random.PRNGKey(0), cfg.model)
+    rng = np.random.default_rng(0)
+    index = {
+        "video_ids": np.asarray([f"v{i}" for i in range(N)]),
+        "v_feat": rng.normal(
+            size=(N, F, cfg.model.clip.embed_dim)).astype(np.float16),
+        "v_mask": np.ones((N, F), np.float32),
+        "meta": np.frombuffer(json.dumps(
+            serving._config_meta(cfg, params)).encode(), dtype=np.uint8),
+    }
+
+    class Tok:
+        def tokenize(self, t):
+            return t.split()
+
+        def convert_tokens_to_ids(self, toks):
+            return [1 + (hash(t) % 500) for t in toks]
+
+    mesh = pmesh.make_mesh(num_devices=8)
+    s = serving.Searcher(params, cfg, index, Tok(), query_batch=4, mesh=mesh)
+
+    enc = [encode_caption(Tok(), "a b c", W) for _ in range(4)]
+    ids = jax.device_put(np.stack([e[0] for e in enc]), s._replicate)
+    tm = jax.device_put(np.stack([e[1] for e in enc]).astype(np.float32),
+                        s._replicate)
+    tf = _encode_text_batch(s._params_sim, s._cfg_sim, ids, tm)
+    hlo = _sim_block.lower(s._params_sim, s._cfg_sim, tf, s._v_feat,
+                           tm, s._v_mask).compile().as_text()
+    for op in ("all-gather", "all-reduce", "all-to-all",
+               "collective-permute", "reduce-scatter"):
+        assert _count(hlo, op) == 0, f"sharded query program emitted {op}"
