@@ -363,6 +363,10 @@ def validate(cfg: Config, num_devices: int) -> None:
             f"device count {num_devices}")
     if cfg.train.n_display < 1:
         raise ValueError(f"n_display must be >= 1, got {cfg.train.n_display}")
+    ps = cfg.train.profile_steps
+    if cfg.train.profile_dir and not 0 <= ps[0] < ps[1]:
+        raise ValueError(
+            f"profile_steps must satisfy 0 <= start < stop, got {ps}")
     if mb > 1 and cfg.train.explicit_spmd:
         raise ValueError(
             "micro_batches applies to the GSPMD path; the explicit-SPMD path "

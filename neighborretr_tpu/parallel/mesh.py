@@ -241,3 +241,28 @@ def place_params(params, mesh: Mesh, fsdp: bool = False):
         from .pipeline import shard_params_pp
         return shard_params_pp(params, mesh)
     return replicate_tree(params, mesh)
+
+
+def shard_map_compat(f, mesh, in_specs, out_specs, manual_axes=None):
+    """Version-portable shard_map with replication checking off (gathers/
+    psums replicate outputs in ways the checker cannot always prove).
+    One implementation for spmd.py and pipeline.py — the jax.shard_map API
+    and its kwarg names move between releases; track them here only.
+
+    manual_axes: mesh axes the body is manual over.  Axes NOT listed (e.g.
+    a Megatron `model` axis on a 3-D data×stage×model mesh) stay AUTO: the
+    body's arrays remain global w.r.t. them and GSPMD partitions the
+    einsums inside each stage — this is how pipeline and tensor
+    parallelism compose in one program."""
+    import jax
+    auto = manual_axes is not None and set(mesh.axis_names) - set(manual_axes)
+    kwargs = {"axis_names": frozenset(manual_axes)} if auto else {}
+    try:
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False, **kwargs)
+    except (AttributeError, TypeError):  # pragma: no cover - older JAX
+        if auto:
+            raise  # partial-manual (auto axes) needs the jax.shard_map API
+        from jax.experimental.shard_map import shard_map as _sm
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)

@@ -152,27 +152,11 @@ def shard_params_pp_tp(params, mesh: Mesh):
                         pp_tp_param_shardings(params, mesh))
 
 
-def _shard_map(f, mesh, in_specs, out_specs, manual_axes=None):
-    """Version-portable shard_map, replication checking off (the final psum
-    replicates outputs over `stage`, which the checker cannot always prove
-    through the where/scan structure).
-
-    manual_axes: mesh axes the body is manual over.  Axes NOT listed (e.g.
-    a Megatron `model` axis on a 3-D data×stage×model mesh) stay AUTO:
-    the body's arrays remain global w.r.t. them and GSPMD partitions the
-    einsums inside each stage — this is how pipeline and tensor parallelism
-    compose in one program."""
-    auto = manual_axes is not None and set(mesh.axis_names) - set(manual_axes)
-    kwargs = {"axis_names": frozenset(manual_axes)} if auto else {}
-    try:
-        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
-                             out_specs=out_specs, check_vma=False, **kwargs)
-    except (AttributeError, TypeError):  # pragma: no cover - older JAX
-        if auto:
-            raise  # partial-manual (auto axes) needs the jax.shard_map API
-        from jax.experimental.shard_map import shard_map as _sm
-        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                   check_rep=False)
+# version-portable shard_map shared with spmd.py (one place tracks the
+# jax.shard_map API moves); the final psum replicates outputs over `stage`,
+# which the replication checker cannot always prove through the where/scan
+# structure — hence compat's check_vma/check_rep off
+from .mesh import shard_map_compat as _shard_map  # noqa: E402
 
 
 def supports(ctx: Optional[PipelineContext], n_layers: int, x) -> bool:

@@ -38,16 +38,10 @@ from ..models import neighborretr as model
 Params = Dict[str, Any]
 
 
-def _shard_map(f, mesh, in_specs, out_specs):
-    """Version-portable shard_map with replication checking off (the gathers
-    make outputs replicated, which the checker cannot always prove)."""
-    try:
-        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
-                             out_specs=out_specs, check_vma=False)
-    except (AttributeError, TypeError):  # pragma: no cover - older JAX
-        from jax.experimental.shard_map import shard_map as _sm
-        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                   check_rep=False)
+# version-portable shard_map shared with pipeline.py (one place tracks the
+# jax.shard_map API moves); the gathers make outputs replicated, which the
+# replication checker cannot always prove — hence compat's checking off
+from .mesh import shard_map_compat as _shard_map  # noqa: E402
 
 
 def _resolve_kernels(cfg) -> Tuple[bool, bool]:
@@ -109,6 +103,17 @@ def compute_losses_spmd(params: Params, cfg: Config,
                         mesh: Mesh, axis: str = "data"):
     """Drop-in for train/step.compute_losses under an explicit mesh."""
     from ..losses import hubness
+
+    if len(mesh.axis_names) > 1:
+        # shard_mapping P(axis) over one axis of a multi-axis mesh would
+        # re-encode the full batch once per replica group AND psum the P()
+        # param cotangents over the WHOLE mesh — gradients scaled by the
+        # replica factor, silently changing the effective LR.  The GSPMD
+        # path handles hybrid/TP meshes correctly.
+        raise ValueError(
+            f"explicit_spmd requires a 1-D ('{axis}',) mesh; got axes "
+            f"{mesh.axis_names} — use the GSPMD path on hybrid/multi-axis "
+            "meshes")
 
     def body(params, batch, bank):
         return gather_features_and_rows(params, cfg, batch, bank, axis=axis)

@@ -106,13 +106,6 @@ def global_norm(tree) -> jnp.ndarray:
                         for g in leaves))
 
 
-def clip_by_global_norm(tree, max_norm: float):
-    """torch.nn.utils.clip_grad_norm_ semantics (eps 1e-6, only shrink)."""
-    norm = global_norm(tree)
-    coef = jnp.minimum(max_norm / (norm + 1e-6), 1.0)
-    return jax.tree.map(lambda g: g * coef, tree)
-
-
 def bert_adam_init(params: Params,
                    moments_dtype: str = "float32") -> BertAdamState:
     dt = jnp.dtype(moments_dtype)
@@ -151,7 +144,11 @@ def bert_adam_update(
           else jnp.sum(jnp.square(g.astype(jnp.float32)))
           for (_, g), fz in zip(flat, frozen)]
     gnorm = jnp.sqrt(sum(sq))
-    coef = jnp.minimum(cfg.max_grad_norm / (gnorm + 1e-6), 1.0)  # stage 1
+    # max_grad_norm <= 0 disables BOTH clip stages (stage 2 already guards;
+    # an unguarded stage 1 would compute coef = min(0/norm, 1) = 0 and
+    # silently zero every gradient)
+    coef = (jnp.minimum(cfg.max_grad_norm / (gnorm + 1e-6), 1.0)  # stage 1
+            if cfg.max_grad_norm > 0 else jnp.ones(()))
 
     def leaf_update(path, g, sq_l, m, v, p):
         keys = _path_keys(path)

@@ -270,6 +270,24 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
                 "Preemption signal caught: saved resumable TrainState to %s "
                 "(continue with --resume_checkpoint)", path)
 
+    profiling = False   # ACROSS epochs: a profile window may span an epoch
+                        # boundary (or the end of training) and must still
+                        # be stopped so the trace is written
+
+    def stop_profiler(reason):
+        nonlocal profiling
+        if profiling:
+            jax.tree.map(lambda x: x.block_until_ready(), state.params)
+            jax.profiler.stop_trace()
+            profiling = False
+            logger.info("Profiler trace written to %s (%s)",
+                        cfg.train.profile_dir, reason)
+
+    def preempt_exit():
+        stop_profiler("stopped on preemption")
+        save_preempt()
+        return state, tracker, best_host
+
     for epoch in range(start_epoch, cfg.train.epochs):
         train_loader.set_epoch(epoch)
         bank_loader.set_epoch(epoch)
@@ -279,10 +297,11 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
             state.params, cfg, bank_loader, state.bank, mesh))
         logger.info("Epoch %d: memory bank filled in %.1fs", epoch,
                     time.time() - tic)
+        if guard.requested:     # SIGTERM during the (minutes-long) bank fill
+            return preempt_exit()
 
         meters = MetricLogger()
         epoch_tic = time.time()
-        profiling = False
         # async H2D: batches stream to HBM while the previous step computes
         # (double-buffered; sharded over the mesh's data axis when present)
         device_batches = prefetch_to_device(train_loader, size=2, mesh=mesh)
@@ -297,23 +316,22 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
                                         mesh=mesh)
             global_step += 1
             if guard.requested:
-                save_preempt()
-                return state, tracker, best_host
+                return preempt_exit()
             # `profiling` guards the resume case where global_step lands
             # inside the window: stop without start would raise
-            if profiling and global_step == cfg.train.profile_steps[1]:
-                jax.tree.map(lambda x: x.block_until_ready(), state.params)
-                jax.profiler.stop_trace()
-                profiling = False
-                logger.info("Profiler trace written to %s", cfg.train.profile_dir)
+            if profiling and global_step >= cfg.train.profile_steps[1]:
+                stop_profiler(f"steps {cfg.train.profile_steps[0]}-"
+                              f"{global_step}")
 
             if (it % cfg.train.n_display) == 0:
                 # DELIBERATE sampling: fetching the metric scalars forces a
                 # host sync, which on a tunneled chip costs more than the
                 # information is worth — meters average every n_display-th
                 # step, not every step (deviation from trainer.py's running
-                # means, documented)
-                scalars = {k: float(v) for k, v in metrics.items()
+                # means, documented).  ONE batched device_get, not a
+                # round-trip per scalar
+                host_metrics = jax.device_get(metrics)
+                scalars = {k: float(v) for k, v in host_metrics.items()
                            if np.ndim(v) == 0}
                 meters.update(**scalars)
                 jsonl.write(kind="train", step=global_step, epoch=epoch,
@@ -354,6 +372,8 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
                     # the next training steps)
                     best_host = pmesh.fetch_to_host(state.params)
                     save_best(best_host)
+                if guard.requested:   # SIGTERM during the mid-epoch eval —
+                    return preempt_exit()   # don't wait out another step
 
         # per-epoch eval + checkpoint (main.py:333-365)
         t2v, v2t = evaluate(state.params, cfg, test_loader, dataset=test_ds,
@@ -376,6 +396,9 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
                                   os.path.join(cfg.train.output_dir,
                                                f"state_epoch{e}.npz"), s))
 
+        if guard.requested:   # SIGTERM during the per-epoch eval/checkpoint
+            return preempt_exit()
+
         # epoch-end bank clear (main.py:368-374): re-created next epoch
         state = state._replace(bank=mb.create(
             cfg.train.memory_bank_capacity, cfg.model.max_words,
@@ -384,4 +407,6 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
             state = state._replace(
                 bank=mb.MemoryBank(*pmesh.replicate_tree(tuple(state.bank), mesh)))
 
+    # a window whose stop step exceeds total steps still writes its trace
+    stop_profiler("stopped at end of training")
     return state, tracker, best_host

@@ -102,7 +102,9 @@ def compute_losses(params: Params, cfg: Config, batch: Dict[str, jnp.ndarray],
     long_tokens = text_feat.shape[1] * video_feat.shape[1] >= 2048
     s_local = model.local_similarity(
         params, text_feat, video_feat, t_mask, v_mask,
-        use_pallas_bank if long_tokens else False)
+        use_pallas_bank if long_tokens else False,
+        sim_dtype=mcfg.sim_dtype)  # same dtype as the bank matrices and the
+    # explicit-SPMD path (spmd.py:90) — the two paths must stay bit-equal
 
     # global path: CTM merge → global similarity → uniform + KL
     g_t, g_v = model.merge_global_features(

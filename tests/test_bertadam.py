@@ -160,3 +160,28 @@ def test_bf16_moments_checkpoint_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(
         np.asarray(loaded.opt.m["w"]).astype(np.float32),
         np.asarray(opt.m["w"]).astype(np.float32))
+
+
+def test_max_grad_norm_nonpositive_disables_both_clip_stages():
+    """max_grad_norm <= 0 means 'clipping off' (the stage-2 guard's
+    convention, mirroring optimization.py:181) — an unguarded stage 1 used
+    to compute coef = min(0/norm, 1) = 0 and silently zero every gradient."""
+    params = {"w": jnp.asarray([[10.0, -20.0]]), "b": jnp.asarray([5.0])}
+    grads = {"w": jnp.asarray([[300.0, 400.0]]), "b": jnp.asarray([1200.0])}
+    base = OptimizerConfig(lr=1e-2, coef_lr=1.0, weight_decay=0.0,
+                           warmup_proportion=0.1, schedule="warmup_constant")
+
+    def step_delta(cfg):
+        state = BA.bert_adam_init(params)
+        state = BA.BertAdamState(step=jnp.asarray(10, jnp.int32),
+                                 m=state.m, v=state.v)
+        new_p, _ = BA.bert_adam_update(grads, state, params, cfg, t_total=20)
+        return jax.tree.map(lambda a, b: np.asarray(b - a), params, new_p)
+
+    clipped = step_delta(dataclasses.replace(base, max_grad_norm=1.0))
+    unclipped = step_delta(dataclasses.replace(base, max_grad_norm=0.0))
+    for k in params:
+        # params must MOVE with clipping off (the bug zeroed the update)
+        assert np.abs(unclipped[k]).min() > 0
+        # and the huge unclipped gradients drive a step at least as large
+        assert np.all(np.abs(unclipped[k]) >= np.abs(clipped[k]) - 1e-12)

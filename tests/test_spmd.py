@@ -73,3 +73,18 @@ def test_spmd_gradients_match_single_device(cfg, rng):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=5e-3, atol=2e-5,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_explicit_spmd_rejects_multi_axis_mesh(cfg, rng):
+    """shard_mapping P('data') over one axis of a hybrid (replica, data)
+    mesh would re-encode the batch per replica group and psum param
+    cotangents over the whole mesh (gradients x replica factor) — reject
+    with a clear error instead."""
+    mesh = pmesh.make_hybrid_mesh((2, 4))
+    params = model.init_params(jax.random.PRNGKey(0), cfg.model)
+    batch = make_batch(rng, cfg, batch=B)
+    bank = mb.create(cfg.train.memory_bank_capacity, W, F,
+                     cfg.model.clip.embed_dim)
+    with pytest.raises(ValueError, match="1-D"):
+        compute_losses_spmd(params, cfg, batch, bank,
+                            jax.random.PRNGKey(3), mesh)
