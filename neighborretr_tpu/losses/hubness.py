@@ -87,7 +87,13 @@ def _minmax_normalize(similarity: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray
     min_vals = jnp.min(masked_min, axis=-1, keepdims=True)
     masked_max = jnp.where(mask == 0.0, similarity, -BIG)
     max_vals = jnp.max(masked_max, axis=-1, keepdims=True)
-    return (similarity - min_vals) / (max_vals - min_vals)
+    # B == num_neighbors + 2 leaves exactly ONE unmasked position per row:
+    # min == max and the reference NaNs the whole loss from step 1
+    # (until_module.py:78-84, 0/0).  Guard the denominator — parity
+    # everywhere the reference is finite, finite where it is not
+    # (documented in PARITY.md deviations).
+    denom = max_vals - min_vals
+    return (similarity - min_vals) / jnp.where(denom > 0.0, denom, 1.0)
 
 
 def neighbor_masks(similarity: jnp.ndarray,

@@ -70,15 +70,22 @@ def init_params(key, cfg: ModelConfig) -> Params:
 
 def seed_temporal_from_clip(params: Params, cfg: ModelConfig) -> Params:
     """Copy CLIP text positional embedding → frame position embeddings, and the
-    first `temporal_layers` text resblocks → temporal transformer."""
+    first `temporal_layers` text resblocks → temporal transformer.
+
+    Copy-on-write like clamp_logit_scale: the caller's tree is never
+    mutated (weights_io.load_openai_clip_into only shallow-copies the top
+    level, and callers may hold the pre-seed tree to diff against)."""
     text = params["clip"]["text"]
-    params["temporal"]["frame_position_embeddings"] = (
+    temporal = dict(params["temporal"])
+    temporal["frame_position_embeddings"] = (
         jnp.copy(text["positional_embedding"]))
     # jnp.copy each leaf: an identity slice would alias the text tower's
     # buffers and break XLA donation (same buffer donated twice)
-    params["temporal"]["transformer"] = jax.tree.map(
+    temporal["transformer"] = jax.tree.map(
         jnp.copy, L.slice_layers(text["transformer"], cfg.temporal_layers))
-    return params
+    out = dict(params)
+    out["temporal"] = temporal
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -128,14 +135,21 @@ def get_video_feat(params: Params, cfg: ModelConfig, video, video_mask,
         # are bounded by one chunk and no per-layer scan boundaries are
         # saved (config.video_chunk_frames) — per-layer remat inside the
         # chunk is off since the chunk's recompute already fits.  A chunk
-        # that does not divide B·F is rounded down to the largest divisor
-        # so the memory bound still holds (never silently unchunked).
-        if (B * F) % chunk:
-            chunk = max(d for d in range(1, chunk + 1) if (B * F) % d == 0)
-        chunked = frames.reshape((B * F // chunk, chunk) + frames.shape[1:])
+        # that does not divide B·F pads the frame axis UP to a multiple
+        # (pad rows dropped after): rounding DOWN to a divisor could
+        # degrade to chunk=1 — B·F serialized single-frame calls — when
+        # B·F is prime or has only small factors.
+        total = B * F
+        pad = (-total) % chunk
+        if pad:
+            frames = jnp.concatenate(
+                [frames, jnp.zeros((pad,) + frames.shape[1:], frames.dtype)])
+        chunked = frames.reshape(
+            ((total + pad) // chunk, chunk) + frames.shape[1:])
         cls_feat = jax.lax.map(
             jax.checkpoint(lambda fr: encode_frames(fr, False)), chunked)
-        cls_feat = cls_feat.reshape((B * F,) + cls_feat.shape[2:])
+        cls_feat = cls_feat.reshape(
+            (total + pad,) + cls_feat.shape[2:])[:total]
     else:
         cls_feat = encode_frames(frames, remat)
     frame_feat = cls_feat.reshape(B, F, -1).astype(jnp.float32)

@@ -44,13 +44,24 @@ Params = Dict[str, Any]
 from .mesh import shard_map_compat as _shard_map  # noqa: E402
 
 
-def _resolve_kernels(cfg) -> Tuple[bool, bool]:
+def _resolve_kernels(cfg) -> Tuple[str, bool]:
+    """(attention_impl for the per-shard encoder, use_pallas verdict).
+
+    Unlike model.resolve_fused_attention's 'auto' (which requires a single
+    device — GSPMD can't partition pallas_call), per-shard kernels are the
+    POINT of explicit SPMD, so 'auto' resolves to the fused kernel on TPU.
+    The kernels' bf16-only contract still holds: under
+    compute_dtype='float32', 'auto' degrades to einsum (an EXPLICIT
+    'fused'/'fused_block' raises in resolve_fused_attention, same as the
+    single-chip path); explicit impls pass through untouched."""
     on_tpu = jax.default_backend() == "tpu"
-    fused_attn = (cfg.model.attention_impl == "fused"
-                  or (cfg.model.attention_impl == "auto" and on_tpu))
+    impl = cfg.model.attention_impl
+    if impl == "auto":
+        impl = ("fused" if on_tpu and cfg.model.compute_dtype == "bfloat16"
+                else "einsum")
     use_pallas = (cfg.model.use_pallas == "on"
                   or (cfg.model.use_pallas == "auto" and on_tpu))
-    return fused_attn, use_pallas
+    return impl, use_pallas
 
 
 def gather_features_and_rows(params: Params, cfg: Config,
@@ -62,12 +73,11 @@ def gather_features_and_rows(params: Params, cfg: Config,
     bank_v2t) — global shapes, identical on every shard.
     """
     mcfg = cfg.model
-    fused_attn, use_pallas = _resolve_kernels(cfg)
+    attn_impl, use_pallas = _resolve_kernels(cfg)
 
     # 1. local encode (Pallas kernels per shard)
     import dataclasses
-    enc_cfg = dataclasses.replace(
-        mcfg, attention_impl="fused" if fused_attn else "einsum")
+    enc_cfg = dataclasses.replace(mcfg, attention_impl=attn_impl)
     t_l, v_l = model.get_text_video_feat(
         params, enc_cfg, batch["text_ids"], batch["text_mask"],
         batch["video"], batch["video_mask"])

@@ -162,3 +162,17 @@ def test_neighbor_masks_topk_and_diag(rng):
         row[i] = -np.inf
         top = set(np.argsort(-row)[:k])
         assert set(np.nonzero(neighbor[i])[0]) == top
+
+
+def test_neighbor_loss_finite_at_batch_equals_k_plus_2(rng):
+    """B == num_neighbors + 2 leaves ONE unmasked position per extended-mask
+    row, so the reference's min-max normalization is 0/0 and the loss NaNs
+    from step 1 (until_module.py:78-84).  Our guarded denominator keeps it
+    finite (PARITY.md documented deviation); parity holds wherever the
+    reference is finite (the torch-oracle tests above)."""
+    for B, k in ((22, 20), (6, 4)):
+        sim = jnp.asarray(rng.normal(size=(B, B)).astype(np.float32))
+        bank = jnp.asarray(rng.normal(size=(B, 16)).astype(np.float32))
+        loss = hubness.neighbor_adjusting_loss(sim, bank, num_neighbors=k,
+                                               temperature=3.0)
+        assert np.isfinite(float(loss)), (B, k)

@@ -349,3 +349,22 @@ def test_temporal_layers_validation():
                             temporal_layers=4).temporal_layers == 2
     assert ModelConfig.tiny(max_words=W, max_frames=F,
                             temporal_layers=1).temporal_layers == 1
+
+
+def test_video_chunk_frames_pads_non_divisible(rng):
+    """A chunk that doesn't divide B*F pads the frame axis UP (pad rows
+    dropped) — rounding DOWN to a divisor could serialize into B*F
+    single-frame calls when B*F is prime."""
+    import dataclasses
+
+    cfg = ModelConfig.tiny(max_words=8, max_frames=2)
+    cfg_chunked = dataclasses.replace(cfg, video_chunk_frames=4)
+    params = model.init_params(jax.random.PRNGKey(0), cfg)
+    B, F, R = 7, 2, cfg.clip.image_resolution   # B*F = 14, pads to 16
+    video = jnp.asarray(rng.normal(size=(B, F, R, R, 3)).astype(np.float32))
+    mask = jnp.ones((B, F), jnp.float32)
+
+    out_plain = model.get_video_feat(params, cfg, video, mask)
+    out_chunk = model.get_video_feat(params, cfg_chunked, video, mask)
+    np.testing.assert_allclose(np.asarray(out_chunk), np.asarray(out_plain),
+                               atol=1e-5)
