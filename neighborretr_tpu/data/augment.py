@@ -73,11 +73,12 @@ def _solarize(im, thresh):
     return ImageOps.solarize(im, int(thresh))
 
 
-@_pil
-def _solarize_add(im, add):
-    arr = np.asarray(im).astype(np.int16)
-    out = np.where(arr < 128, np.clip(arr + int(add), 0, 255), arr)
-    return Image.fromarray(out.astype(np.uint8))
+def _solarize_add(arr, add):
+    # pure numpy (no PIL round-trip: the @_pil wrapper would add four
+    # full-frame copies per application on the decode-pool hot path)
+    a = arr.astype(np.int16)
+    out = np.where(a < 128, np.clip(a + int(add), 0, 255), a)
+    return out.astype(np.uint8)
 
 
 @_pil

@@ -24,10 +24,11 @@ def build_msvd(subset: str, anno_path: str, video_path: str,
         captions = pickle.load(f)
 
     video_paths = {}
+    id_set = set(video_ids)
     for root, _, files in os.walk(video_path):
         for name in files:
             vid = ".".join(name.split(".")[:-1])
-            if vid in set(video_ids):
+            if vid in id_set:
                 video_paths[vid] = os.path.join(root, name)
 
     pairs = []

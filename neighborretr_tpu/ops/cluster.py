@@ -67,7 +67,9 @@ def cluster_dpc_knn(
     dist = pairwise_dist(x)
     if token_mask is not None:
         valid = token_mask > 0
-        # distance to/from empty tokens pushed past the global max
+        # distances TO empty tokens (column axis only) pushed past the
+        # global max; invalid ROWS keep true distances — their density
+        # is zeroed by token_mask below, matching the reference exactly
         global_max = jnp.max(dist)
         dist = dist * valid[:, None, :] + (global_max + 1.0) * (~valid[:, None, :])
 

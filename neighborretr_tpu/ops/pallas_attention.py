@@ -59,13 +59,11 @@ def _pick_fb(n_frames: int, L: int, target_rows: int = None) -> int:
     return best
 
 
-def _frame_diag_bias(rows: int, L: int, n_stack: int = 1) -> jnp.ndarray:
-    """[n_stack·rows, rows] additive bias: 0 within a frame's L×L diagonal
-    block, NEG_INF elsewhere (row r of stack copy s maps to frame
-    (r mod rows) // L) — one tensor covers all heads stacked along rows."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (n_stack * rows, rows), 0)
-    r = jax.lax.rem(r, rows) // L
-    c = jax.lax.broadcasted_iota(jnp.int32, (n_stack * rows, rows), 1) // L
+def _frame_diag_bias(rows: int, L: int) -> jnp.ndarray:
+    """[rows, rows] additive bias: 0 within a frame's L×L diagonal block,
+    NEG_INF elsewhere (row r maps to frame r // L)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0) // L
+    c = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1) // L
     return jnp.where(r == c, 0.0, NEG_INF).astype(jnp.float32)
 
 
