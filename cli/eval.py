@@ -40,6 +40,11 @@ def main():
     p.add_argument("--max_frames", type=int, default=12)
     p.add_argument("--video_framerate", type=int, default=1)
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--worker_mode", choices=["thread", "process"],
+                   default="thread",
+                   help="loader workers: threads (default) or forked "
+                        "processes (scales Python-level augment cost on "
+                        "many-core hosts)")
     p.add_argument("--num_devices", type=int, default=None,
                    help="devices in the eval data mesh (None = all)")
     p.add_argument("--tensor_parallel", type=int, default=1,
@@ -63,6 +68,7 @@ def main():
     # assemble only its LOCAL rows for make_array_from_process_local_data)
     loader = BatchLoader(ds, args.batch_size_val, shuffle=False,
                          drop_last=False, workers=args.workers,
+                         worker_mode=args.worker_mode,
                          pad_to_batch=True,
                          process_index=jax.process_index(),
                          process_count=jax.process_count())

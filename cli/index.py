@@ -47,6 +47,11 @@ def main():
     p.add_argument("--max_frames", type=int, default=12)
     p.add_argument("--video_framerate", type=int, default=1)
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--worker_mode", choices=["thread", "process"],
+                   default="thread",
+                   help="loader workers: threads (default) or forked "
+                        "processes (scales Python-level augment cost on "
+                        "many-core hosts)")
     args = p.parse_args()
 
     import jax
@@ -67,7 +72,8 @@ def main():
     cfg = resolve_eval_config(args, args.batch_size, logger)
     ds = build_eval_dataset(args, cfg, args.batch_size)
     loader = BatchLoader(ds, args.batch_size, shuffle=False, drop_last=False,
-                         workers=args.workers, pad_to_batch=True)
+                         workers=args.workers, worker_mode=args.worker_mode,
+                         pad_to_batch=True)
     params = load_eval_params(args, cfg, logger)
 
     index = serving.build_video_index(params, cfg, loader, dataset=ds,

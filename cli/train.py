@@ -63,6 +63,11 @@ def parse_args():
     p.add_argument("--temperature", type=float, default=3.0)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--worker_mode", choices=["thread", "process"],
+                   default="thread",
+                   help="loader workers: threads (default) or forked "
+                        "processes (scales Python-level augment cost on "
+                        "many-core hosts)")
     p.add_argument("--n_display", type=int, default=50)
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--remat", action="store_true")
@@ -175,7 +180,8 @@ def main():
                         video_path=args.video_path, max_words=args.max_words,
                         max_frames=args.max_frames,
                         video_framerate=args.video_framerate,
-                        workers=args.workers),
+                        workers=args.workers,
+                        worker_mode=args.worker_mode),
         train=TrainConfig(epochs=args.epochs, batch_size=args.batch_size,
                           batch_size_val=args.batch_size_val,
                           mb_batch=args.mb_batch, seed=args.seed,

@@ -256,6 +256,9 @@ class DataConfig:
     video_framerate: int = 1
     image_resolution: int = 224
     workers: int = 8
+    # "thread" (cv2 releases the GIL) or "process" (forked workers; scales
+    # Python-level augment cost across cores — reference DataLoader model)
+    worker_mode: str = "thread"
     train_augment: bool = True
 
 

@@ -6,10 +6,22 @@ to the jitted SPMD program, which shards it over the mesh's data axis at the
 call boundary — there is no per-rank sampling to reconcile, and the eval-time
 id-reordering dance (evaluator.py:173-189) disappears by construction.
 
-Video decode (the reference's worker processes) runs on a thread pool: cv2
-releases the GIL inside decode, so threads scale like the reference's workers
-without pickling overhead.  A one-batch prefetch overlaps host decode with
-device compute.
+Video decode (the reference's worker processes) runs on a thread pool by
+default: cv2 releases the GIL inside decode, so threads scale like the
+reference's workers without pickling overhead.  A one-batch prefetch overlaps
+host decode with device compute.
+
+`worker_mode="process"` switches to forked worker PROCESSES (the reference's
+torch DataLoader num_workers model, data_dataloaders.py:36-47): the
+Python-level work per item — RandAugment's per-op PIL orchestration, batch
+dict assembly — holds the GIL, so on many-core TPU-VM hosts threads alone
+plateau well below the chip's ~350 clips/s appetite.  Process workers pay
+~2 MB/clip of result pickling but scale the Python cost across cores.
+Workers fork at epoch start (each __iter__), inheriting the dataset
+post-set_epoch; per-item state must come from item(i) alone (our datasets
+derive per-item RNGs from (seed, epoch, index), so decode order or worker
+assignment cannot change results).  Caption/LRU caches are per-worker in
+this mode, as in the reference.
 """
 
 from __future__ import annotations
@@ -20,6 +32,20 @@ from queue import Queue
 from typing import Dict, Iterator, Optional
 
 import numpy as np
+
+# Forked workers read the dataset from a module global installed by the pool
+# initializer: task submissions then pickle only the item index, never the
+# dataset (which may hold unpicklable caches/locks — fork inherits those).
+_WORKER_DATASET = None
+
+
+def _worker_init(dataset) -> None:
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _worker_item(i: int):
+    return _WORKER_DATASET.item(i)
 
 
 def _stack(items) -> Dict[str, np.ndarray]:
@@ -36,13 +62,21 @@ class BatchLoader:
       shuffle: reshuffle each epoch (seeded, epoch-dependent).
       drop_last: drop the trailing partial batch (train) — eval pads instead
         via `pad_to_batch` so shapes stay static for jit.
-      workers: decode threads.
+      workers: decode threads (or forked processes, per worker_mode).
+      worker_mode: "thread" (default; cv2 releases the GIL) or "process"
+        (forked workers — scales Python-level augment cost across cores,
+        the reference's DataLoader num_workers model).
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, workers: int = 8, seed: int = 42,
                  pad_to_batch: bool = False, prefetch: int = 2,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 worker_mode: str = "thread"):
+        if worker_mode not in ("thread", "process"):
+            raise ValueError(
+                f"worker_mode must be 'thread' or 'process', got {worker_mode!r}")
+        self.worker_mode = worker_mode
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -111,13 +145,37 @@ class BatchLoader:
         # fetch each unique index once: pad slots repeat the last real index
         # and must not re-decode its video per slot
         uniq, inv = np.unique(local_idx, return_inverse=True)
-        fetched = list(pool.map(self.dataset.item, uniq))
+        if isinstance(pool, cf.ProcessPoolExecutor):
+            fetched = list(pool.map(_worker_item, [int(u) for u in uniq]))
+        else:
+            fetched = list(pool.map(self.dataset.item, uniq))
         batch = _stack([fetched[j] for j in inv])
         batch["valid"] = g_valid[lo:lo + per]
         if self.process_count > 1:
             batch["global_idx"] = g_idx
             batch["global_valid"] = g_valid
         return batch
+
+    def _make_pool(self):
+        if self.worker_mode == "process":
+            import multiprocessing as mp
+            try:
+                # fork only: the dataset reaches workers by memory
+                # inheritance (initargs are not pickled under fork), so
+                # caches/locks/open tokenizers survive; spawn would have to
+                # pickle all of it.  Fork happens before the producer thread
+                # starts, at epoch start.
+                ctx = mp.get_context("fork")
+            except ValueError:
+                import logging
+                logging.getLogger("neighborretr_tpu").warning(
+                    "worker_mode='process' needs the fork start method "
+                    "(unavailable on this platform); using threads")
+                return cf.ThreadPoolExecutor(self.workers)
+            return cf.ProcessPoolExecutor(
+                self.workers, mp_context=ctx,
+                initializer=_worker_init, initargs=(self.dataset,))
+        return cf.ThreadPoolExecutor(self.workers)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = self._order()
@@ -126,7 +184,7 @@ class BatchLoader:
         slices = [order[i: i + self.batch_size]
                   for i in range(0, limit, self.batch_size)]
 
-        pool = cf.ThreadPoolExecutor(self.workers)
+        pool = self._make_pool()
         if self.prefetch <= 0:
             try:
                 for s in slices:

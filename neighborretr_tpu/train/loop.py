@@ -85,7 +85,8 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
     # per-process data sharding on multi-host runs (every process assembles
     # its block of the same seeded global plan; see data/loader.py)
     proc = dict(process_index=jax.process_index(),
-                process_count=jax.process_count())
+                process_count=jax.process_count(),
+                worker_mode=cfg.data.worker_mode)
     train_loader = BatchLoader(train_ds, cfg.train.batch_size, shuffle=True,
                                drop_last=True, workers=workers,
                                seed=cfg.train.seed, **proc)

@@ -24,10 +24,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def bench_loader(ds, batch, workers, tag, n_batches=8, prefetch=2):
+def bench_loader(ds, batch, workers, tag, n_batches=8, prefetch=2,
+                 worker_mode="thread"):
     from neighborretr_tpu.data.loader import BatchLoader
     loader = BatchLoader(ds, batch, shuffle=True, drop_last=True,
-                         workers=workers, prefetch=prefetch)
+                         workers=workers, prefetch=prefetch,
+                         worker_mode=worker_mode)
     it = iter(loader)
     next(it)                                   # warm the pool
     tic = time.perf_counter()
@@ -45,6 +47,8 @@ def bench_loader(ds, batch, workers, tag, n_batches=8, prefetch=2):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workers", type=int, default=os.cpu_count() or 8)
+    ap.add_argument("--worker_mode", choices=["thread", "process"],
+                    default="thread")
     ap.add_argument("--batch", type=int, default=96)
     ap.add_argument("--video_dir", default=None,
                     help="directory of .mp4 files for a real-decode run")
@@ -54,7 +58,8 @@ def main():
 
     n = args.batch * 12
     base = SyntheticDataset(n=n, max_words=24, max_frames=12, resolution=224)
-    bench_loader(base, args.batch, args.workers, "synthetic, no augment")
+    bench_loader(base, args.batch, args.workers, "synthetic, no augment",
+                 worker_mode=args.worker_mode)
 
     class AugSyn(SyntheticDataset):
         def __init__(self, **kw):
@@ -69,7 +74,8 @@ def main():
             return out
 
     bench_loader(AugSyn(n=n, max_words=24, max_frames=12, resolution=224),
-                 args.batch, args.workers, "synthetic + RandAugment")
+                 args.batch, args.workers, "synthetic + RandAugment",
+                 worker_mode=args.worker_mode)
 
     if args.video_dir:
         from neighborretr_tpu.data.datasets.base import RetrievalDataset
@@ -80,7 +86,8 @@ def main():
         paths = {v: os.path.join(args.video_dir, v) for v in vids}
         ds = RetrievalDataset(pairs, paths, ClipTokenizer(), is_train=True)
         bench_loader(ds, min(args.batch, max(1, len(ds) // 2)), args.workers,
-                     "real decode + RandAugment", n_batches=4)
+                     "real decode + RandAugment", n_batches=4,
+                     worker_mode=args.worker_mode)
 
     # device upload path (needs an accelerator; skipped silently on failure)
     try:

@@ -145,3 +145,43 @@ def test_prefetch_propagates_dataset_errors():
                          workers=2, prefetch=2)
     with pytest.raises(RuntimeError, match="corrupt video"):
         list(iter(loader))
+
+
+def test_process_workers_match_thread_workers():
+    """worker_mode='process' (forked workers, the reference's DataLoader
+    num_workers model) must produce byte-identical batches to the thread
+    pool: items are pure functions of (dataset state, index), the fork
+    happens at epoch start, and only indices cross the IPC boundary."""
+    ds = _ToyDataset(10)
+    t = BatchLoader(ds, 4, shuffle=True, seed=5, workers=2, prefetch=0,
+                    pad_to_batch=True)
+    p = BatchLoader(ds, 4, shuffle=True, seed=5, workers=2, prefetch=2,
+                    pad_to_batch=True, worker_mode="process")
+    t.set_epoch(1)
+    p.set_epoch(1)
+    tb, pb = _collect(t), _collect(p)
+    assert len(tb) == len(pb) == 3
+    for x, y in zip(tb, pb):
+        for k in x:
+            np.testing.assert_array_equal(x[k], y[k])
+
+
+def test_process_workers_propagate_errors():
+    class Bad:
+        def __len__(self):
+            return 8
+
+        def item(self, i):
+            if i == 5:
+                raise RuntimeError("corrupt video file")
+            return {"x": np.zeros(2, np.float32), "idx": np.int32(i)}
+
+    loader = BatchLoader(Bad(), 4, shuffle=False, drop_last=False,
+                         workers=2, prefetch=2, worker_mode="process")
+    with pytest.raises(RuntimeError, match="corrupt video file"):
+        _collect(loader)
+
+
+def test_invalid_worker_mode_rejected():
+    with pytest.raises(ValueError, match="worker_mode"):
+        BatchLoader(_ToyDataset(4), 2, worker_mode="greenlet")
