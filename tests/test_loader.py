@@ -185,3 +185,38 @@ def test_process_workers_propagate_errors():
 def test_invalid_worker_mode_rejected():
     with pytest.raises(ValueError, match="worker_mode"):
         BatchLoader(_ToyDataset(4), 2, worker_mode="greenlet")
+
+
+def test_process_workers_with_real_video_decode(tmp_path):
+    """cv2 decode inside forked workers (the riskiest fork interaction:
+    inherited cv2/ffmpeg thread state) must produce the same batches as the
+    thread pool on a real encoded clip."""
+    cv2 = pytest.importorskip("cv2")
+    path = tmp_path / "clip.mp4"
+    w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"),
+                        12, (64, 48))
+    if not w.isOpened():
+        pytest.skip("cv2 VideoWriter mp4v unavailable")
+    for i in range(24):
+        w.write(np.full((48, 64, 3), i * 10 % 256, np.uint8))
+    w.release()
+
+    from neighborretr_tpu.data.datasets.base import RetrievalDataset
+    from neighborretr_tpu.data.tokenizer import ClipTokenizer
+    tok = ClipTokenizer()
+    pairs = [("v0", f"caption number {i}", None, None) for i in range(4)]
+    paths = {"v0": str(path)}
+
+    def build():
+        return RetrievalDataset(pairs, paths, tok, is_train=False,
+                                max_words=8, max_frames=4, resolution=32)
+
+    t = BatchLoader(build(), 2, shuffle=False, workers=2, prefetch=0)
+    p = BatchLoader(build(), 2, shuffle=False, workers=2, prefetch=2,
+                    worker_mode="process")
+    tb, pb = _collect(t), _collect(p)
+    assert len(tb) == len(pb) == 2
+    for x, y in zip(tb, pb):
+        for k in x:
+            np.testing.assert_array_equal(x[k], y[k])
+    assert tb[0]["video"].std() > 0       # real decoded pixels, not fallback
