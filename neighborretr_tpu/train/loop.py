@@ -306,7 +306,27 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
         # async H2D: batches stream to HBM while the previous step computes
         # (double-buffered; sharded over the mesh's data axis when present)
         device_batches = prefetch_to_device(train_loader, size=2, mesh=mesh)
-        for it, batch in enumerate(device_batches):
+
+        # Host wait on the data pipeline (the reference's data-time meter,
+        # trainer.py:68,121-144).  Steps dispatch asynchronously, so host
+        # time blocked in next() == loader starvation: ~0 means the decode
+        # pipeline keeps up with the chip; anything substantial says add
+        # workers (or switch --worker_mode process on many-core hosts).
+        data_wait = [0.0]
+
+        def _timed(src):
+            it_ = iter(src)
+            while True:
+                t0 = time.perf_counter()
+                try:
+                    b = next(it_)
+                except StopIteration:
+                    return
+                data_wait[0] += time.perf_counter() - t0
+                yield b
+
+        data_wait_logged = 0.0
+        for it, batch in enumerate(_timed(device_batches)):
             # profiler window (SURVEY §5: jax.profiler replaces the
             # reference's ad-hoc wall-clock timing)
             if cfg.train.profile_dir and global_step == cfg.train.profile_steps[0]:
@@ -334,6 +354,8 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
                 host_metrics = jax.device_get(metrics)
                 scalars = {k: float(v) for k, v in host_metrics.items()
                            if np.ndim(v) == 0}
+                scalars["data_wait_s"] = data_wait[0] - data_wait_logged
+                data_wait_logged = data_wait[0]
                 meters.update(**scalars)
                 jsonl.write(kind="train", step=global_step, epoch=epoch,
                             **{k: round(v, 6) for k, v in scalars.items()})

@@ -60,6 +60,8 @@ def test_run_training_end_to_end(tmp_path, datasets):
     assert kinds == {"train", "eval"}, kinds
     train_rows = [r for r in rows if r["kind"] == "train"]
     assert all(np.isfinite(r["loss"]) for r in train_rows)
+    # loader-starvation meter (the reference's data-time meter analogue)
+    assert all(r["data_wait_s"] >= 0 for r in train_rows)
     eval_rows = [r for r in rows if r["kind"] == "eval"]
     assert all("R1" in r["t2v"] and "R1" in r["v2t"] for r in eval_rows)
 
