@@ -254,7 +254,8 @@ class DataConfig:
     max_words: int = 24
     max_frames: int = 12
     video_framerate: int = 1
-    image_resolution: int = 224
+    # (no separate image_resolution: frames decode at
+    # model.clip.image_resolution — one source of truth)
     workers: int = 8
     # "thread" (cv2 releases the GIL) or "process" (forked workers; scales
     # Python-level augment cost across cores — reference DataLoader model)
@@ -333,12 +334,19 @@ class Config:
         model = ModelConfig(clip=clip, **{
             k: tuple(v) if isinstance(v, list) else v for k, v in raw["model"].items()
         })
+        # JSON lists must come back as tuples everywhere: Config is a jit
+        # static argument (train/step.py), so every field must be hashable,
+        # and from_json(to_json(cfg)) must equal cfg
+        train = TrainConfig(**{
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in raw["train"].items()
+        })
         return Config(
             model=model,
             loss=LossConfig(**raw["loss"]),
             optim=OptimizerConfig(**raw["optim"]),
             data=DataConfig(**raw["data"]),
-            train=TrainConfig(**raw["train"]),
+            train=train,
         )
 
 
@@ -379,6 +387,10 @@ def validate(cfg: Config, num_devices: int) -> None:
         raise ValueError(
             "fsdp shards params by GSPMD placement; the explicit-SPMD "
             "shard_map path would re-gather the full tree every step")
+    if cfg.train.pipeline_microbatches < 0:
+        raise ValueError(
+            f"pipeline_microbatches must be >= 0 (0 → 4·stages), got "
+            f"{cfg.train.pipeline_microbatches}")
     pp = cfg.train.pipeline_parallel
     if pp > 1:
         if cfg.train.fsdp:

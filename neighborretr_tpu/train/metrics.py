@@ -115,7 +115,8 @@ def tensor_text_to_video_metrics(
 
 
 def tensor_video_to_text_sim(sim_tensor: np.ndarray) -> np.ndarray:
-    """[P, V, V] → [V, V] max-over-captions matrix (metrics.py:125-145)."""
+    """[V, P, V] (videos, captions-per-video, videos) → [V, V] max-over-
+    captions matrix (metrics.py:125-145); axis 1 is the caption axis."""
     sim = np.asarray(sim_tensor, dtype=np.float64).copy()
     sim[np.isnan(sim)] = -np.inf
     return np.max(sim, axis=1).T

@@ -14,6 +14,8 @@ def setup_logger(name: str = "neighborretr_tpu", output_dir: str = "",
                  is_main: bool = True, level=logging.DEBUG) -> logging.Logger:
     """Rank-aware logger: non-main processes log errors only (logger.py:13-55)."""
     logger = logging.getLogger(name)
+    for h in logger.handlers:      # close before dropping: a re-setup must
+        h.close()                  # not leak the previous run's log.txt fd
     logger.handlers.clear()
     logger.propagate = False
     if not is_main:
@@ -50,8 +52,11 @@ class SmoothedValue:
 
     @property
     def median(self) -> float:
+        # lower-middle on even windows: torch.median returns the smaller of
+        # the two central elements, and the reference meters use it
+        # (metric_logger.py:34-37)
         d = sorted(self.deque)
-        return d[len(d) // 2] if d else 0.0
+        return d[(len(d) - 1) // 2] if d else 0.0
 
     @property
     def avg(self) -> float:
@@ -86,14 +91,6 @@ class MetricLogger:
             for name, m in self.meters.items())
 
 
-class Timer:
-    def __init__(self):
-        self.start = time.time()
-
-    def elapsed(self) -> float:
-        return time.time() - self.start
-
-
 class JsonlMetricsWriter:
     """Machine-readable training log: one JSON object per display step and
     per evaluation, appended to <output_dir>/metrics.jsonl — the
@@ -108,6 +105,10 @@ class JsonlMetricsWriter:
                      if output_dir else None)
         self.enabled = bool(enabled and self.path
                             and jax.process_index() == 0)
+        if self.enabled:
+            # library callers may pass their own logger to run_training and
+            # skip setup_logger's makedirs — the writer owns its directory
+            os.makedirs(output_dir, exist_ok=True)
 
     def write(self, **fields) -> None:
         if not self.enabled:
