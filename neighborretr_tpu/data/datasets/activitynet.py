@@ -14,7 +14,8 @@ import math
 import os
 
 from ..tokenizer import ClipTokenizer
-from .base import RetrievalDataset
+from .base import (RetrievalDataset, discover_video_paths,
+                   warn_missing_videos)
 
 
 def build_activitynet(subset: str, anno_path: str, video_path: str,
@@ -30,23 +31,25 @@ def build_activitynet(subset: str, anno_path: str, video_path: str,
     with open(os.path.join(anno_path, data_file)) as f:
         data = json.load(f)
 
-    pairs = []
-    video_paths = {}
-    for root, _, files in os.walk(video_path):
-        for name in files:
-            vid = ".".join(name.split(".")[:-1])
-            video_paths[vid] = os.path.join(root, name)
+    annotated = [pid for pid in pseudo_ids if pid in data]
+    # files may be named with or without the "v_" prefix
+    id_set = set(annotated) | {pid[2:] for pid in annotated}
+    video_paths = discover_video_paths(video_path, id_set)
 
-    for pid in pseudo_ids:
-        if pid not in data:
-            continue
+    pairs = []
+    matched = set()
+    for pid in annotated:
         v = data[pid]
         vid = pid[2:]  # strip "v_"
         path_key = vid if vid in video_paths else (pid if pid in video_paths else None)
         if path_key is None:
             continue
+        matched.add(pid)
         end = int(math.ceil(float(v["duration"])))
         pairs.append((path_key, " ".join(v["sentences"]), 0.0, float(end)))
+
+    warn_missing_videos("activitynet", annotated,
+                        {pid: pid for pid in matched}, dropped=True)
 
     return RetrievalDataset(pairs, video_paths, tokenizer,
                             multi_sentence_per_video=False, **kw)

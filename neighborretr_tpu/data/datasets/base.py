@@ -19,6 +19,8 @@ A dataset is a plain Python object exposing:
 
 from __future__ import annotations
 
+import logging
+import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -33,11 +35,49 @@ def _mtime(path: str) -> float:
     """File mtime for the decode-cache key (stale-file invalidation,
     rawvideo_util.py:202-216); 0.0 when unreadable (the decode itself will
     surface the error)."""
-    import os
     try:
         return os.path.getmtime(path)
     except OSError:
         return 0.0
+
+
+def discover_video_paths(video_path: str, id_set,
+                         keep_extension_ids: bool = False) -> Dict[str, str]:
+    """Walk `video_path` mapping stripped-extension filename → full path for
+    ids in `id_set` (the shared os.walk idiom of the MSVD/DiDeMo/ActivityNet
+    builders).  With keep_extension_ids, raw filenames that are themselves
+    annotation ids also map (some DiDeMo ids keep their extension)."""
+    found: Dict[str, str] = {}
+    for root, _, files in os.walk(video_path):
+        for name in files:
+            vid = ".".join(name.split(".")[:-1])
+            if vid in id_set:
+                found[vid] = os.path.join(root, name)
+            elif keep_extension_ids and name in id_set:
+                found[name] = os.path.join(root, name)
+    return found
+
+
+def warn_missing_videos(dataset: str, wanted, found: Dict[str, str],
+                        dropped: bool) -> None:
+    """Surface annotation↔file id mismatches at BUILD time instead of a
+    silent truncated eval set (dropped=True) or a mid-epoch decode fallback
+    (dropped=False).  Raises when NOTHING matched — that is a misconfigured
+    --video_path, not a few corrupt files."""
+    wanted = list(wanted)
+    missing = [v for v in wanted if v not in found]
+    if not missing:
+        return
+    log = logging.getLogger("neighborretr_tpu")
+    if len(missing) == len(wanted):
+        raise ValueError(
+            f"{dataset}: none of the {len(wanted)} annotated videos were "
+            f"found under the video path — check --video_path (looked for "
+            f"e.g. {missing[:3]})")
+    action = ("dropped from the dataset" if dropped
+              else "will decode to zero frames")
+    log.warning("%s: %d/%d annotated videos have no file and %s (e.g. %s)",
+                dataset, len(missing), len(wanted), action, missing[:5])
 
 
 def stable_video_hash(video_id: str) -> np.int64:
@@ -63,7 +103,6 @@ class RetrievalDataset:
         video_framerate: int = 1,
         multi_sentence_per_video: bool = False,
         cut_off_points: Optional[List[int]] = None,
-        video_ids_in_order: Optional[List[str]] = None,
         is_train: bool = False,
         augment: Optional[str] = "rand-m7-n4-mstd0.5-inc1",
         frame_order: int = 0,
@@ -79,7 +118,6 @@ class RetrievalDataset:
         self.video_framerate = video_framerate
         self.multi_sentence_per_video = multi_sentence_per_video
         self.cut_off_points = cut_off_points or []
-        self.video_ids_in_order = video_ids_in_order or []
         self._text_cache: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
         # train-time clip RandAugment (dataloader_retrieval.py:154-158,
         # rawvideo_util.py:291-293) + frame-order + decode LRU cache
@@ -121,14 +159,19 @@ class RetrievalDataset:
                    rng: Optional[np.random.Generator] = None
                    ) -> Dict[str, np.ndarray]:
         path = self.video_paths[video_id]
-        key = (path, _mtime(path), self.max_frames, self.resolution,
-               self.video_framerate, start, end)
-        cached = self._clip_cache.get(key)
-        if cached is None:
+        if self._clip_cache.capacity > 0:
+            key = (path, _mtime(path), self.max_frames, self.resolution,
+                   self.video_framerate, start, end)
+            cached = self._clip_cache.get(key)
+            if cached is None:
+                cached = decode_video_frames(
+                    path, self.max_frames, self.resolution,
+                    self.video_framerate, start, end)
+                self._clip_cache.put(key, cached)
+        else:   # cache off (the default): skip the stat() + lock round trip
             cached = decode_video_frames(
                 path, self.max_frames, self.resolution,
                 self.video_framerate, start, end)
-            self._clip_cache.put(key, cached)
         frames, mask = cached
         # Stochastic decoration applies to the VALID frames only — padding
         # stays zero (reference order: augment/shuffle the decoded frames,
@@ -137,7 +180,11 @@ class RetrievalDataset:
         # every epoch re-samples ops.
         n_valid = int(mask.sum())
         if (self._augment is not None or self.frame_order) and n_valid > 0:
-            rng = rng if rng is not None else np.random.default_rng()
+            if rng is None:
+                # deterministic fallback for direct video_item() callers —
+                # the (seed, epoch, id) contract holds even off item()'s path
+                rng = np.random.default_rng(
+                    (self.seed, self._epoch, int(stable_video_hash(video_id))))
             valid = frames[:n_valid]
             if self._augment is not None:
                 valid = self._augment(valid, rng=rng)

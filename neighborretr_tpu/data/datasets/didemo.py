@@ -12,7 +12,8 @@ import json
 import os
 
 from ..tokenizer import ClipTokenizer
-from .base import RetrievalDataset
+from .base import (RetrievalDataset, discover_video_paths,
+                   warn_missing_videos)
 
 
 def build_didemo(subset: str, anno_path: str, video_path: str,
@@ -31,19 +32,21 @@ def build_didemo(subset: str, anno_path: str, video_path: str,
             continue
         texts.setdefault(vid, []).append(item["description"])
 
-    video_paths = {}
-    for root, _, files in os.walk(video_path):
-        for name in files:
-            vid = ".".join(name.split(".")[:-1])
-            if vid in id_set:
-                video_paths[vid] = os.path.join(root, name)
-            elif name in id_set:   # some DiDeMo ids keep the extension
-                video_paths[name] = os.path.join(root, name)
+    # some DiDeMo ids keep their extension → keep_extension_ids
+    video_paths = discover_video_paths(video_path, id_set,
+                                       keep_extension_ids=True)
+    warn_missing_videos("didemo", [v for v in video_ids if v in texts],
+                        video_paths, dropped=True)
 
     pairs = []
     for vid in video_ids:
         if vid in texts and vid in video_paths:
             pairs.append((vid, " ".join(texts[vid]), 0.0, 31.0))
+    if not pairs:
+        raise ValueError(
+            f"didemo/{subset}: no (caption, video) pairs survived — check "
+            "--anno_path/--video_path (ids in the list file must appear in "
+            "both the data json and the video directory)")
 
     return RetrievalDataset(pairs, video_paths, tokenizer,
                             multi_sentence_per_video=False, **kw)

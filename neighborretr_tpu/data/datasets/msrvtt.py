@@ -29,7 +29,8 @@ def build_msrvtt(subset: str, anno_path: str, video_path: str,
     video_paths: "OrderedDict[str, str]" = OrderedDict()
     if subset == "train":
         train_ids = {r["video_id"] for r in rows}
-        data = json.load(open(os.path.join(anno_path, "MSRVTT_data.json")))
+        with open(os.path.join(anno_path, "MSRVTT_data.json")) as jf:
+            data = json.load(jf)
         for item in data["sentences"]:
             vid = item["video_id"]
             if vid in train_ids:

@@ -11,7 +11,8 @@ import os
 import pickle
 
 from ..tokenizer import ClipTokenizer
-from .base import RetrievalDataset
+from .base import (RetrievalDataset, discover_video_paths,
+                   warn_missing_videos)
 
 
 def build_msvd(subset: str, anno_path: str, video_path: str,
@@ -23,13 +24,14 @@ def build_msvd(subset: str, anno_path: str, video_path: str,
     with open(os.path.join(anno_path, "raw-captions.pkl"), "rb") as f:
         captions = pickle.load(f)
 
-    video_paths = {}
-    id_set = set(video_ids)
-    for root, _, files in os.walk(video_path):
-        for name in files:
-            vid = ".".join(name.split(".")[:-1])
-            if vid in id_set:
-                video_paths[vid] = os.path.join(root, name)
+    video_paths = discover_video_paths(video_path, set(video_ids))
+    # the multi-sentence protocol needs EVERY listed video (cut_off_points
+    # index the full list), so ids without a file keep a synthesized path
+    # and decode to zero frames (the msrvtt-style fallback) after a loud
+    # build-time warning — not a mid-epoch KeyError
+    warn_missing_videos("msvd", video_ids, video_paths, dropped=False)
+    for vid in video_ids:
+        video_paths.setdefault(vid, os.path.join(video_path, f"{vid}.avi"))
 
     pairs = []
     cut_off_points = []
@@ -42,5 +44,4 @@ def build_msvd(subset: str, anno_path: str, video_path: str,
         pairs, video_paths, tokenizer,
         multi_sentence_per_video=True,
         cut_off_points=cut_off_points,
-        video_ids_in_order=video_ids,
         **kw)

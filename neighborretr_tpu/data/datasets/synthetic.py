@@ -40,7 +40,7 @@ class SyntheticDataset:
         rng = np.random.default_rng(self.seed * 1_000_003 + i)
         W, F, R = self.max_words, self.max_frames, self.resolution
 
-        n_words = int(rng.integers(4, W + 1))
+        n_words = int(rng.integers(min(4, W), W + 1))  # W<4 stays valid
         ids = np.zeros((W,), np.int32)
         ids[:n_words] = rng.integers(1, self.vocab_size - 2, size=n_words)
         ids[n_words - 1] = self.vocab_size - 1          # EoT = max id

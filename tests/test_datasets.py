@@ -170,3 +170,51 @@ def test_registry_eval_subsets():
 def test_unknown_datatype_raises(tokenizer, tmp_path):
     with pytest.raises(KeyError):
         build_dataset("nope", "train", str(tmp_path), str(tmp_path), tokenizer)
+
+
+# ---------------------------------------------------------------------------
+# Annotation↔file mismatch handling (build-time diagnostics, no mid-epoch
+# crashes)
+# ---------------------------------------------------------------------------
+
+def test_msvd_missing_video_file_zero_fallback(msvd_dirs, tokenizer, caplog):
+    """A listed MSVD video with no file must keep its slot (cut_off_points
+    index the full list) and decode to zero frames after a build-time
+    warning — not KeyError mid-epoch."""
+    import logging
+    import os
+    anno, videos = msvd_dirs
+    os.remove(os.path.join(videos, "vidB.avi"))
+    with caplog.at_level(logging.WARNING, logger="neighborretr_tpu"):
+        ds = build_dataset("msvd", "test", anno, videos, tokenizer, **KW)
+    assert any("1/2" in r.message for r in caplog.records)
+    assert ds.cut_off_points == [2, 3]          # protocol shape unchanged
+    item = ds.item(2)                           # vidB's caption row
+    assert float(item["video_mask"].sum()) == 0.0
+
+
+def test_didemo_all_videos_missing_raises(didemo_dirs, tokenizer, tmp_path):
+    anno, _ = didemo_dirs
+    empty = tmp_path / "wrong_videos"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="video"):
+        build_dataset("didemo", "test", anno, str(empty), tokenizer, **KW)
+
+
+def test_didemo_partial_missing_warns(didemo_dirs, tokenizer, caplog):
+    import logging
+    import os
+    anno, videos = didemo_dirs
+    os.remove(os.path.join(videos, "clip2.mp4"))
+    with caplog.at_level(logging.WARNING, logger="neighborretr_tpu"):
+        ds = build_dataset("didemo", "test", anno, videos, tokenizer, **KW)
+    assert len(ds) == 1                          # clip2 dropped
+    assert any("dropped" in r.message for r in caplog.records)
+
+
+def test_synthetic_small_max_words():
+    from neighborretr_tpu.data.datasets.synthetic import SyntheticDataset
+    ds = SyntheticDataset(n=2, max_words=3, max_frames=2, resolution=8)
+    item = ds.item(0)
+    assert item["text_ids"].shape == (3,)
+    assert 1 <= item["text_mask"].sum() <= 3
