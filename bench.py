@@ -27,7 +27,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 REFERENCE_PAIRS_PER_SEC_PER_GPU = 45.0
 # Measured on THIS machine's CPU (scripts/baseline_cpu_measure.py, batch 8,
@@ -54,20 +53,13 @@ def _ensure_usable_backend():
     pinned to CPU with an honest fallback config.  The recorded vs_baseline is
     then the measured same-CPU reference ratio (BASELINE.md) — a degraded but
     truthful record instead of a hung or red bench run."""
-    import subprocess
-    if CPU_FALLBACK or os.environ.get("JAX_PLATFORMS") == "cpu":
+    if CPU_FALLBACK:
         return
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", "import jax; print(jax.devices()[0])"],
-            capture_output=True, text=True,
-            timeout=int(os.environ.get("BENCH_PROBE_TIMEOUT", "420")))
-        if proc.returncode == 0:
-            return
-        reason = (proc.stderr or "").strip().splitlines()[-1:]
-    except subprocess.TimeoutExpired:
-        reason = ["probe timed out (tunnel down?)"]
-    print(f"# accelerator backend unusable ({' '.join(reason)[:200]}) — "
+    from neighborretr_tpu.utils.backend import probe_default_backend
+    ok, reason = probe_default_backend()
+    if ok:
+        return
+    print(f"# accelerator backend unusable ({reason[:200]}) — "
           "falling back to a CPU measurement; vs_baseline becomes the "
           "measured same-CPU reference ratio (BASELINE.md)", file=sys.stderr)
     env = dict(os.environ)
@@ -124,22 +116,14 @@ def main():
     dev = jax.devices()[0]
     print(f"# bench device: {dev}", file=sys.stderr)
 
-    rng = np.random.default_rng(0)
-    W, F, R = mcfg.max_words, mcfg.max_frames, mcfg.clip.image_resolution
-    vocab = mcfg.clip.vocab_size
+    from neighborretr_tpu.data.datasets.synthetic import make_synthetic_batch
+    W, F = mcfg.max_words, mcfg.max_frames
 
     def make_batch(seed):
-        r = np.random.default_rng(seed)
-        text_ids = r.integers(1, vocab - 1, size=(BATCH, W)).astype(np.int32)
-        text_ids[:, -1] = vocab - 1
-        return {
-            "text_ids": jnp.asarray(text_ids),
-            "text_mask": jnp.ones((BATCH, W), jnp.float32),
-            "video": jnp.asarray(
-                r.integers(0, 256, size=(BATCH, F, R, R, 3)).astype(np.uint8)),
-            "video_mask": jnp.ones((BATCH, F), jnp.float32),
-            "idx": jnp.arange(BATCH, dtype=jnp.int32),
-        }
+        # all-ones masks (variable_lengths=False): the bench's stable-shape
+        # measurement convention — shared builder with __graft_entry__
+        host = make_synthetic_batch(mcfg, BATCH, seed, variable_lengths=False)
+        return {k: jnp.asarray(v) for k, v in host.items()}
 
     # rotate distinct device-resident batches so the measurement can't
     # degenerate to a single cached input (input variation without H2D cost
@@ -199,9 +183,18 @@ def main():
         # manual BENCH_CPU_FALLBACK=1 run with other knobs gets the linear
         # batch extrapolation, flagged as such in the metric name.
         ref_cpu = REFERENCE_CPU_PAIRS_PER_SEC_BATCH8 * (BATCH / 8.0)
-        caveat = ("" if (BATCH == 8 and BACKBONE == "vit_b_32")
+        # every knob the self-heal path pins must match the measured baseline
+        # shape or the ratio is not like-for-like (BENCH_MB changes the bank,
+        # BENCH_MICRO/BENCH_MOMENTS/BENCH_REMAT change the step itself)
+        matches_baseline = (
+            BATCH == 8 and BACKBONE == "vit_b_32" and MB_BATCH == 2
+            and int(os.environ.get("BENCH_MICRO", "1")) == 1
+            and os.environ.get("BENCH_MOMENTS", "float32") == "float32"
+            and "BENCH_REMAT" not in os.environ)
+        caveat = ("" if matches_baseline
                   else "; CONFIG DIFFERS from the measured baseline shape "
-                       "(ViT-B/32 @ batch 8) — ratio batch-extrapolated")
+                       "(ViT-B/32 @ batch 8, bank 16, monolithic fp32) — "
+                       "ratio batch-extrapolated")
         print(json.dumps({
             "metric": (f"train pairs/sec ({name}, 12f@224, full hubness "
                        "losses) [CPU FALLBACK — accelerator unavailable; "

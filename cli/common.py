@@ -17,6 +17,10 @@ def resolve_clip_checkpoint(args, weights_already_supplied: bool) -> None:
     trained --checkpoint), the data is synthetic, or the run is --tiny.
     """
     if args.clip_checkpoint == "random":
+        # remember the EXPLICIT choice: tiny_requested must not treat this
+        # like an omitted flag (a full-size randomly-initialized model must
+        # stay reachable from the CLI)
+        args._explicit_random_clip = True
         args.clip_checkpoint = None
         return
     if (args.clip_checkpoint is None and not weights_already_supplied
@@ -24,6 +28,36 @@ def resolve_clip_checkpoint(args, weights_already_supplied: bool) -> None:
             and not getattr(args, "tiny", False)):
         from neighborretr_tpu.models.fetch import ensure_clip_checkpoint
         args.clip_checkpoint = ensure_clip_checkpoint(args.base_encoder)
+
+
+def tiny_requested(args) -> bool:
+    """--tiny, or implied by synthetic data with the checkpoint flag fully
+    omitted.  `--clip_checkpoint random` is an explicit request for the
+    full-size model with random init, not an implied smoke run."""
+    return bool(getattr(args, "tiny", False) or (
+        getattr(args, "datatype", None) == "synthetic"
+        and args.clip_checkpoint is None
+        and not getattr(args, "_explicit_random_clip", False)))
+
+
+def apply_tiny_model(cfg, args, logger):
+    """Shrink cfg.model to the tiny tower GEOMETRY when tiny_requested —
+    every user-passed model flag (remat, kernels, chunking) stays applied so
+    smoke runs exercise the requested paths.  The ONE implementation behind
+    cli/train and the eval-style CLIs."""
+    if not tiny_requested(args):
+        return cfg
+    import dataclasses as dc
+
+    from neighborretr_tpu.core.config import ModelConfig
+    tiny = ModelConfig.tiny(
+        max_words=args.max_words, max_frames=args.max_frames,
+        temporal_layers=getattr(args, "num_hidden_layers", 4))
+    cfg = dc.replace(cfg, model=dc.replace(
+        cfg.model, clip=tiny.clip, temporal_layers=tiny.temporal_layers,
+        compute_dtype=tiny.compute_dtype))
+    logger.info("Using tiny model architecture (--tiny/smoke run)")
+    return cfg
 
 
 def resolve_eval_config(args, batch_size_val: int, logger):
@@ -37,17 +71,7 @@ def resolve_eval_config(args, batch_size_val: int, logger):
                                    max_frames=args.max_frames,
                                    temporal_layers=n_temporal),
                  train=TrainConfig(batch_size_val=batch_size_val))
-    if args.tiny or (args.datatype == "synthetic"
-                     and args.clip_checkpoint is None):
-        import dataclasses as dc
-        tiny = ModelConfig.tiny(max_words=args.max_words,
-                                max_frames=args.max_frames,
-                                temporal_layers=n_temporal)
-        cfg = dc.replace(cfg, model=dc.replace(
-            cfg.model, clip=tiny.clip, temporal_layers=tiny.temporal_layers,
-            compute_dtype=tiny.compute_dtype))
-        logger.info("Using tiny model architecture (--tiny/smoke run)")
-    return cfg
+    return apply_tiny_model(cfg, args, logger)
 
 
 def build_eval_dataset(args, cfg, batch_size: int):

@@ -254,21 +254,10 @@ def main():
             "pipelined towers use their own per-microbatch schedule and "
             "ignore them (--remat and --remat_policy do carry over)")
 
-    if args.tiny or (args.datatype == "synthetic"
-                     and args.clip_checkpoint is None):
-        # small towers for smoke runs (explicit --tiny, or implied by
-        # synthetic data with no checkpoint to match).  Only the tower
-        # GEOMETRY shrinks — every user-passed model flag (remat, kernels,
-        # chunking) is re-applied so smoke runs exercise the requested paths
-        import dataclasses as dc
-        tiny = ModelConfig.tiny(max_words=args.max_words,
-                                max_frames=args.max_frames,
-                                temporal_layers=args.num_hidden_layers)
-        cfg = dc.replace(cfg, model=dc.replace(
-            cfg.model, clip=tiny.clip, temporal_layers=tiny.temporal_layers,
-            compute_dtype=tiny.compute_dtype))
-        logger.info("Using tiny model architecture (--tiny/smoke run):\n%s",
-                    cfg.to_json())
+    from cli.common import apply_tiny_model, tiny_requested
+    if tiny_requested(args):
+        cfg = apply_tiny_model(cfg, args, logger)
+        logger.info("Tiny config:\n%s", cfg.to_json())
     if args.datatype == "synthetic":
         from neighborretr_tpu.data.datasets.synthetic import SyntheticDataset
         kw = dict(max_words=args.max_words, max_frames=args.max_frames,

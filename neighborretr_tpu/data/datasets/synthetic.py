@@ -58,3 +58,38 @@ class SyntheticDataset:
             "idx": np.int32(i),
             "video_hash": np.int64(i),
         }
+
+
+def make_synthetic_batch(model_cfg, batch: int, seed: int = 0,
+                         variable_lengths: bool = True) -> Dict[str, np.ndarray]:
+    """One fixed-shape global batch of synthetic pairs as HOST arrays — the
+    shared builder behind bench.py, __graft_entry__, and the perf scripts
+    (callers device_put / shard as needed).
+
+    variable_lengths=True places a per-row caption length in [min(4,W), W]
+    with the EOT token at its end (exercises the masking path);
+    False keeps all-ones masks with EOT in the last slot (the bench's
+    stable-shape measurement convention)."""
+    rng = np.random.default_rng(seed)
+    m = model_cfg
+    W, F, R = m.max_words, m.max_frames, m.clip.image_resolution
+    vocab = m.clip.vocab_size
+    text_ids = rng.integers(1, vocab - 1, size=(batch, W)).astype(np.int32)
+    text_mask = np.ones((batch, W), np.float32)
+    if variable_lengths:
+        text_mask[:] = 0
+        for i in range(batch):
+            n = int(rng.integers(min(4, W), W + 1))
+            text_mask[i, :n] = 1
+            text_ids[i, n - 1] = vocab - 1
+            text_ids[i, n:] = 0
+    else:
+        text_ids[:, -1] = vocab - 1
+    video = rng.integers(0, 256, size=(batch, F, R, R, 3)).astype(np.uint8)
+    return {
+        "text_ids": text_ids,
+        "text_mask": text_mask,
+        "video": video,
+        "video_mask": np.ones((batch, F), np.float32),
+        "idx": np.arange(batch, dtype=np.int32),
+    }

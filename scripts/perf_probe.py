@@ -63,18 +63,10 @@ def apply_ablation(mode):
         L.block_apply = block_no_mlp
 
 
-def make_batch(mcfg, rng):
-    W, F, R = mcfg.max_words, mcfg.max_frames, mcfg.clip.image_resolution
-    vocab = mcfg.clip.vocab_size
-    text_ids = rng.integers(1, vocab - 1, size=(BATCH, W)).astype(np.int32)
-    text_ids[:, -1] = vocab - 1
-    return {
-        "text_ids": jnp.asarray(text_ids),
-        "text_mask": jnp.ones((BATCH, W), jnp.float32),
-        "video": jnp.asarray(rng.integers(0, 256, size=(BATCH, F, R, R, 3)).astype(np.uint8)),
-        "video_mask": jnp.ones((BATCH, F), jnp.float32),
-        "idx": jnp.arange(BATCH, dtype=jnp.int32),
-    }
+def make_batch(mcfg, seed=0):
+    from neighborretr_tpu.data.datasets.synthetic import make_synthetic_batch
+    host = make_synthetic_batch(mcfg, BATCH, seed, variable_lengths=False)
+    return {k: jnp.asarray(v) for k, v in host.items()}
 
 
 def timeit(name, fn):
@@ -93,8 +85,6 @@ def main():
     from neighborretr_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     modes = sys.argv[1:] or ["encode", "step_remat", "step_noremat"]
-    rng = np.random.default_rng(0)
-
     for mode in modes:
         apply_ablation(mode)
         encode_only, remat, pallas, unroll, attn, policy = MODES[mode]
@@ -105,7 +95,7 @@ def main():
                      train=TrainConfig(
                          batch_size=BATCH,
                          mb_batch=int(os.environ.get("NRTPU_PROBE_MB", "4"))))
-        batch = make_batch(mcfg, rng)
+        batch = make_batch(mcfg)
         params = model.init_params(jax.random.PRNGKey(0), mcfg)
 
         if encode_only:

@@ -54,3 +54,32 @@ def test_jsonl_writer_creates_directory(tmp_path):
     w = JsonlMetricsWriter(str(out))
     w.write(kind="train", loss=1.0)
     assert (out / "metrics.jsonl").exists()
+
+
+def test_tiny_not_implied_by_explicit_random_clip():
+    """--clip_checkpoint random is an explicit full-size request: the
+    synthetic-data tiny inference must apply only when the flag was fully
+    omitted (cli/common.resolve_clip_checkpoint + tiny_requested)."""
+    import sys
+    from types import SimpleNamespace
+    sys.path.insert(0, ".")
+    from cli.common import resolve_clip_checkpoint, tiny_requested
+
+    def args(**kw):
+        base = dict(tiny=False, datatype="synthetic", clip_checkpoint=None,
+                    base_encoder="ViT-B/32", max_words=8, max_frames=4)
+        base.update(kw)
+        return SimpleNamespace(**base)
+
+    a = args(clip_checkpoint="random")
+    resolve_clip_checkpoint(a, weights_already_supplied=False)
+    assert a.clip_checkpoint is None
+    assert not tiny_requested(a)              # full model, random init
+
+    b = args()                                # flag omitted entirely
+    resolve_clip_checkpoint(b, weights_already_supplied=False)
+    assert tiny_requested(b)                  # smoke run → tiny implied
+
+    c = args(tiny=True, clip_checkpoint="random")
+    resolve_clip_checkpoint(c, weights_already_supplied=False)
+    assert tiny_requested(c)                  # explicit --tiny always wins
