@@ -106,6 +106,17 @@ def global_norm(tree) -> jnp.ndarray:
                         for g in leaves))
 
 
+def clip_effective_norm(grads) -> jnp.ndarray:
+    """global_norm over NON-frozen leaves only — the norm the clipping in
+    bert_adam_update actually sees (frozen leaves contribute sq=0 there,
+    mirroring the reference's requires_grad=False → grad None).  Use this
+    for the logged grad_norm so it is comparable to max_grad_norm."""
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    return jnp.sqrt(sum(
+        jnp.sum(jnp.square(g.astype(jnp.float32)))
+        for path, g in flat if not is_frozen(_path_keys(path))))
+
+
 def bert_adam_init(params: Params,
                    moments_dtype: str = "float32") -> BertAdamState:
     dt = jnp.dtype(moments_dtype)

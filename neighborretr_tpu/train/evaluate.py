@@ -197,7 +197,9 @@ def extract_features(params: Params, cfg: Config, loader, mesh=None,
 
 def similarity_matrix_device(params: Params, cfg: Config,
                              t_feat, t_mask, v_feat, v_mask,
-                             block: int = 128) -> jnp.ndarray:
+                             block: int = 128,
+                             max_logits_bytes: int = 2 * 1024 ** 3
+                             ) -> jnp.ndarray:
     """Full [N_text, N_video] similarity, DEVICE-RESIDENT.
 
     Features move to the device ONCE (host↔device transfer per block was the
@@ -213,9 +215,12 @@ def similarity_matrix_device(params: Params, cfg: Config,
     v_feat_d = jnp.asarray(v_feat)
     v_mask_d = jnp.asarray(v_mask)
 
+    # max_logits_bytes is a parameter so tests can force the blocked path
+    # on tiny shapes (the default threshold only trips on production-size
+    # evals, which would otherwise leave the pad/slice/trim loop untested)
     logits_bytes = n_t * T * v_feat.shape[0] * V * 4
     if (model.resolve_use_pallas(cfg.model)
-            or logits_bytes <= 2 * 1024 ** 3):
+            or logits_bytes <= max_logits_bytes):
         return _sim_block(params, cfg, t_feat_d, v_feat_d, t_mask_d, v_mask_d)
 
     rows = []
@@ -236,10 +241,12 @@ def similarity_matrix_device(params: Params, cfg: Config,
 def similarity_matrix(params: Params, cfg: Config,
                       t_feat: np.ndarray, t_mask: np.ndarray,
                       v_feat: np.ndarray, v_mask: np.ndarray,
-                      block: int = 128) -> np.ndarray:
+                      block: int = 128,
+                      max_logits_bytes: int = 2 * 1024 ** 3) -> np.ndarray:
     """Host-array wrapper around similarity_matrix_device."""
     return np.asarray(similarity_matrix_device(
-        params, cfg, t_feat, t_mask, v_feat, v_mask, block))
+        params, cfg, t_feat, t_mask, v_feat, v_mask, block,
+        max_logits_bytes))
 
 
 def reshape_multi_sentence(sim: np.ndarray, cut_off_points) -> np.ndarray:

@@ -44,12 +44,14 @@ class PreemptionGuard:
         self.requested = False
         self.enabled = enabled
         self._prev = None
+        self._installed = False
 
     def __enter__(self):
         if self.enabled:
             import signal
             try:
                 self._prev = signal.signal(signal.SIGTERM, self._on_signal)
+                self._installed = True
             except ValueError:          # not the main thread
                 self.enabled = False
         return self
@@ -58,9 +60,16 @@ class PreemptionGuard:
         self.requested = True
 
     def __exit__(self, *exc):
-        if self.enabled and self._prev is not None:
+        if self._installed:
             import signal
-            signal.signal(signal.SIGTERM, self._prev)
+            # _prev is None when the pre-existing handler was installed
+            # outside Python (signal.signal cannot return it) — SIG_DFL is
+            # the best restorable approximation; leaving OUR handler bound
+            # to a dead guard would make later SIGTERMs silent no-ops
+            signal.signal(signal.SIGTERM,
+                          self._prev if self._prev is not None
+                          else signal.SIG_DFL)
+            self._installed = False
         return False
 
 
@@ -79,7 +88,10 @@ def fill_memory_bank(params, cfg: Config, bank_loader: BatchLoader,
 def run_training(cfg: Config, train_ds, test_ds, logger=None,
                  mesh=None, workers: Optional[int] = None):
     """Full training run; returns (final TrainState, BestMetricsTracker)."""
-    logger = logger or setup_logger(output_dir=cfg.train.output_dir)
+    # rank-gated: non-main processes log errors only (reference logger.py) —
+    # otherwise N hosts duplicate every line and append to the same log.txt
+    logger = logger or setup_logger(output_dir=cfg.train.output_dir,
+                                    is_main=jax.process_index() == 0)
     workers = workers if workers is not None else cfg.data.workers
 
     # per-process data sharding on multi-host runs (every process assembles
@@ -161,12 +173,25 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
                     cfg.train.resume_checkpoint, global_step, start_epoch)
         # restore best-metric tracking: without it the first post-resume
         # eval would clobber best.npz with params worse than the
-        # pre-interruption best
+        # pre-interruption best.  The restored state must be IDENTICAL on
+        # every process — tracker.update() gates collectives (the best-params
+        # fetch and the final-eval entry), so a process-0-only restore (the
+        # json is written by process 0 and may live on a per-host disk)
+        # would deadlock the mesh at the first divergent gate.  Process 0's
+        # view is therefore broadcast to everyone.
         tracker_path = os.path.join(cfg.train.output_dir, "best_metrics.json")
-        if os.path.exists(tracker_path):
+        if jax.process_index() == 0 and os.path.exists(tracker_path):
             import json
             with open(tracker_path) as f:
                 tracker.load_dict(json.load(f))
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            r1s = multihost_utils.broadcast_one_to_all(np.asarray(
+                [tracker.best_mean_r1, tracker.best_t2v_r1,
+                 tracker.best_v2t_r1], np.float64))
+            tracker.best_mean_r1, tracker.best_t2v_r1, tracker.best_v2t_r1 = (
+                float(r1s[0]), float(r1s[1]), float(r1s[2]))
+        if tracker.best_mean_r1 > 1e-5:
             logger.info("Restored best-metrics tracker (mean R@1 %.2f)",
                         tracker.best_mean_r1)
 
@@ -253,11 +278,7 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
         # shards that span processes (multi-host tensor parallelism) would
         # need a process_allgather, which cannot be safely entered from a
         # signal-initiated teardown — skip the save with a warning there.
-        needs_collective = any(
-            isinstance(x, jax.Array) and not x.is_fully_addressable
-            and not x.is_fully_replicated
-            for x in jax.tree.leaves(state))
-        if needs_collective:
+        if state_needs_collective():
             logger.warning(
                 "Preemption signal caught, but the TrainState has process-"
                 "spanning tensor-parallel shards — skipping state_preempt "
@@ -270,6 +291,29 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
             logger.info(
                 "Preemption signal caught: saved resumable TrainState to %s "
                 "(continue with --resume_checkpoint)", path)
+
+    def eval_and_track(epoch):
+        """evaluate → jsonl → best tracking → best save: the ONE sequence
+        behind both the mid-epoch and per-epoch validations (they must
+        never diverge — the update() gate controls collectives)."""
+        nonlocal best_host
+        t2v, v2t = evaluate(state.params, cfg, test_loader, dataset=test_ds,
+                            logger=logger, mesh=mesh)
+        jsonl.write(kind="eval", step=global_step, epoch=epoch,
+                    t2v={k: float(v) for k, v in t2v.items()},
+                    v2t={k: float(v) for k, v in v2t.items()})
+        if tracker.update(t2v, v2t) and cfg.train.save_checkpoints:
+            # collective (TP shards may span processes) — all processes
+            # fetch (each must hold the best copy for the final-test gate);
+            # only process 0 writes (async: the fetched host copy is
+            # immutable, the npz write overlaps the next training steps)
+            best_host = pmesh.fetch_to_host(state.params)
+            save_best(best_host)
+
+    def state_needs_collective():
+        return any(isinstance(x, jax.Array) and not x.is_fully_addressable
+                   and not x.is_fully_replicated
+                   for x in jax.tree.leaves(state))
 
     profiling = False   # ACROSS epochs: a profile window may span an epoch
                         # boundary (or the end of training) and must still
@@ -378,41 +422,26 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
                             f" of {limit / 2**30:.2f} GB" if limit else "")
 
             # mid-epoch validation (trainer.py:167-202): every n_display*3
-            # steps and once near the start
-            if cfg.train.mid_epoch_eval and (
+            # steps and once near the start — but not on the epoch's final
+            # step, where the per-epoch eval below would immediately repeat
+            # it on unchanged params
+            if cfg.train.mid_epoch_eval and it != steps_per_epoch - 1 and (
                     global_step % (cfg.train.n_display * 3) == 0
                     or global_step == 1):
-                t2v, v2t = evaluate(state.params, cfg, test_loader,
-                                    dataset=test_ds, logger=logger,
-                                    mesh=mesh)
-                jsonl.write(kind="eval", step=global_step, epoch=epoch,
-                            t2v={k: float(v) for k, v in t2v.items()},
-                            v2t={k: float(v) for k, v in v2t.items()})
-                if tracker.update(t2v, v2t) and cfg.train.save_checkpoints:
-                    # collective (TP shards may span processes) — all
-                    # processes fetch; only process 0 writes (async: the
-                    # fetched host copy is immutable, the npz write overlaps
-                    # the next training steps)
-                    best_host = pmesh.fetch_to_host(state.params)
-                    save_best(best_host)
+                eval_and_track(epoch)
                 if guard.requested:   # SIGTERM during the mid-epoch eval —
                     return preempt_exit()   # don't wait out another step
 
         # per-epoch eval + checkpoint (main.py:333-365)
-        t2v, v2t = evaluate(state.params, cfg, test_loader, dataset=test_ds,
-                            logger=logger, mesh=mesh)
-        jsonl.write(kind="eval", step=global_step, epoch=epoch,
-                    t2v={k: float(v) for k, v in t2v.items()},
-                    v2t={k: float(v) for k, v in v2t.items()})
-        if tracker.update(t2v, v2t) and cfg.train.save_checkpoints:
-            best_host = pmesh.fetch_to_host(state.params)
-            save_best(best_host)
+        eval_and_track(epoch)
         # checkpoint IO is process-0 only (reference rank-0 saves,
-        # main.py:161-187).  The host fetch is OUTSIDE the gate: with
-        # --tensor_parallel on a multi-host mesh the params span processes,
-        # so assembling them (fetch_to_host) is a collective.
+        # main.py:161-187).  With process-spanning shards (multi-host
+        # tensor parallelism) the host fetch is a COLLECTIVE, so every
+        # process participates; replicated state reads locally, so
+        # non-zero processes skip the (multi-GB) copy they would discard.
         if cfg.train.save_checkpoints:
-            state_host = pmesh.fetch_to_host(state)
+            if state_needs_collective() or jax.process_index() == 0:
+                state_host = pmesh.fetch_to_host(state)
             if jax.process_index() == 0:
                 writer.submit(lambda s=state_host, e=epoch:
                               ckpt.save_train_state(

@@ -218,7 +218,9 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
         batch["video_mask"].astype(jnp.float32))
 
     metrics = dict(aux)
-    metrics["grad_norm"] = bertadam.global_norm(grads)
+    # clip-effective norm (frozen patch_embed excluded), so the logged value
+    # is comparable to max_grad_norm and to the reference's clip logs
+    metrics["grad_norm"] = bertadam.clip_effective_norm(grads)
     metrics["logit_scale"] = model.logit_scale(new_params)
 
     return TrainState(params=new_params, opt=new_opt, bank=new_bank,

@@ -45,13 +45,24 @@ def test_extract_features_order_and_trim(cfg, params, dataset):
 
 
 def test_similarity_matrix_blocked_equals_direct(cfg, params, dataset):
+    """Force the row-blocked einsum path (max_logits_bytes=0 + pallas off)
+    against the single-call path — the 2 GB default threshold only trips on
+    production-size evals, so without forcing, block=7 vs block=N would
+    compare two identical full-path calls and the pad/slice/trim loop
+    would ship untested."""
+    import dataclasses as dc
     loader = BatchLoader(dataset, 8, shuffle=False, drop_last=False,
                          workers=2, pad_to_batch=True)
     tf, tm, vf, vm = extract_features(params, cfg, loader)
-    sim_small_blocks = similarity_matrix(params, cfg, tf, tm, vf, vm, block=7)
-    sim_one_block = similarity_matrix(params, cfg, tf, tm, vf, vm, block=N)
+    xla_cfg = dc.replace(cfg, model=dc.replace(cfg.model, use_pallas=False))
+    sim_one_block = similarity_matrix(params, xla_cfg, tf, tm, vf, vm)
+    sim_small_blocks = similarity_matrix(params, xla_cfg, tf, tm, vf, vm,
+                                         block=7, max_logits_bytes=0)
     np.testing.assert_allclose(sim_small_blocks, sim_one_block, atol=1e-4)
     assert sim_small_blocks.shape == (N, N)
+    # and the pallas path agrees with the XLA paths
+    sim_pallas = similarity_matrix(params, cfg, tf, tm, vf, vm)
+    np.testing.assert_allclose(sim_pallas, sim_one_block, atol=1e-3)
 
 
 def test_evaluate_single_sentence(cfg, params, dataset):
