@@ -29,9 +29,25 @@ def take_devices(n: int):
     return devices[:n]
 
 
+def _mesh_from_shape(shape: Tuple[int, ...], axes: Tuple[str, ...]) -> Mesh:
+    """take_devices + reshape + Mesh — the one construction behind the
+    single-process arms of every mesh builder here and in pipeline.py."""
+    n = int(np.prod(shape))
+    return Mesh(np.array(take_devices(n)).reshape(shape), axis_names=axes)
+
+
 def make_mesh(num_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     devices = (jax.devices() if num_devices is None
                else take_devices(num_devices))
+    if jax.process_count() > 1 and len(devices) != len(jax.devices()):
+        # a subset mesh on a multi-host run would leave some processes with
+        # no addressable devices in the mesh — make_array_from_process_
+        # local_data then fails with an opaque device-assignment error (or
+        # the first collective hangs).  Same guard make_hybrid_mesh has.
+        raise ValueError(
+            f"num_devices={len(devices)} covers a subset of this multi-host "
+            f"run's {len(jax.devices())} devices — subset meshes are "
+            "single-process only")
     return Mesh(np.array(devices), axis_names=(axis,))
 
 
@@ -56,11 +72,14 @@ def make_hybrid_mesh(shape: Tuple[int, int],
                 "create_hybrid_device_mesh requires every device (subset "
                 "meshes are single-process only)")
         from jax.experimental import mesh_utils
+        # CPU/GPU cluster devices carry no slice_index attribute; there the
+        # process IS the DCN granule (one controller per "slice")
+        granule = not all(hasattr(d, "slice_index") for d in jax.devices())
         devices = mesh_utils.create_hybrid_device_mesh(
-            (shape[1],), dcn_mesh_shape=(shape[0],))
+            (shape[1],), dcn_mesh_shape=(shape[0],),
+            process_is_granule=granule)
         return Mesh(devices.reshape(shape), axis_names=axes)
-    devices = np.array(take_devices(n)).reshape(shape)
-    return Mesh(devices, axis_names=axes)
+    return _mesh_from_shape(shape, axes)
 
 
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
@@ -118,9 +137,7 @@ def make_tp_mesh(shape: Tuple[int, int],
     the towers' weights and activations split across chips.  Here TP is pure
     placement — the model code is unchanged; XLA partitions the einsums and
     inserts the all-reduces the Megatron pattern implies."""
-    n = shape[0] * shape[1]
-    devices = np.array(take_devices(n)).reshape(shape)
-    return Mesh(devices, axis_names=axes)
+    return _mesh_from_shape(shape, axes)
 
 
 def tp_param_shardings(params, mesh: Mesh, model_axis: str = "model"):

@@ -89,10 +89,8 @@ def make_pp_mesh(shape, axes=("data", "stage")) -> Mesh:
     """2-D mesh for data + pipeline parallelism: batches shard over `data`,
     tower depth shards over `stage` (consecutive chips = consecutive layer
     slices, so ppermute's ring rides neighbor ICI links)."""
-    from .mesh import take_devices
-    n = shape[0] * shape[1]
-    devices = np.array(take_devices(n)).reshape(shape)
-    return Mesh(devices, axis_names=axes)
+    from .mesh import _mesh_from_shape
+    return _mesh_from_shape(tuple(shape), axes)
 
 
 def pp_param_shardings(params, mesh: Mesh, stage_axis: str = "stage"):
@@ -120,10 +118,8 @@ def make_pp_tp_mesh(shape, axes=("data", "stage", "model")) -> Mesh:
     """3-D mesh composing data, pipeline and tensor parallelism.  `model`
     is the innermost (fastest-ICI) axis — Megatron all-reduces are the most
     latency-sensitive collective; the stage ring rides the middle axis."""
-    from .mesh import take_devices
-    n = int(np.prod(shape))
-    devices = np.array(take_devices(n)).reshape(shape)
-    return Mesh(devices, axis_names=axes)
+    from .mesh import _mesh_from_shape
+    return _mesh_from_shape(tuple(shape), axes)
 
 
 def pp_tp_param_shardings(params, mesh: Mesh, stage_axis: str = "stage",
@@ -189,6 +185,13 @@ def pipeline_transformer_apply(p, x, n_head: int, ctx: PipelineContext,
 
     S, M = ctx.stages, ctx.microbatches
     mesh = ctx.mesh
+    if mesh.shape.get(ctx.stage_axis) != S:
+        # a mismatched context would otherwise die deep in shard_map with
+        # an uneven-sharding or invalid-ppermute error naming neither knob
+        raise ValueError(
+            f"PipelineContext(stages={S}) does not match the mesh's "
+            f"'{ctx.stage_axis}' axis of size "
+            f"{mesh.shape.get(ctx.stage_axis)}")
     n_layers = L.num_layers(p)
     if n_layers % S:
         raise ValueError(f"{n_layers} layers do not divide into {S} stages")

@@ -90,10 +90,17 @@ def gather_features_and_rows(params: Params, cfg: Config,
     tm_g = jax.lax.all_gather(tm_l, axis, tiled=True)
     vm_g = jax.lax.all_gather(vm_l, axis, tiled=True)
 
-    # 3. row blocks of the expensive token-interaction matrices
+    # 3. row blocks of the expensive token-interaction matrices.
+    # The in-batch rows mirror step.py's gating exactly (XLA einsum for
+    # short tokens, blocked kernel for T·V ≥ 2k): the GSPMD and explicit
+    # paths must stay bit-equal, and a kernel-vs-einsum mismatch here would
+    # diverge them on TPU.  The bank matrices keep the resolved verdict
+    # (both paths use it there).
     sim_dtype = mcfg.sim_dtype
+    long_tokens = t_l.shape[1] * v_g.shape[1] >= 2048
     s_rows = model.local_similarity(params, t_l, v_g, tm_l, vm_g,
-                                    use_pallas, sim_dtype)      # [B_l, B]
+                                    use_pallas if long_tokens else False,
+                                    sim_dtype)                  # [B_l, B]
     bank_t2v_rows = model.local_similarity(
         params, t_l, bank.feat_v, tm_l, bank.mask_v, use_pallas,
         sim_dtype)                                              # [B_l, M]
@@ -124,6 +131,13 @@ def compute_losses_spmd(params: Params, cfg: Config,
             f"explicit_spmd requires a 1-D ('{axis}',) mesh; got axes "
             f"{mesh.axis_names} — use the GSPMD path on hybrid/multi-axis "
             "meshes")
+    if axis not in mesh.axis_names:
+        # a cfg.train.data_axis that doesn't name the mesh's axis would
+        # otherwise die inside jit with an unbound-axis-name error
+        raise ValueError(
+            f"data_axis '{axis}' does not name the mesh axis "
+            f"{mesh.axis_names} — the explicit-SPMD shard_map binds "
+            "collectives to it by name")
 
     def body(params, batch, bank):
         return gather_features_and_rows(params, cfg, batch, bank, axis=axis)

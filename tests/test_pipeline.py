@@ -273,3 +273,10 @@ def test_pipeline_honors_remat_policy(tower):
     for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_stage_mismatch_raises(tower):
+    mesh = pp.make_pp_mesh((2, 4))
+    ctx = pp.PipelineContext(mesh=mesh, stages=2, microbatches=2)
+    with pytest.raises(ValueError, match="stages=2"):
+        pp.pipeline_transformer_apply(tower, _x(B), n_head=HEADS, ctx=ctx)

@@ -88,3 +88,10 @@ def test_explicit_spmd_rejects_multi_axis_mesh(cfg, rng):
     with pytest.raises(ValueError, match="1-D"):
         compute_losses_spmd(params, cfg, batch, bank,
                             jax.random.PRNGKey(3), mesh)
+
+
+def test_explicit_spmd_rejects_wrong_axis_name(cfg):
+    import pytest
+    mesh = pmesh.make_mesh()
+    with pytest.raises(ValueError, match="data_axis"):
+        compute_losses_spmd(None, cfg, {}, None, None, mesh, axis="batch")
