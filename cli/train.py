@@ -39,7 +39,11 @@ def parse_args():
                         "--datatype synthetic without --clip_checkpoint)")
     p.add_argument("--init_checkpoint", default=None)
     p.add_argument("--resume", default=None, dest="resume_checkpoint",
-                   help="state_epochN.npz to resume from (full TrainState)")
+                   help="state_epochN.npz to resume from (full TrainState), "
+                        "or 'auto' to pick the newest resumable state in "
+                        "--output_dir (fresh start if none) — lets a "
+                        "preempted job rescheduled with identical arguments "
+                        "continue by itself")
     p.add_argument("--epochs", type=int, default=5)
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--batch_size_val", type=int, default=128)
@@ -150,6 +154,14 @@ def main():
     # --init_checkpoint does NOT (reference semantics: init_model is a
     # strict=False PARTIAL load on top of CLIP-initialized towers,
     # main.py:60-66)
+    if args.resume_checkpoint == "auto":
+        from neighborretr_tpu.core.checkpoint import latest_resumable
+        args.resume_checkpoint = latest_resumable(args.output_dir)
+        print("--resume auto: "
+              + (f"resuming from {args.resume_checkpoint}"
+                 if args.resume_checkpoint else
+                 "no resumable state in output_dir, starting fresh"))
+
     from cli.common import resolve_clip_checkpoint
     resolve_clip_checkpoint(
         args, weights_already_supplied=bool(args.resume_checkpoint))

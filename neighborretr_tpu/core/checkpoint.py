@@ -185,6 +185,38 @@ def load_params(path: str, params_like, strict: bool = True):
     return unflatten_into(params_like, flat, strict=strict)
 
 
+def latest_resumable(output_dir: str):
+    """Newest resumable TrainState in output_dir, or None.
+
+    Scans state_preempt.npz + state_epoch*.npz and returns the path whose
+    saved `step` is highest (a stale state_preempt.npz from an earlier
+    interruption loses to a later epoch save).  Unreadable candidates are
+    skipped — a file truncated by a hard kill must not block the restart
+    (_atomic_savez makes that unlikely but not impossible across
+    filesystems).  Powers `--resume auto`: a preempted job rescheduled with
+    identical arguments continues by itself.  The reference cannot resume
+    at all (SURVEY §5: save-only checkpoints)."""
+    import glob
+
+    candidates = sorted(
+        glob.glob(os.path.join(output_dir, "state_epoch*.npz")))
+    candidates.append(os.path.join(output_dir, "state_preempt.npz"))
+    best_path, best_step = None, -1
+    for path in candidates:
+        if not os.path.exists(path):
+            continue
+        try:
+            with np.load(path, allow_pickle=False) as data:
+                step = int(data["step"])
+        except Exception:
+            continue
+        # ties prefer the preempt file (it also carries any mid-epoch best
+        # tracking that happened after the epoch save hit the same step)
+        if step >= best_step:
+            best_path, best_step = path, step
+    return best_path
+
+
 def save_train_state(path: str, state) -> None:
     """state: train.step.TrainState (params, opt(m, v, step), bank, step)."""
     payload = {}

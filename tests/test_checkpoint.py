@@ -217,3 +217,25 @@ def test_async_writer_orders_waits_and_raises(tmp_path):
     w.wait()
     assert order == [1, 2, 3, 4]
     w.close()
+
+
+def test_latest_resumable_picks_highest_step(tmp_path):
+    """--resume auto resolution: highest saved step wins; a stale
+    state_preempt.npz loses to a later epoch save; tie prefers preempt;
+    unreadable files are skipped; empty dir → None."""
+    d = str(tmp_path)
+    assert ckpt.latest_resumable(d) is None
+
+    def fake(name, step):
+        np.savez(tmp_path / name, step=np.asarray(step, np.int64))
+
+    fake("state_epoch0.npz", 10)
+    assert ckpt.latest_resumable(d).endswith("state_epoch0.npz")
+    fake("state_preempt.npz", 15)
+    assert ckpt.latest_resumable(d).endswith("state_preempt.npz")
+    fake("state_epoch1.npz", 20)
+    assert ckpt.latest_resumable(d).endswith("state_epoch1.npz")
+    fake("state_preempt.npz", 20)  # tie → preempt (saved at/after epoch file)
+    assert ckpt.latest_resumable(d).endswith("state_preempt.npz")
+    (tmp_path / "state_epoch2.npz").write_bytes(b"not an npz")  # truncated
+    assert ckpt.latest_resumable(d).endswith("state_preempt.npz")
