@@ -69,7 +69,10 @@ def init_clip(key, cfg: ClipConfig) -> Params:
     return {
         "text": init_text_tower(k_t, cfg),
         "visual": init_vision_tower(k_v, cfg),
-        "logit_scale": jnp.zeros((), jnp.float32),
+        # reference random-init is 1.0 (module_clip.py:404: ones([])), i.e.
+        # exp scale e≈2.72 — NOT OpenAI's ln(1/0.07); checkpoint loads
+        # overwrite this with the trained value (≈ln(100))
+        "logit_scale": jnp.ones((), jnp.float32),
     }
 
 
