@@ -53,8 +53,15 @@ def apply_tiny_model(cfg, args, logger):
     tiny = ModelConfig.tiny(
         max_words=args.max_words, max_frames=args.max_frames,
         temporal_layers=getattr(args, "num_hidden_layers", 4))
+    clip = tiny.clip
+    if getattr(args, "datatype", None) != "synthetic":
+        # real datasets tokenize with the full CLIP BPE (ids up to 49407);
+        # the tiny 512-entry table would silently clamp them, so keep the
+        # real vocab (49408×64 fp32 ≈ 12.6 MB — fine for smoke runs)
+        from neighborretr_tpu.core.config import ClipConfig
+        clip = dc.replace(clip, vocab_size=ClipConfig().vocab_size)
     cfg = dc.replace(cfg, model=dc.replace(
-        cfg.model, clip=tiny.clip, temporal_layers=tiny.temporal_layers,
+        cfg.model, clip=clip, temporal_layers=tiny.temporal_layers,
         compute_dtype=tiny.compute_dtype))
     logger.info("Using tiny model architecture (--tiny/smoke run)")
     return cfg
@@ -79,7 +86,9 @@ def build_eval_dataset(args, cfg, batch_size: int):
     if args.datatype == "synthetic":
         from neighborretr_tpu.data.datasets.synthetic import SyntheticDataset
         return SyntheticDataset(
-            n=max(32, batch_size), seed=2,
+            n=max(getattr(args, "synthetic_size", None) or 0,
+                  max(32, batch_size)),
+            seed=2,
             max_words=args.max_words, max_frames=args.max_frames,
             resolution=cfg.model.clip.image_resolution,
             vocab_size=cfg.model.clip.vocab_size)

@@ -33,6 +33,9 @@ def main():
     p.add_argument("--checkpoint", default=None, help="best.npz params")
     p.add_argument("--clip_checkpoint", default=None)
     p.add_argument("--batch_size_val", type=int, default=128)
+    p.add_argument("--synthetic_size", type=int, default=None,
+                   help="--datatype synthetic: eval set size (default "
+                        "max(32, batch_size_val); same flag as cli/train)")
     p.add_argument("--max_words", type=int, default=24)
     p.add_argument("--num_hidden_layers", type=int, default=4,
                    help="temporal transformer depth (must match the "

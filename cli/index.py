@@ -40,6 +40,9 @@ def main():
                    help="stored feature precision: int8 quarters the index "
                         "size (symmetric per-frame-token scales)")
     p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--synthetic_size", type=int, default=None,
+                   help="--datatype synthetic: corpus size (default "
+                        "max(32, batch_size); same flag as cli/train)")
     p.add_argument("--max_words", type=int, default=24)
     p.add_argument("--num_hidden_layers", type=int, default=4,
                    help="temporal transformer depth (must match the "
