@@ -123,6 +123,19 @@ def load_query_model(args, index, logger):
         mcfg = ModelConfig.tiny(max_words=args.max_words,
                                 max_frames=max_frames,
                                 temporal_layers=args.num_hidden_layers)
+        # free-text queries tokenize with the REAL BPE (ids up to 49407),
+        # so the tiny text table must match the checkpoint that built the
+        # index: sniff its vocab (full-vocab tiny for file-based training,
+        # 512 for synthetic smoke indexes), else default to the full vocab
+        import dataclasses as dc
+        vocab = ClipConfig().vocab_size
+        if args.checkpoint:
+            import numpy as np
+            with np.load(args.checkpoint, allow_pickle=False) as ckpt:
+                key = "clip//text//token_embedding"
+                if key in ckpt.files:
+                    vocab = int(ckpt[key].shape[0])
+        mcfg = dc.replace(mcfg, clip=dc.replace(mcfg.clip, vocab_size=vocab))
     else:
         mcfg = ModelConfig(clip=ClipConfig.from_name(args.base_encoder),
                            max_words=args.max_words, max_frames=max_frames,
