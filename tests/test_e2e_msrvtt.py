@@ -108,6 +108,37 @@ def test_train_cli_on_msrvtt_files(msrvtt_tree):
 
 
 @pytest.mark.slow
+def test_training_is_deterministic(msrvtt_tree):
+    """Two runs with identical arguments produce identical train losses —
+    the loader threads, per-item RandAugment RNGs, and cv2 decode introduce
+    no nondeterminism (the reference forces cudnn-deterministic for the
+    same guarantee, setup.py:32-33).  File-based data on purpose: the
+    augment path only runs for real videos."""
+    anno, videos, root = msrvtt_tree
+    rows = []
+    for leg in ("det_a", "det_b"):
+        out = os.path.join(root, leg)
+        r = _run(["cli/train.py", "--datatype", "msrvtt",
+                  "--anno_path", anno, "--video_path", videos,
+                  "--tiny", "--epochs", "1",
+                  "--batch_size", "8", "--batch_size_val", "4",
+                  "--max_words", "12", "--max_frames", "4",
+                  "--mb_batch", "1", "--n_display", "1",
+                  "--num_neighbors", "3", "--workers", "2",
+                  "--output_dir", out])
+        assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-3000:])
+        rows.append([json.loads(l) for l in
+                     open(os.path.join(out, "metrics.jsonl"))
+                     if json.loads(l).get("kind") == "train"])
+    a, b = rows
+    assert len(a) == len(b) and len(a) >= 2
+    for ra, rb in zip(a, b):
+        for k in ("loss", "centrality_loss", "neighbor_loss",
+                  "uniform_loss", "kl_loss", "grad_norm"):
+            assert ra[k] == rb[k], (k, ra, rb)
+
+
+@pytest.mark.slow
 def test_index_and_search_cli_on_trained_checkpoint(msrvtt_tree):
     anno, videos, root = msrvtt_tree
     ckpt = os.path.join(root, "run", "best.npz")
