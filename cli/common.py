@@ -85,9 +85,9 @@ def build_eval_dataset(args, cfg, batch_size: int):
     """Synthetic smoke data or a real dataset split (friendly errors)."""
     if args.datatype == "synthetic":
         from neighborretr_tpu.data.datasets.synthetic import SyntheticDataset
+        explicit_n = getattr(args, "synthetic_size", None)
         return SyntheticDataset(
-            n=max(getattr(args, "synthetic_size", None) or 0,
-                  max(32, batch_size)),
+            n=explicit_n if explicit_n else max(32, batch_size),
             seed=2,
             max_words=args.max_words, max_frames=args.max_frames,
             resolution=cfg.model.clip.image_resolution,
@@ -131,10 +131,18 @@ def load_query_model(args, index, logger):
         vocab = ClipConfig().vocab_size
         if args.checkpoint:
             import numpy as np
-            with np.load(args.checkpoint, allow_pickle=False) as ckpt:
-                key = "clip//text//token_embedding"
-                if key in ckpt.files:
-                    vocab = int(ckpt[key].shape[0])
+            try:
+                with np.load(args.checkpoint, allow_pickle=False) as ckpt:
+                    # params-only (best.npz) and full-TrainState layouts
+                    for key in ("clip//text//token_embedding",
+                                "params//clip//text//token_embedding"):
+                        if key in ckpt.files:
+                            vocab = int(ckpt[key].shape[0])
+                            break
+            except Exception:
+                # torch/reference checkpoints (the migration path) are
+                # always full-vocab real models — keep the default
+                pass
         mcfg = dc.replace(mcfg, clip=dc.replace(mcfg.clip, vocab_size=vocab))
     else:
         mcfg = ModelConfig(clip=ClipConfig.from_name(args.base_encoder),

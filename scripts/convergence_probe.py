@@ -1,58 +1,45 @@
 """Probe for tests/test_convergence.py tuning: R@1 + loss trajectory on the
-fixed 16-pair dataset under different step counts / lrs / loss mixes.
+SAME fixed 16-pair dataset/protocol the test asserts (imported from the test
+module so the two can never drift), under different step counts / lrs /
+loss mixes / init logit scales.
 
-Usage: JAX_PLATFORMS=cpu ... python scripts/convergence_probe.py [steps] [lr]
+Usage:
+    JAX_PLATFORMS=cpu PYTHONPATH=. python scripts/convergence_probe.py \
+        [steps] [lr]
+Env knobs: UW/NW/KW (loss weights), WD (weight decay), LS0 (raw initial
+logit_scale override).
+
+Recorded findings (2026-08-19, also in PARITY.md): default weights at
+random init collapse to the analytic uniform plateau (uniform → ln B,
+neighbor → ln(k+1), KL → 0) at every lr probed — identically to the
+reference (scripts/reference_convergence_probe.py).  Centrality-only or
+centrality+neighbor memorizes the 16 pairs to R@1 100 in ≤60 steps.
 """
 
+import os
 import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from neighborretr_tpu.core.config import (Config, LossConfig, ModelConfig,
-                                          OptimizerConfig, TrainConfig)
-from neighborretr_tpu.models import neighborretr as model
-from neighborretr_tpu.train import memory_bank as mb
-from neighborretr_tpu.train import metrics as rmetrics
-from neighborretr_tpu.train.step import (create_train_state, fill_bank_step,
-                                         train_step)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tests"))
 
-B, W, F, N = 8, 8, 4, 16
+import test_convergence as tc  # noqa: E402  (shared dataset/eval protocol)
+from neighborretr_tpu.core.config import (Config, LossConfig,  # noqa: E402
+                                          ModelConfig, OptimizerConfig,
+                                          TrainConfig)
+from neighborretr_tpu.models import neighborretr as model  # noqa: E402
+from neighborretr_tpu.train import memory_bank as mb  # noqa: E402
+from neighborretr_tpu.train.step import (create_train_state,  # noqa: E402
+                                         fill_bank_step, train_step)
 
-
-def _dataset(cfg):
-    rng = np.random.default_rng(0)
-    res = cfg.model.clip.image_resolution
-    vocab = cfg.model.clip.vocab_size
-    text_ids = rng.integers(1, vocab - 1, size=(N, W)).astype(np.int32)
-    text_mask = np.zeros((N, W), np.float32)
-    for i in range(N):
-        n = int(rng.integers(4, W + 1))
-        text_mask[i, :n] = 1
-        text_ids[i, n - 1] = vocab - 1
-        text_ids[i, n:] = 0
-    video = rng.normal(size=(N, F, res, res, 3)).astype(np.float32)
-    video_mask = np.ones((N, F), np.float32)
-    return {k: jnp.asarray(v) for k, v in {
-        "text_ids": text_ids, "text_mask": text_mask, "video": video,
-        "video_mask": video_mask, "idx": np.arange(N, dtype=np.int32),
-    }.items()}
-
-
-def _r1(params, cfg, data):
-    tf, vf = model.get_text_video_feat(
-        params, cfg.model, data["text_ids"], data["text_mask"],
-        data["video"], data["video_mask"])
-    sim, _ = model.get_similarity_logits(
-        params, tf, vf, data["text_mask"], data["video_mask"])
-    sim = np.asarray(sim)
-    return (rmetrics.compute_metrics(sim)["R1"],
-            rmetrics.compute_metrics(sim.T)["R1"])
+B, W, F, N = tc.B, tc.W, tc.F, tc.N
 
 
 def main():
-    import os
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     lr = float(sys.argv[2]) if len(sys.argv) > 2 else 5e-3
     uw = float(os.environ.get("UW", 1.0))
@@ -68,7 +55,7 @@ def main():
                               weight_decay=wd),
         train=TrainConfig(batch_size=B, mb_batch=2, epochs=1),
     )
-    data = _dataset(cfg)
+    data = tc._dataset(cfg)
     batches = [jax.tree.map(lambda a: a[i * B:(i + 1) * B], data)
                for i in range(N // B)]
 
@@ -76,7 +63,7 @@ def main():
     if "LS0" in os.environ:  # override initial logit_scale (raw, pre-exp)
         params["clip"]["logit_scale"] = jnp.asarray(
             float(os.environ["LS0"]), jnp.float32)
-    print("init R@1 (t2v, v2t):", _r1(params, cfg, data))
+    print("init R@1 (t2v, v2t):", tc._r1(params, cfg, data))
 
     bank = mb.create(cfg.train.memory_bank_capacity, W, F,
                      cfg.model.clip.embed_dim)
@@ -89,7 +76,7 @@ def main():
                                     jax.random.PRNGKey(s), cfg,
                                     t_total=steps)
         if (s + 1) % 20 == 0 or s == 0:
-            r1 = _r1(state.params, cfg, data)
+            r1 = tc._r1(state.params, cfg, data)
             ls = float(np.exp(np.asarray(
                 state.params["clip"]["logit_scale"])))
             print(f"step {s+1:4d} R@1={r1} "

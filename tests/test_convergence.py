@@ -25,8 +25,6 @@ repeated batch.  These tests close the remaining system-level questions:
    (reference).
 """
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np

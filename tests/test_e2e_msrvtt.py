@@ -15,30 +15,16 @@ process exit codes are all under test, exactly as a user would run it.
 import csv
 import json
 import os
-import subprocess
-import sys
 
 import numpy as np
 import pytest
 
 cv2 = pytest.importorskip("cv2")
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-N_TRAIN, N_TEST, W, H = 8, 4, 64, 48
+from e2e_common import run_cli as _run  # noqa: E402
+from e2e_common import write_clip as _write_clip  # noqa: E402
 
-
-def _write_clip(path, seed, n_frames=12, fps=6):
-    writer = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"),
-                             fps, (W, H))
-    if not writer.isOpened():
-        pytest.skip("cv2 VideoWriter mp4v unavailable")
-    rng = np.random.default_rng(seed)
-    base = rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8)
-    for i in range(n_frames):
-        frame = np.clip(base.astype(np.int32) + i * 5, 0, 255).astype(
-            np.uint8)
-        writer.write(frame)
-    writer.release()
+N_TRAIN, N_TEST = 8, 4
 
 
 @pytest.fixture(scope="module")
@@ -69,16 +55,6 @@ def msrvtt_tree(tmp_path_factory):
             w.writerow({"video_id": f"video{i}",
                         "sentence": f"a clip showing scene {i}"})
     return str(anno), str(videos), str(root)
-
-
-def _run(args, timeout=900):
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["PALLAS_AXON_POOL_IPS"] = ""
-    env["XLA_FLAGS"] = ""          # single CPU device; mesh paths are
-    # covered by the synthetic drives — this module tests the data path
-    return subprocess.run([sys.executable] + args, cwd=REPO, env=env,
-                          capture_output=True, text=True, timeout=timeout)
 
 
 @pytest.mark.slow
@@ -127,9 +103,9 @@ def test_training_is_deterministic(msrvtt_tree):
                   "--num_neighbors", "3", "--workers", "2",
                   "--output_dir", out])
         assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-3000:])
-        rows.append([json.loads(l) for l in
-                     open(os.path.join(out, "metrics.jsonl"))
-                     if json.loads(l).get("kind") == "train"])
+        parsed = [json.loads(l) for l in
+                  open(os.path.join(out, "metrics.jsonl"))]
+        rows.append([x for x in parsed if x.get("kind") == "train"])
     a, b = rows
     assert len(a) == len(b) and len(a) >= 2
     for ra, rb in zip(a, b):

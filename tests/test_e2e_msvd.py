@@ -11,29 +11,17 @@ encoded clips, as a subprocess.
 import json
 import os
 import pickle
-import subprocess
-import sys
 
 import numpy as np
 import pytest
 
 cv2 = pytest.importorskip("cv2")
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-W, H = 64, 48
+from e2e_common import run_cli, write_clip  # noqa: E402
 
 
-def _write_clip(path, seed, n_frames=10, fps=5):
-    writer = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"),
-                             fps, (W, H))
-    if not writer.isOpened():
-        pytest.skip("cv2 VideoWriter mp4v unavailable")
-    rng = np.random.default_rng(seed)
-    base = rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8)
-    for i in range(n_frames):
-        writer.write(np.clip(base.astype(np.int32) + i * 7, 0, 255)
-                     .astype(np.uint8))
-    writer.release()
+def _write_clip(path, seed):
+    write_clip(path, seed, n_frames=10, fps=5)
 
 
 @pytest.fixture(scope="module")
@@ -67,19 +55,13 @@ def msvd_tree(tmp_path_factory):
 def test_train_cli_on_msvd_multi_sentence(msvd_tree):
     anno, videos, root = msvd_tree
     out = os.path.join(root, "run")
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["PALLAS_AXON_POOL_IPS"] = ""
-    env["XLA_FLAGS"] = ""          # single CPU device (data-path test)
-    r = subprocess.run(
-        [sys.executable, "cli/train.py", "--datatype", "msvd",
-         "--anno_path", anno, "--video_path", videos,
-         "--tiny", "--epochs", "1",
-         "--batch_size", "8", "--batch_size_val", "4",
-         "--max_words", "10", "--max_frames", "4", "--mb_batch", "1",
-         "--n_display", "1", "--num_neighbors", "3",
-         "--workers", "2", "--output_dir", out],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+    r = run_cli(["cli/train.py", "--datatype", "msvd",
+                 "--anno_path", anno, "--video_path", videos,
+                 "--tiny", "--epochs", "1",
+                 "--batch_size", "8", "--batch_size_val", "4",
+                 "--max_words", "10", "--max_frames", "4", "--mb_batch", "1",
+                 "--n_display", "1", "--num_neighbors", "3",
+                 "--workers", "2", "--output_dir", out])
     assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-3000:])
     assert os.path.exists(os.path.join(out, "best.npz"))
     log = open(os.path.join(out, "log.txt")).read()
