@@ -155,31 +155,8 @@ def main():
     # strict=False PARTIAL load on top of CLIP-initialized towers,
     # main.py:60-66)
     if args.resume_checkpoint == "auto":
-        import jax
-
-        from neighborretr_tpu.core.checkpoint import latest_resumable
-        path = (latest_resumable(args.output_dir)
-                if jax.process_index() == 0 else None)
-        if jax.process_count() > 1:
-            # all processes must act on ONE decision: checkpoints are
-            # written by process 0 only, and even shared storage can expose
-            # renames to hosts at different times — so process 0 resolves
-            # and broadcasts (kind, epoch), everyone reconstructs the path
-            # (same pattern as the best-tracker restore, train/loop.py)
-            import numpy as np
-            from jax.experimental import multihost_utils
-            if path is None:
-                enc = np.zeros((2,), np.int64)
-            elif os.path.basename(path) == "state_preempt.npz":
-                enc = np.array([2, 0], np.int64)
-            else:
-                ep = int(os.path.basename(path)[len("state_epoch"):-4])
-                enc = np.array([1, ep], np.int64)
-            kind, ep = (int(x) for x in
-                        multihost_utils.broadcast_one_to_all(enc))
-            path = (None if kind == 0 else os.path.join(
-                args.output_dir, "state_preempt.npz" if kind == 2
-                else f"state_epoch{ep}.npz"))
+        from neighborretr_tpu.core.checkpoint import resolve_resume_auto
+        path = resolve_resume_auto(args.output_dir)
         args.resume_checkpoint = path
         # logged once the logger exists (below); loop.py also logs the
         # resumed step — this records the fresh-start case durably too

@@ -217,6 +217,37 @@ def latest_resumable(output_dir: str):
     return best_path
 
 
+def resolve_resume_auto(output_dir: str):
+    """Multi-host-safe `--resume auto` resolution.
+
+    Checkpoints are written by process 0 only, and even shared storage can
+    expose renames to hosts at different times — so process 0 resolves via
+    latest_resumable() and broadcasts the decision as (kind, epoch); every
+    process reconstructs the path from its own output_dir.  Single-process
+    runs skip the collective entirely."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return latest_resumable(output_dir)
+    from jax.experimental import multihost_utils
+    if jax.process_index() == 0:
+        path = latest_resumable(output_dir)
+        if path is None:
+            enc = np.zeros((2,), np.int64)
+        elif os.path.basename(path) == "state_preempt.npz":
+            enc = np.array([2, 0], np.int64)
+        else:
+            epoch = int(os.path.basename(path)[len("state_epoch"):-4])
+            enc = np.array([1, epoch], np.int64)
+    else:
+        enc = np.zeros((2,), np.int64)
+    kind, epoch = (int(x) for x in multihost_utils.broadcast_one_to_all(enc))
+    if kind == 0:
+        return None
+    return os.path.join(output_dir, "state_preempt.npz" if kind == 2
+                        else f"state_epoch{epoch}.npz")
+
+
 def save_train_state(path: str, state) -> None:
     """state: train.step.TrainState (params, opt(m, v, step), bank, step)."""
     payload = {}

@@ -200,7 +200,10 @@ def fetch_to_host(tree):
         # partitioned leaves (TP weight shards) need the allgather collective
         if (isinstance(x, jax.Array) and not x.is_fully_addressable
                 and not x.is_fully_replicated):
-            return np.asarray(multihost_utils.process_allgather(x))
+            # tiled=True reassembles the GLOBAL value (tiled=False would
+            # stack a leading per-process dim — and raises outright on
+            # non-fully-addressable jax.Arrays)
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
         return jax.device_get(x)
 
     return jax.tree.map(get, tree)

@@ -69,6 +69,31 @@ def run():
     t2v, v2t = evaluate(state.params, cfg, eval_loader, dataset=ds, mesh=mesh)
     print("EVAL " + json.dumps([t2v, v2t]), flush=True)
 
+    # --resume auto across processes: only process 0 writes checkpoints,
+    # so resolution must be broadcast — every process must land on the
+    # SAME decision for an empty dir (None), an epoch save, and a newer
+    # preempt save (core/checkpoint.py::resolve_resume_auto)
+    import tempfile
+
+    from neighborretr_tpu.core.checkpoint import (resolve_resume_auto,
+                                                  save_train_state)
+    outdir = os.path.join(tempfile.gettempdir(),
+                          f"nrtpu_mp_resume_{os.environ.get('NRTPU_MP_TAG', '')}")
+    if jax.process_index() == 0:
+        # fresh dir: only process 0's scan feeds the broadcast, so this
+        # cleanup cannot race the other processes' resolve calls
+        import shutil
+        shutil.rmtree(outdir, ignore_errors=True)
+        os.makedirs(outdir)
+    resolved = [resolve_resume_auto(outdir)]
+    # fetch_to_host, not device_get: some state leaves span processes in the
+    # 2-controller run (a collective — every process enters it together)
+    host_state = pmesh.fetch_to_host(state)
+    if jax.process_index() == 0:
+        save_train_state(os.path.join(outdir, "state_epoch0.npz"), host_state)
+    resolved.append(resolve_resume_auto(outdir))
+    print("RESUME " + json.dumps(resolved), flush=True)
+
 
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]

@@ -32,6 +32,8 @@ def _spawn(pid: int, nproc: int, port: int) -> subprocess.Popen:
     env["PALLAS_AXON_POOL_IPS"] = ""
     # one CPU device per process: the 2-process run forms a 2-device mesh
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    # fresh shared dir per run for the resume-auto resolution check
+    env["NRTPU_MP_TAG"] = f"{port}_{nproc}"
     return subprocess.Popen(
         [sys.executable, WORKER, str(pid), str(nproc), str(port)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
@@ -40,15 +42,17 @@ def _spawn(pid: int, nproc: int, port: int) -> subprocess.Popen:
 def _results(proc: subprocess.Popen):
     out, err = proc.communicate(timeout=600)
     assert proc.returncode == 0, f"worker failed:\n{out}\n{err}"
-    losses = evals = None
+    losses = evals = resumes = None
     for line in out.splitlines():
         if line.startswith("LOSSES "):
             losses = json.loads(line[len("LOSSES "):])
         elif line.startswith("EVAL "):
             evals = json.loads(line[len("EVAL "):])
-    assert losses is not None and evals is not None, \
-        f"missing LOSSES/EVAL line in worker output:\n{out}\n{err}"
-    return losses, evals
+        elif line.startswith("RESUME "):
+            resumes = json.loads(line[len("RESUME "):])
+    assert losses is not None and evals is not None and resumes is not None, \
+        f"missing LOSSES/EVAL/RESUME line in worker output:\n{out}\n{err}"
+    return losses, evals, resumes
 
 
 @pytest.mark.slow
@@ -56,9 +60,10 @@ def test_two_process_losses_match_single_process():
     port = _free_port()
     p0 = _spawn(0, 2, port)
     p1 = _spawn(1, 2, port)
-    losses0, evals0 = _results(p0)
-    losses1, evals1 = _results(p1)
-    single, evals_single = _results(_spawn(0, 1, _free_port()))
+    losses0, evals0, resumes0 = _results(p0)
+    losses1, evals1, resumes1 = _results(p1)
+    single, evals_single, resumes_single = _results(
+        _spawn(0, 1, _free_port()))
 
     assert len(losses0) == len(single) == 2
     np.testing.assert_allclose(losses0, losses1, rtol=0, atol=0)
@@ -71,3 +76,10 @@ def test_two_process_losses_match_single_process():
         for k in ds_:
             np.testing.assert_allclose(d0[k], ds_[k], rtol=1e-5,
                                        err_msg=f"metric {k}")
+    # --resume auto: only process 0 writes checkpoints; the broadcast
+    # resolution must land every process on the SAME decision — None on an
+    # empty dir, then the state process 0 just wrote
+    assert resumes0 == resumes1, (resumes0, resumes1)
+    assert resumes0[0] is None and resumes0[1].endswith("state_epoch0.npz")
+    assert resumes_single[0] is None
+    assert resumes_single[1].endswith("state_epoch0.npz")
