@@ -239,3 +239,37 @@ def test_latest_resumable_picks_highest_step(tmp_path):
     assert ckpt.latest_resumable(d).endswith("state_preempt.npz")
     (tmp_path / "state_epoch2.npz").write_bytes(b"not an npz")  # truncated
     assert ckpt.latest_resumable(d).endswith("state_preempt.npz")
+
+
+def test_resolve_resume_auto_multihost_encoding(tmp_path, monkeypatch):
+    """The (kind, epoch) broadcast protocol: process 0 encodes what
+    latest_resumable found; every process reconstructs the same path from
+    its own output_dir.  Simulated single-process (the real 2-controller
+    run is tests/test_multiprocess.py)."""
+    import jax.experimental.multihost_utils as mhu
+
+    d = str(tmp_path)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+
+    # non-zero process: reconstructs purely from the broadcast decision
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    cases = [((0, 0), None),
+             ((1, 3), str(tmp_path / "state_epoch3.npz")),
+             ((2, 0), str(tmp_path / "state_preempt.npz"))]
+    for enc, want in cases:
+        monkeypatch.setattr(mhu, "broadcast_one_to_all",
+                            lambda x, _e=enc: np.asarray(_e, np.int64))
+        assert ckpt.resolve_resume_auto(d) == want
+
+    # process 0: encodes its scan result into the broadcast payload
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    sent = []
+    monkeypatch.setattr(mhu, "broadcast_one_to_all",
+                        lambda x: sent.append(np.asarray(x)) or sent[-1])
+    assert ckpt.resolve_resume_auto(d) is None          # empty dir → (0, 0)
+    np.savez(tmp_path / "state_epoch7.npz", step=np.asarray(5, np.int64))
+    assert ckpt.resolve_resume_auto(d).endswith("state_epoch7.npz")
+    np.savez(tmp_path / "state_preempt.npz", step=np.asarray(9, np.int64))
+    assert ckpt.resolve_resume_auto(d).endswith("state_preempt.npz")
+    assert [tuple(int(v) for v in e) for e in sent] == \
+        [(0, 0), (1, 7), (2, 0)]
