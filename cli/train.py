@@ -123,6 +123,12 @@ def parse_args():
     p.add_argument("--synthetic_size", type=int, default=256)
     p.add_argument("--augment", default="rand-m7-n4-mstd0.5-inc1",
                    help="train-time video RandAugment policy; '' disables")
+    p.add_argument("--augment_backend", default="auto",
+                   choices=["auto", "native", "pil"],
+                   help="augmentation kernels: 'native' = C++ ops "
+                        "(data/native, byte-exact vs PIL, ~5x less host "
+                        "CPU per clip), 'pil' = the PIL/numpy path, "
+                        "'auto' = native when a compiler is available")
     p.add_argument("--frame_order", type=int, default=0, choices=[0, 1, 2],
                    help="0 normal, 1 reverse, 2 random (rawvideo_util.py:331)")
     p.add_argument("--video_cache_size", type=int, default=0,
@@ -292,6 +298,7 @@ def main():
         train_ds = build_dataset(args.datatype, "train", args.anno_path,
                                  args.video_path, tokenizer,
                                  is_train=True, augment=args.augment or None,
+                                 augment_backend=args.augment_backend,
                                  frame_order=args.frame_order,
                                  cache_capacity=args.video_cache_size,
                                  seed=args.seed, **kw)

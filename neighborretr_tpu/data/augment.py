@@ -165,7 +165,7 @@ def _solarize_add_level(level: float) -> Tuple[int]:
     return (int((level / _MAX_LEVEL) * 110),)
 
 
-# (op fn, level fn or None, signed)
+# (op fn, level fn or None, signed) — the PIL/numpy per-frame backend
 _RAND_OPS: Dict[str, Tuple[Callable, Optional[Callable], bool]] = {
     "AutoContrast": (_auto_contrast, None, False),
     "Equalize": (_equalize, None, False),
@@ -185,6 +185,26 @@ _RAND_OPS: Dict[str, Tuple[Callable, Optional[Callable], bool]] = {
     "Rotate": (_rotate, _rotate_level, True),
 }
 
+# enhance-style ops whose signed mirror is 2-factor, not negation
+_ENHANCE_OPS = frozenset({"Color", "Contrast", "Brightness", "Sharpness"})
+
+
+def _native_ops() -> Dict[str, Callable]:
+    """Name -> whole-clip native op (data/native: byte-exact C++ kernels,
+    built on first use).  Import deferred so the PIL path never pays a
+    compiler invocation."""
+    from . import native as N
+    return {
+        "AutoContrast": N.auto_contrast, "Equalize": N.equalize,
+        "Invert": N.invert, "Identity": N.identity,
+        "Posterize": N.posterize, "Solarize": N.solarize,
+        "SolarizeAdd": N.solarize_add, "Color": N.color,
+        "Contrast": N.contrast, "Brightness": N.brightness,
+        "Sharpness": N.sharpness, "ShearX": N.shear_x, "ShearY": N.shear_y,
+        "TranslateX": N.translate_x, "TranslateY": N.translate_y,
+        "Rotate": N.rotate,
+    }
+
 
 class RandAugment:
     """rand-mM-nN-mstdS-inc1 policy over uint8 HWC frames.
@@ -196,7 +216,8 @@ class RandAugment:
 
     def __init__(self, magnitude: int = 7, num_layers: int = 4,
                  magnitude_std: float = 0.5, prob: float = 0.5,
-                 rng: Optional[np.random.Generator] = None):
+                 rng: Optional[np.random.Generator] = None,
+                 backend: str = "auto"):
         self.magnitude = magnitude
         self.num_layers = num_layers
         self.magnitude_std = magnitude_std
@@ -204,10 +225,29 @@ class RandAugment:
         # default 0.5 — without it the effective policy strength doubles)
         self.prob = prob
         self.rng = rng or np.random.default_rng()
+        # 'pil' | 'native' | 'auto'.  The native (C++) backend is byte-exact
+        # vs the PIL path (tests/test_native_augment.py) at a fraction of the
+        # per-core cost, so 'auto' prefers it and falls back to PIL when no
+        # compiler is available.  Op/arg SAMPLING is backend-independent
+        # (same rng stream -> same ops either way).
+        if backend not in ("pil", "native", "auto"):
+            raise ValueError(f"unknown augment backend '{backend}'")
+        if backend == "auto":
+            from . import native as _native
+            backend = "native" if _native.available() else "pil"
+        elif backend == "native":
+            from . import native as _native
+            if not _native.available():
+                raise RuntimeError(
+                    f"native augment backend unavailable: "
+                    f"{_native.load_error()}")
+        self.backend = backend
+        self._native = _native_ops() if backend == "native" else None
 
     @classmethod
     def from_config_str(cls, config: str,
-                        rng: Optional[np.random.Generator] = None):
+                        rng: Optional[np.random.Generator] = None,
+                        backend: str = "auto"):
         """Parse a timm-style 'rand-m7-n4-mstd0.5-inc1' string.  Unsupported
         segments raise — silently dropping e.g. 'inc0' or 'p0.3' would run a
         different policy than the one named."""
@@ -229,28 +269,30 @@ class RandAugment:
                 raise ValueError(
                     f"unsupported RandAugment config segment '{p}' in "
                     f"'{config}' (supported: mN, nN, mstdF, pF, inc1)")
-        return cls(rng=rng, **kwargs)
+        return cls(rng=rng, backend=backend, **kwargs)
 
     def _sample_ops(self, rng: np.random.Generator
-                    ) -> List[Tuple[Callable, tuple]]:
+                    ) -> List[Tuple[str, tuple]]:
+        """Draw the clip's (op name, args) list.  Identical rng consumption
+        for every backend, so the sampled policy is backend-independent."""
         names = rng.choice(list(_RAND_OPS), size=self.num_layers)
         ops = []
         for name in names:
             if rng.random() >= self.prob:     # timm: each op fires w.p. 0.5
                 continue
-            fn, level_fn, signed = _RAND_OPS[name]
+            _, level_fn, signed = _RAND_OPS[name]
             if level_fn is None:
-                ops.append((fn, ()))
+                ops.append((name, ()))
                 continue
             level = self.magnitude + rng.normal(0, self.magnitude_std)
             level = float(np.clip(level, 0, _MAX_LEVEL))
             args = level_fn(level)
             if signed and rng.random() < 0.5:
                 args = tuple(-a if isinstance(a, float) else a for a in args)
-                if fn in (_color, _contrast, _brightness, _sharpness):
+                if name in _ENHANCE_OPS:
                     # enhance factors mirror around 1.0 rather than negate
                     args = (2.0 - level_fn(level)[0],)
-            ops.append((fn, args))
+            ops.append((name, args))
         return ops
 
     def __call__(self, frames: np.ndarray,
@@ -258,25 +300,33 @@ class RandAugment:
         """frames uint8 [F, H, W, 3] -> augmented uint8 [F, H, W, 3].
         `rng`: per-item generator (thread-safe, epoch-seeded — see
         datasets/base.py item()); falls back to the instance one."""
-        if not _HAS_PIL:
+        if self.backend == "pil" and not _HAS_PIL:
             return frames
         ops = self._sample_ops(rng if rng is not None else self.rng)
         if not ops:
             return frames
+        if self._native is not None:
+            # whole-clip C++ kernels; copy first — in-place ops must never
+            # mutate the (shared) decode-cache buffer.  ctypes releases the
+            # GIL during each call, so thread-pool workers run concurrently.
+            clip = frames.copy()
+            for name, args in ops:
+                clip = self._native[name](clip, *args)
+            return clip
         out = np.empty_like(frames)
         for i in range(frames.shape[0]):
             img = frames[i]
-            for fn, args in ops:
-                img = fn(img, *args)
+            for name, args in ops:
+                img = _RAND_OPS[name][0](img, *args)
             out[i] = img
         return out
 
 
 def create_random_augment(config_str: str = "rand-m7-n4-mstd0.5-inc1",
-                          rng: Optional[np.random.Generator] = None
-                          ) -> RandAugment:
+                          rng: Optional[np.random.Generator] = None,
+                          backend: str = "auto") -> RandAugment:
     """Factory mirroring video_transforms.create_random_augment:632-667."""
-    return RandAugment.from_config_str(config_str, rng=rng)
+    return RandAugment.from_config_str(config_str, rng=rng, backend=backend)
 
 
 # ---------------------------------------------------------------------------

@@ -105,6 +105,7 @@ class RetrievalDataset:
         cut_off_points: Optional[List[int]] = None,
         is_train: bool = False,
         augment: Optional[str] = "rand-m7-n4-mstd0.5-inc1",
+        augment_backend: str = "auto",
         frame_order: int = 0,
         cache_capacity: int = 0,
         seed: int = 0,
@@ -125,7 +126,8 @@ class RetrievalDataset:
         self.frame_order = frame_order
         self.seed = seed
         self._epoch = 0
-        self._augment = (create_random_augment(augment)
+        self._augment = (create_random_augment(augment,
+                                               backend=augment_backend)
                          if (is_train and augment) else None)
         self._clip_cache = ClipLRUCache(cache_capacity)
 

@@ -62,11 +62,12 @@ def main():
                  worker_mode=args.worker_mode)
 
     class AugSyn(SyntheticDataset):
-        def __init__(self, **kw):
+        def __init__(self, backend="pil", **kw):
             super().__init__(**kw)
             from neighborretr_tpu.data.augment import create_random_augment
             self._aug = create_random_augment(
-                "rand-m7-n4-mstd0.5-inc1", rng=np.random.default_rng(0))
+                "rand-m7-n4-mstd0.5-inc1", rng=np.random.default_rng(0),
+                backend=backend)
 
         def item(self, i):
             out = super().item(i)
@@ -74,8 +75,18 @@ def main():
             return out
 
     bench_loader(AugSyn(n=n, max_words=24, max_frames=12, resolution=224),
-                 args.batch, args.workers, "synthetic + RandAugment",
+                 args.batch, args.workers, "synthetic + RandAugment (pil)",
                  worker_mode=args.worker_mode)
+
+    from neighborretr_tpu.data import native
+    if native.available():
+        bench_loader(
+            AugSyn(backend="native", n=n, max_words=24, max_frames=12,
+                   resolution=224),
+            args.batch, args.workers, "synthetic + RandAugment (native C++)",
+            worker_mode=args.worker_mode)
+    else:
+        print(f"[native backend unavailable: {native.load_error()}]")
 
     if args.video_dir:
         from neighborretr_tpu.data.datasets.base import RetrievalDataset
