@@ -220,3 +220,51 @@ def test_process_workers_with_real_video_decode(tmp_path):
         for k in x:
             np.testing.assert_array_equal(x[k], y[k])
     assert tb[0]["video"].std() > 0       # real decoded pixels, not fallback
+
+
+def test_process_workers_with_native_augment(tmp_path):
+    """Native (C++) augment kernels under forked workers: the ctypes CDLL is
+    inherited through fork; batches must be byte-identical to the thread
+    pool AND to the PIL backend (per-item epoch-seeded RNGs make the
+    sampled policy deterministic; the kernels are byte-exact)."""
+    cv2 = pytest.importorskip("cv2")
+    from neighborretr_tpu.data import native
+    if not native.available():
+        pytest.skip(f"native backend unavailable: {native.load_error()}")
+    path = tmp_path / "clip.mp4"
+    w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"),
+                        12, (64, 48))
+    if not w.isOpened():
+        pytest.skip("cv2 VideoWriter mp4v unavailable")
+    rng = np.random.default_rng(0)
+    for _ in range(24):
+        w.write(rng.integers(0, 256, (48, 64, 3), dtype=np.uint8))
+    w.release()
+
+    from neighborretr_tpu.data.datasets.base import RetrievalDataset
+    from neighborretr_tpu.data.tokenizer import ClipTokenizer
+    tok = ClipTokenizer()
+    pairs = [("v0", f"caption number {i}", None, None) for i in range(4)]
+    paths = {"v0": str(path)}
+
+    def build(backend):
+        return RetrievalDataset(pairs, paths, tok, is_train=True,
+                                augment_backend=backend, seed=3,
+                                max_words=8, max_frames=4, resolution=32)
+
+    def batches(loader):
+        loader.set_epoch(1)
+        return _collect(loader)
+
+    t = batches(BatchLoader(build("native"), 2, shuffle=False, workers=2,
+                            prefetch=0))
+    p = batches(BatchLoader(build("native"), 2, shuffle=False, workers=2,
+                            prefetch=2, worker_mode="process"))
+    pil = batches(BatchLoader(build("pil"), 2, shuffle=False, workers=2,
+                              prefetch=0))
+    assert len(t) == len(p) == len(pil) == 2
+    for x, y, z in zip(t, p, pil):
+        for k in x:
+            np.testing.assert_array_equal(x[k], y[k])
+            np.testing.assert_array_equal(x[k], z[k])
+    assert t[0]["video"].std() > 0
