@@ -17,11 +17,18 @@ import numpy as np
 _SEP = "//"
 
 
+def path_key(path) -> str:
+    """Canonical flat key for a pytree path — THE on-disk npz key format.
+    Single definition: flatten_tree, unflatten_into, and deploy's sorted
+    leaf manifest must all agree or checkpoint/bundle loads desynchronize."""
+    return _SEP.join(str(getattr(k, "key", getattr(k, "idx", k)))
+                     for k in path)
+
+
 def flatten_tree(tree) -> Dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-        key = _SEP.join(str(getattr(k, "key", getattr(k, "idx", k)))
-                        for k in path)
+        key = path_key(path)
         arr = np.asarray(leaf)
         if arr.dtype.name == "bfloat16":
             # npz has no portable bf16; fp32 holds bf16 exactly, and
@@ -46,8 +53,7 @@ def unflatten_into(tree_like, flat: Dict[str, np.ndarray], strict: bool = True):
     seen = set()
     missing, mismatched, reshaped = [], [], []
     for path, leaf in leaves_with_path[0]:
-        key = _SEP.join(str(getattr(k, "key", getattr(k, "idx", k)))
-                        for k in path)
+        key = path_key(path)
         seen.add(key)
         if key not in flat:
             if strict:

@@ -3,8 +3,8 @@
 `augment.cpp` re-implements the Pillow operations used by the RandAugment
 policy (data/augment.py) as single-pass LUT / fused loops over whole uint8
 [F, H, W, 3] clips — byte-exact vs the PIL path (tests/test_native_augment.py)
-at a fraction of the per-core cost (the PIL path measures ~97 ms/clip/core at
-12f @ 224; see docs/SCALING.md "Host data pipeline").
+at a fraction of the per-core cost (measured A/B at 12f @ 224: 19.3 vs 51.3
+ms/clip/core policy-level; see docs/SCALING.md "Host data pipeline").
 
 Build story: no pybind11 in this environment, so the library is a plain
 C ABI `.so` compiled with g++ on first use into a per-source-hash cache dir
@@ -37,10 +37,10 @@ _load_error: Optional[str] = None
 
 
 def _cache_dir(src_hash: str) -> str:
-    root = os.environ.get(
-        "NRTPU_NATIVE_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "neighborretr_tpu",
-                     "native"))
+    # `or` (not a .get default): a set-but-empty NRTPU_NATIVE_CACHE must
+    # fall back too, not become a CWD-relative path
+    root = os.environ.get("NRTPU_NATIVE_CACHE") or os.path.join(
+        os.path.expanduser("~"), ".cache", "neighborretr_tpu", "native")
     return os.path.join(root, src_hash)
 
 
@@ -135,61 +135,72 @@ def _ptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
 
+def _require_lib() -> ctypes.CDLL:
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError(
+            f"native augment backend unavailable: {_load_error}")
+    return lib
+
+
 def invert(clip):
     clip = _prep(clip)
-    get_lib().nr_invert(_ptr(clip), clip.size)
+    _require_lib().nr_invert(_ptr(clip), clip.size)
     return clip
 
 
 def posterize(clip, bits):
     clip = _prep(clip)
-    get_lib().nr_posterize(_ptr(clip), clip.size, max(1, int(bits)))
+    # clamp to [1, 8]: Pillow's posterize rejects bits outside this range,
+    # and 8-bits would shift by a negative count (UB) in the kernel
+    _require_lib().nr_posterize(_ptr(clip), clip.size,
+                                min(8, max(1, int(bits))))
     return clip
 
 
 def solarize(clip, thresh):
     clip = _prep(clip)
-    get_lib().nr_solarize(_ptr(clip), clip.size, int(thresh))
+    _require_lib().nr_solarize(_ptr(clip), clip.size, int(thresh))
     return clip
 
 
 def solarize_add(clip, add):
     clip = _prep(clip)
-    get_lib().nr_solarize_add(_ptr(clip), clip.size, int(add))
+    _require_lib().nr_solarize_add(_ptr(clip), clip.size, int(add))
     return clip
 
 
 def brightness(clip, factor):
     clip = _prep(clip)
-    get_lib().nr_brightness(_ptr(clip), clip.size, float(factor))
+    _require_lib().nr_brightness(_ptr(clip), clip.size, float(factor))
     return clip
 
 
 def auto_contrast(clip):
     clip = _prep(clip)
     f, h, w, _ = clip.shape
-    get_lib().nr_autocontrast(_ptr(clip), f, h, w)
+    _require_lib().nr_autocontrast(_ptr(clip), f, h, w)
     return clip
 
 
 def equalize(clip):
     clip = _prep(clip)
     f, h, w, _ = clip.shape
-    get_lib().nr_equalize(_ptr(clip), f, h, w)
+    _require_lib().nr_equalize(_ptr(clip), f, h, w)
     return clip
 
 
 def contrast(clip, factor):
     clip = _prep(clip)
     f, h, w, _ = clip.shape
-    get_lib().nr_contrast(_ptr(clip), f, h, w, float(factor))
+    _require_lib().nr_contrast(_ptr(clip), f, h, w, float(factor))
     return clip
 
 
 def color(clip, factor):
     clip = _prep(clip)
     f, h, w, _ = clip.shape
-    get_lib().nr_color(_ptr(clip), f, h, w, float(factor))
+    _require_lib().nr_color(_ptr(clip), f, h, w, float(factor))
     return clip
 
 
@@ -197,7 +208,7 @@ def sharpness(clip, factor):
     clip = _prep(clip)
     f, h, w, _ = clip.shape
     dst = np.empty_like(clip)
-    get_lib().nr_sharpness(_ptr(clip), _ptr(dst), f, h, w, float(factor))
+    _require_lib().nr_sharpness(_ptr(clip), _ptr(dst), f, h, w, float(factor))
     return dst
 
 
@@ -207,8 +218,8 @@ def affine(clip, coeffs):
     f, h, w, _ = clip.shape
     a, b, c, d, e, ff = (float(v) for v in coeffs)
     dst = np.empty_like(clip)
-    get_lib().nr_affine_bilinear(_ptr(clip), _ptr(dst), f, h, w,
-                                 a, b, c, d, e, ff)
+    _require_lib().nr_affine_bilinear(_ptr(clip), _ptr(dst), f, h, w,
+                                      a, b, c, d, e, ff)
     return dst
 
 

@@ -4,9 +4,9 @@
 // augmentation path (data/augment.py) uses, specialized for the host
 // data-pipeline hot loop: contiguous uint8 [F, H, W, 3] clips, one call per
 // (op, clip), LUT single-pass where the op allows it.  The Python/PIL path
-// costs ~97 ms/clip/core at the flagship shape (12f @ 224) — the dominant
-// host cost when sizing TPU-VM hosts (docs/SCALING.md); these kernels do the
-// same math in one or two memory passes.
+// is the dominant host cost when sizing TPU-VM hosts (measured A/B at
+// 12f @ 224: 19.3 vs 51.3 ms/clip/core policy-level — docs/SCALING.md);
+// these kernels do the same math in one or two memory passes.
 //
 // Pillow semantics were probed empirically (Pillow 12.1.0) and are matched
 // bit-exactly (asserted in tests/test_native_augment.py):
@@ -78,6 +78,7 @@ void nr_invert(u8* p, i64 n) {
 }
 
 void nr_posterize(u8* p, i64 n, int bits) {
+  bits = bits < 1 ? 1 : (bits > 8 ? 8 : bits);  // shift-count UB guard
   const u8 mask = static_cast<u8>(~((1 << (8 - bits)) - 1));
   for (i64 i = 0; i < n; ++i) p[i] = static_cast<u8>(p[i] & mask);
 }

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .core.checkpoint import _SEP, _atomic_savez, flatten_tree
+from .core.checkpoint import _atomic_savez, flatten_tree, path_key
 from .core.config import Config
 
 Params = Dict[str, Any]
@@ -52,8 +52,7 @@ def _sorted_flat(params: Params):
     constants).  Sorted-by-key order is the on-disk npz contract, so a
     loader can reproduce the exact input order from params.npz alone."""
     paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(params)
-    keys = [_SEP.join(str(getattr(k, "key", getattr(k, "idx", k)))
-                      for k in path) for path, _ in paths_leaves]
+    keys = [path_key(path) for path, _ in paths_leaves]
     leaves = [leaf for _, leaf in paths_leaves]
     order = sorted(range(len(keys)), key=keys.__getitem__)
 
