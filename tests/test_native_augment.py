@@ -138,3 +138,27 @@ def test_dataset_plumbs_backend():
                           ClipTokenizer(), is_train=True,
                           augment_backend="native")
     assert ds._augment.backend == "native"
+
+
+@pytest.mark.parametrize("shape", [(1, 1, 1, 3), (2, 2, 3, 3), (1, 5, 2, 3),
+                                   (3, 17, 31, 3)])
+def test_degenerate_shapes_byte_exact(shape):
+    """Tiny/odd frames: bilinear clamps everywhere, histograms have single
+    bins, the SMOOTH interior is empty — every backend edge case at once."""
+    rng = np.random.default_rng(11)
+    clip = rng.integers(0, 256, shape, dtype=np.uint8)
+    for name, pil_fn, nat_fn, args in CASES:
+        ref = _pil_apply(pil_fn, clip, *args)
+        got = nat_fn(clip.copy(), *args)
+        np.testing.assert_array_equal(ref, got,
+                                      err_msg=f"{name} @ {shape}")
+
+
+def test_auto_falls_back_to_pil_when_native_unavailable(monkeypatch):
+    monkeypatch.setattr(native, "available", lambda: False)
+    ra = A.create_random_augment(backend="auto")
+    assert ra.backend == "pil" and ra._native is None
+    # explicit 'native' surfaces the loader diagnostic instead
+    monkeypatch.setattr(native, "load_error", lambda: "no g++")
+    with pytest.raises(RuntimeError, match="no g\\+\\+"):
+        A.create_random_augment(backend="native")
