@@ -37,13 +37,16 @@ MAX_QUERIES_PER_REQUEST = 256
 MAX_BODY_BYTES = 1 << 20  # 1 MiB of JSON is already ~4k captions
 
 
-def make_handler(searcher, default_topk: int = 5, logger=None):
+def make_handler(searcher, default_topk: int = 5, logger=None,
+                 dispatcher=None):
     """Handler class closed over a serving.Searcher.
 
-    Requests serialize through one lock: device dispatch is thread-safe,
-    but serializing keeps host-side result memory bounded and gives each
-    request the full chip instead of interleaving compiled programs.
-    """
+    Without a dispatcher, requests serialize through one lock: device
+    dispatch is thread-safe, but serializing keeps host-side result memory
+    bounded and gives each request the full chip instead of interleaving
+    compiled programs.  With a `serving.BatchingDispatcher`, concurrent
+    requests coalesce into one device call instead (same results — scores
+    are per-query independent)."""
     lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
@@ -74,8 +77,11 @@ def make_handler(searcher, default_topk: int = 5, logger=None):
                 return self._error(400, "topk must be an integer")
             if topk < 1:
                 return self._error(400, "topk must be >= 1")
-            with lock:
-                results = searcher.search(queries, topk=topk)
+            if dispatcher is not None:
+                results = dispatcher.submit(queries, topk)
+            else:
+                with lock:
+                    results = searcher.search(queries, topk=topk)
             self._reply(200, {"results": [
                 [{"video_id": vid, "score": score} for vid, score in hits]
                 for hits in results]})
@@ -139,10 +145,12 @@ def make_handler(searcher, default_topk: int = 5, logger=None):
 
 
 def make_server(searcher, host: str = "127.0.0.1", port: int = 0,
-                default_topk: int = 5, logger=None) -> ThreadingHTTPServer:
+                default_topk: int = 5, logger=None,
+                dispatcher=None) -> ThreadingHTTPServer:
     """Bound-but-not-serving HTTP server (tests drive it on port 0)."""
-    return ThreadingHTTPServer((host, port),
-                               make_handler(searcher, default_topk, logger))
+    return ThreadingHTTPServer(
+        (host, port),
+        make_handler(searcher, default_topk, logger, dispatcher=dispatcher))
 
 
 def main():
@@ -154,6 +162,14 @@ def main():
     p.add_argument("--query_batch", type=int, default=8,
                    help="compile bucket: request batches pad up to a "
                         "multiple of this (one compiled program per bucket)")
+    p.add_argument("--batch_window_ms", type=float, default=2.0,
+                   help="dynamic batching: coalesce concurrent requests "
+                        "arriving within this window into one device call "
+                        "(identical results; a lone request pays at most "
+                        "the window). 0 disables")
+    p.add_argument("--max_merged_queries", type=int, default=None,
+                   help="cap on the merged query count per device call "
+                        "(default: 8x query_batch, min 64)")
     p.add_argument("--num_devices", type=int, default=1,
                    help="shard the corpus features over this many devices "
                         "(row-sharded mesh; for indexes that outgrow one "
@@ -193,8 +209,17 @@ def main():
     logger.info("Index: %d videos; compiling the query path ...",
                 len(searcher))
     searcher.warmup()
+    dispatcher = None
+    if args.batch_window_ms > 0:
+        dispatcher = serving.BatchingDispatcher(
+            searcher, max_batch=args.max_merged_queries,
+            max_wait_ms=args.batch_window_ms)
+        logger.info("Dynamic batching: window %.1f ms, up to %d merged "
+                    "queries per device call", args.batch_window_ms,
+                    dispatcher.max_batch)
     server = make_server(searcher, args.host, args.port,
-                         default_topk=args.topk, logger=logger)
+                         default_topk=args.topk, logger=logger,
+                         dispatcher=dispatcher)
     logger.info("Serving on http://%s:%d (GET /healthz, GET|POST /search)",
                 *server.server_address)
     try:
@@ -203,6 +228,8 @@ def main():
         logger.info("Shutting down")
     finally:
         server.server_close()
+        if dispatcher is not None:
+            dispatcher.close()
 
 
 if __name__ == "__main__":

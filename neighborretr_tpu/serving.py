@@ -353,3 +353,117 @@ def search(params: Params, cfg: Config, index: Dict[str, np.ndarray],
     """One-shot top-k search (cli/search.py); daemons keep a Searcher."""
     return Searcher(params, cfg, index, tokenizer,
                     query_batch=max(len(queries), 1)).search(queries, topk)
+
+
+class _Pending:
+    __slots__ = ("queries", "topk", "event", "results", "error")
+
+    def __init__(self, queries: Sequence[str], topk: int):
+        import threading
+        self.queries = list(queries)
+        self.topk = int(topk)
+        self.event = threading.Event()
+        self.results = None
+        self.error: Optional[BaseException] = None
+
+
+class BatchingDispatcher:
+    """Cross-request dynamic batching over one Searcher.
+
+    The daemon's handler threads each carry ONE request; dispatching them
+    individually pays a full padded device program per request, so many
+    small concurrent requests collapse throughput to (1 request's latency)⁻¹.
+    This dispatcher coalesces whatever is queued — waiting at most
+    `max_wait_ms` after the first arrival, up to `max_batch` queries — into
+    ONE `searcher.search` call at the merged batch's max topk, then slices
+    each request its own queries/topk.  Per-query scores are independent,
+    so results are byte-identical to individual dispatch (tested).
+
+    Under load the window never waits (the queue is non-empty when the
+    device frees); when idle a lone request pays at most the window.
+    `submit` blocks the calling thread; errors from the device propagate to
+    every co-batched caller (queries are validated before submit — a failure
+    here is systemic, not request-specific)."""
+
+    def __init__(self, searcher, max_batch: Optional[int] = None,
+                 max_wait_ms: float = 2.0):
+        import queue
+        import threading
+        if max_batch is not None and max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        self.searcher = searcher
+        # default cap: a few compile buckets' worth — big enough to merge a
+        # burst, small enough to keep latency of the merged call bounded
+        self.max_batch = int(max_batch or max(searcher.query_batch * 8, 64))
+        self.max_wait = max(float(max_wait_ms), 0.0) / 1e3
+        self._queue: "queue.SimpleQueue[Optional[_Pending]]" = \
+            queue.SimpleQueue()
+        # observability (read by tests and the daemon's request log)
+        self.batches = 0
+        self.requests = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="nrtpu-serve-batcher")
+        self._thread.start()
+
+    def submit(self, queries: Sequence[str], topk: int
+               ) -> List[List[Tuple[str, float]]]:
+        p = _Pending(queries, topk)
+        self._queue.put(p)
+        p.event.wait()
+        if p.error is not None:
+            raise p.error
+        return p.results
+
+    def close(self) -> None:
+        self._queue.put(None)
+        self._thread.join(timeout=10)
+
+    def _collect(self) -> Optional[List[_Pending]]:
+        """One merged batch: block for the first request, then drain the
+        queue until max_batch or the window closes."""
+        import queue
+        import time
+        first = self._queue.get()
+        if first is None:
+            return None
+        batch = [first]
+        total = len(first.queries)
+        deadline = time.monotonic() + self.max_wait
+        while total < self.max_batch:
+            remaining = deadline - time.monotonic()
+            try:
+                nxt = (self._queue.get_nowait() if remaining <= 0
+                       else self._queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+            if nxt is None:           # close() while a batch is forming:
+                self._queue.put(None)  # serve the batch, exit next round
+                break
+            batch.append(nxt)
+            total += len(nxt.queries)
+        return batch
+
+    def _loop(self) -> None:
+        while True:
+            batch = self._collect()
+            if batch is None:
+                return
+            merged: List[str] = []
+            for p in batch:
+                merged.extend(p.queries)
+            try:
+                hits = self.searcher.search(
+                    merged, topk=max(p.topk for p in batch))
+                off = 0
+                for p in batch:
+                    rows = hits[off:off + len(p.queries)]
+                    p.results = [row[:p.topk] for row in rows]
+                    off += len(p.queries)
+            except BaseException as exc:  # propagate to every waiter
+                for p in batch:
+                    p.error = exc
+            finally:
+                self.batches += 1
+                self.requests += len(batch)
+                for p in batch:
+                    p.event.set()

@@ -85,6 +85,48 @@ def main():
     server.shutdown()
     server.server_close()
 
+    # --- many concurrent SINGLE-query clients: lock-serialized vs dynamic
+    # batching (the production small-request pattern) ---
+    def run_concurrent(dispatcher, tag):
+        server = make_server(searcher, "127.0.0.1", 0, default_topk=5,
+                             dispatcher=dispatcher)
+        host, port = server.server_address
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+
+        def one(i):
+            conn = http.client.HTTPConnection(host, port, timeout=300)
+            conn.request("POST", "/search",
+                         json.dumps({"queries": [queries[i % Q]], "topk": 5}),
+                         {"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            resp.read()
+            conn.close()
+            assert resp.status == 200
+
+        one(0)                                    # warm
+        n_clients = Q
+        tic = time.perf_counter()
+        threads = [threading.Thread(target=one, args=(i,))
+                   for i in range(n_clients)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt = time.perf_counter() - tic
+        extra = (f"; {dispatcher.batches} device calls for "
+                 f"{dispatcher.requests} requests" if dispatcher else "")
+        print(f"{tag}: {n_clients} concurrent 1-query requests in "
+              f"{dt * 1e3:.1f} ms ({n_clients / dt:.0f} queries/s{extra})",
+              flush=True)
+        server.shutdown()
+        server.server_close()
+        if dispatcher is not None:
+            dispatcher.close()
+
+    run_concurrent(None, "lock-serialized       ")
+    run_concurrent(serving.BatchingDispatcher(searcher, max_wait_ms=2.0),
+                   "dynamic batching (2ms)")
+
 
 if __name__ == "__main__":
     main()

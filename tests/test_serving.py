@@ -403,3 +403,143 @@ def test_http_server_keepalive_resync_after_early_errors(setup):
         server.shutdown()
         server.server_close()
         thread.join(timeout=10)
+
+
+class _CountingSearcher:
+    """Fake Searcher: per-query deterministic hits + device-call counter."""
+
+    def __init__(self, query_batch=4):
+        self.query_batch = query_batch
+        self.calls = []          # list of (n_queries, topk)
+        import threading
+        self._gate = threading.Event()
+        self._gate.set()
+
+    def search(self, queries, topk=5):
+        self._gate.wait()
+        self.calls.append((len(queries), topk))
+        return [[(f"vid_{q}_{r}", float(len(q) + r)) for r in range(topk)]
+                for q in queries]
+
+
+def test_batching_dispatcher_routes_and_slices():
+    """Concurrent submits coalesce into fewer device calls; every caller
+    gets exactly its own queries' hits at its own topk."""
+    import threading
+
+    s = _CountingSearcher()
+    s._gate.clear()                       # hold the device until all queued
+    d = serving.BatchingDispatcher(s, max_wait_ms=200.0)
+    try:
+        results = {}
+
+        def worker(i):
+            results[i] = d.submit([f"q{i}a", f"q{i}b"], topk=2 + (i % 3))
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        # let every request enqueue, then release the device
+        import time
+        time.sleep(0.3)
+        s._gate.set()
+        for t in threads:
+            t.join(timeout=30)
+        assert len(results) == 6
+        for i in range(6):
+            want_k = 2 + (i % 3)
+            got = results[i]
+            assert len(got) == 2
+            for q, hits in zip([f"q{i}a", f"q{i}b"], got):
+                assert len(hits) == want_k
+                assert hits == [(f"vid_{q}_{r}", float(len(q) + r))
+                                for r in range(want_k)]
+        # the first submit may dispatch alone (it can enter before the gate
+        # clears the queue), but the rest must have merged
+        assert len(s.calls) < 6
+        assert sum(n for n, _ in s.calls) == 12
+        # merged calls run at the max topk of their batch
+        assert all(k <= 4 for _, k in s.calls)
+        assert d.requests == 6 and d.batches == len(s.calls)
+    finally:
+        d.close()
+
+
+def test_batching_dispatcher_propagates_errors():
+    class Boom:
+        query_batch = 4
+
+        def search(self, queries, topk=5):
+            raise RuntimeError("device fell over")
+
+    d = serving.BatchingDispatcher(Boom(), max_wait_ms=1.0)
+    try:
+        with pytest.raises(RuntimeError, match="device fell over"):
+            d.submit(["q"], topk=1)
+    finally:
+        d.close()
+
+
+def test_batching_dispatcher_respects_max_batch():
+    s = _CountingSearcher()
+    d = serving.BatchingDispatcher(s, max_batch=3, max_wait_ms=50.0)
+    try:
+        # one oversized request still goes through (alone)
+        out = d.submit(["a", "b", "c", "d"], topk=1)
+        assert len(out) == 4
+        assert s.calls[-1][0] == 4
+    finally:
+        d.close()
+
+
+def test_http_server_with_dynamic_batching_matches_sequential(setup):
+    """Socket-level: concurrent single-query requests through the batching
+    dispatcher return exactly what sequential searches return."""
+    import http.client
+    import json
+    import threading
+
+    from cli.serve import make_server
+
+    cfg, ds, params, index = setup
+    tok = _StubTokenizer()
+    searcher = serving.Searcher(params, cfg, index, tok, query_batch=4)
+    queries = [f"synthetic caption number {i}" for i in range(8)]
+    want = searcher.search(queries, topk=3)
+
+    dispatcher = serving.BatchingDispatcher(searcher, max_wait_ms=25.0)
+    server = make_server(searcher, "127.0.0.1", 0, default_topk=3,
+                         dispatcher=dispatcher)
+    host, port = server.server_address
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        got = [None] * len(queries)
+
+        def one(i):
+            conn = http.client.HTTPConnection(host, port, timeout=60)
+            conn.request("POST", "/search",
+                         json.dumps({"queries": [queries[i]], "topk": 3}),
+                         {"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            got[i] = (resp.status, json.loads(resp.read().decode()))
+            conn.close()
+
+        threads = [threading.Thread(target=one, args=(i,))
+                   for i in range(len(queries))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        for i, (status, payload) in enumerate(got):
+            assert status == 200, payload
+            assert payload["results"] == [
+                [{"video_id": vid, "score": pytest.approx(score)}
+                 for vid, score in want[i]]]
+        assert dispatcher.requests == len(queries)
+        assert dispatcher.batches <= dispatcher.requests
+    finally:
+        server.shutdown()
+        server.server_close()
+        dispatcher.close()
