@@ -217,6 +217,10 @@ def main():
         logger.info("Dynamic batching: window %.1f ms, up to %d merged "
                     "queries per device call", args.batch_window_ms,
                     dispatcher.max_batch)
+        # pre-pay the merged-bucket compiles so the first burst doesn't
+        # stall behind program builds (each bucket is a distinct program)
+        for b in dispatcher.buckets:
+            searcher.search(["warmup"] * b, topk=args.topk)
     server = make_server(searcher, args.host, args.port,
                          default_topk=args.topk, logger=logger,
                          dispatcher=dispatcher)

@@ -396,6 +396,16 @@ class BatchingDispatcher:
         # burst, small enough to keep latency of the merged call bounded
         self.max_batch = int(max_batch or max(searcher.query_batch * 8, 64))
         self.max_wait = max(float(max_wait_ms), 0.0) / 1e3
+        # merged batches round up to power-of-two multiples of the
+        # searcher's compile bucket ("" padding, rows dropped on split):
+        # log2 many compiled programs instead of one per multiple
+        qb = int(searcher.query_batch)
+        self.buckets = []
+        b = qb
+        while b < self.max_batch:
+            self.buckets.append(b)
+            b *= 2
+        self.buckets.append(self.max_batch)
         self._queue: "queue.SimpleQueue[Optional[_Pending]]" = \
             queue.SimpleQueue()
         # observability (read by tests and the daemon's request log)
@@ -451,6 +461,11 @@ class BatchingDispatcher:
             merged: List[str] = []
             for p in batch:
                 merged.extend(p.queries)
+            n_real = len(merged)
+            for b in self.buckets:       # round up to a compile bucket
+                if b >= n_real:
+                    merged.extend([""] * (b - n_real))
+                    break
             try:
                 hits = self.searcher.search(
                     merged, topk=max(p.topk for p in batch))

@@ -458,7 +458,8 @@ def test_batching_dispatcher_routes_and_slices():
         # the first submit may dispatch alone (it can enter before the gate
         # clears the queue), but the rest must have merged
         assert len(s.calls) < 6
-        assert sum(n for n, _ in s.calls) == 12
+        # padded up to compile buckets, never below the real query count
+        assert sum(n for n, _ in s.calls) >= 12
         # merged calls run at the max topk of their batch
         assert all(k <= 4 for _, k in s.calls)
         assert d.requests == 6 and d.batches == len(s.calls)
@@ -543,3 +544,18 @@ def test_http_server_with_dynamic_batching_matches_sequential(setup):
         server.shutdown()
         server.server_close()
         dispatcher.close()
+
+
+def test_batching_dispatcher_rounds_to_buckets():
+    """Merged batches pad to power-of-two multiples of query_batch (few
+    compiled programs) and padded rows never leak into results."""
+    s = _CountingSearcher(query_batch=4)
+    d = serving.BatchingDispatcher(s, max_batch=32, max_wait_ms=0.0)
+    try:
+        assert d.buckets == [4, 8, 16, 32]
+        out = d.submit(["alpha", "beta", "gamma", "delta", "epsilon"], topk=2)
+        assert len(out) == 5                      # 5 queries -> bucket 8
+        assert s.calls[-1][0] == 8
+        assert out[0][0][0] == "vid_alpha_0"
+    finally:
+        d.close()
