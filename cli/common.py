@@ -8,6 +8,30 @@ friendly unknown-datatype error and the checkpoint dispatch below).
 from __future__ import annotations
 
 
+def init_distributed(args) -> None:
+    """Multi-host bring-up: jax.distributed.initialize from the CLI flags
+    (--coordinator host:port --num_processes N --process_id I), called
+    BEFORE any other JAX use — collectives inside resume-auto resolution,
+    mesh construction, and the compilation cache all assume the process
+    group exists.  The reference counterpart is torch.distributed.launch +
+    init_process_group (setup.py:44-69).  Cloud TPU pods auto-discover the
+    pod topology, so all three flags may be omitted there; on CPU/GPU
+    clusters (and the 2-controller CPU test) they are required together."""
+    flags = (args.coordinator, args.num_processes, args.process_id)
+    if all(v is None for v in flags):
+        return
+    if any(v is None for v in flags):
+        raise SystemExit("--coordinator, --num_processes and --process_id "
+                         "must be given together")
+    if not (0 <= args.process_id < args.num_processes):
+        raise SystemExit(f"--process_id {args.process_id} out of range for "
+                         f"--num_processes {args.num_processes}")
+    import jax
+    jax.distributed.initialize(coordinator_address=args.coordinator,
+                               num_processes=args.num_processes,
+                               process_id=args.process_id)
+
+
 def resolve_clip_checkpoint(args, weights_already_supplied: bool) -> None:
     """Shared --clip_checkpoint resolution for every CLI.
 

@@ -53,7 +53,14 @@ def main():
     p.add_argument("--tensor_parallel", type=int, default=1,
                    help="shard tower weights over a `model` mesh axis of "
                         "this size (see cli/train.py)")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator host:port (see cli/train)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     args = p.parse_args()
+
+    from cli.common import init_distributed
+    init_distributed(args)       # must precede ALL other JAX use
 
     import jax
     from neighborretr_tpu.utils.cache import enable_compilation_cache

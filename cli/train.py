@@ -112,6 +112,15 @@ def parse_args():
                         "moments over the data axes (GSPMD just-in-time "
                         "weight gathers + gradient reduce-scatter); ~dp× "
                         "lower param+moment memory")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator address host:port for "
+                        "jax.distributed.initialize (launch this CLI once "
+                        "per host with the SAME arguments; Cloud TPU pods "
+                        "auto-discover and can omit all three flags)")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="multi-host: total process count")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="multi-host: this process's rank")
     p.add_argument("--video_chunk_frames", type=int, default=0,
                    help="encode the vision tower in sequential frame chunks "
                         "of this size, each fully rematerialized (bounds "
@@ -143,6 +152,9 @@ def parse_args():
 
 def main():
     args = parse_args()
+
+    from cli.common import init_distributed
+    init_distributed(args)       # must precede ALL other JAX use
 
     from neighborretr_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()

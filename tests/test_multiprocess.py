@@ -83,3 +83,75 @@ def test_two_process_losses_match_single_process():
     assert resumes0[0] is None and resumes0[1].endswith("state_epoch0.npz")
     assert resumes_single[0] is None
     assert resumes_single[1].endswith("state_epoch0.npz")
+
+
+def _spawn_cli(pid: int, nproc: int, port: int, outdir: str,
+               extra=()) -> subprocess.Popen:
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    cli = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "cli", "train.py")
+    cmd = [sys.executable, cli, "--datatype", "synthetic", "--epochs", "1",
+           "--batch_size", "8", "--batch_size_val", "8",
+           "--max_words", "8", "--max_frames", "4", "--mb_batch", "1",
+           "--synthetic_size", "16", "--n_display", "1",
+           "--num_neighbors", "3", "--workers", "2",
+           "--output_dir", outdir, *extra]
+    if nproc > 1:
+        cmd += ["--coordinator", f"localhost:{port}",
+                "--num_processes", str(nproc), "--process_id", str(pid)]
+    return subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True)
+
+
+def _train_losses(outdir: str):
+    rows = [json.loads(l) for l in
+            open(os.path.join(outdir, "metrics.jsonl"))]
+    return [(r["step"], r["loss"]) for r in rows if r.get("kind") == "train"]
+
+
+@pytest.mark.slow
+def test_train_cli_two_processes_match_single(tmp_path):
+    """The user-facing multi-host contract: `cli/train.py --coordinator ...
+    --num_processes 2 --process_id {0,1}` on two controllers produces the
+    single-controller losses, process 0 owns the checkpoints/logs, and the
+    run completes end-to-end (bank fill, train, mid-epoch + final eval)."""
+    single = str(tmp_path / "single")
+    r = _spawn_cli(0, 1, 0, single)
+    out, err = r.communicate(timeout=1200)
+    assert r.returncode == 0, (out[-2000:], err[-2000:])
+
+    duo = str(tmp_path / "duo")
+    port = _free_port()
+    procs = [_spawn_cli(pid, 2, port, duo) for pid in range(2)]
+    outs = [p.communicate(timeout=1200) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, (out[-2000:], err[-2000:])
+
+    want, got = _train_losses(single), _train_losses(duo)
+    assert len(want) == len(got) >= 2
+    for (ws, wl), (gs, gl) in zip(want, got):
+        assert ws == gs
+        np.testing.assert_allclose(gl, wl, rtol=0, atol=1e-4)
+    # process-0-only artifacts exist exactly once
+    assert os.path.exists(os.path.join(duo, "best.npz"))
+    assert os.path.exists(os.path.join(duo, "state_epoch0.npz"))
+
+
+def test_init_distributed_flag_validation():
+    import argparse
+
+    from cli.common import init_distributed
+    ns = argparse.Namespace(coordinator="localhost:1", num_processes=None,
+                            process_id=0)
+    with pytest.raises(SystemExit, match="together"):
+        init_distributed(ns)
+    ns = argparse.Namespace(coordinator="localhost:1", num_processes=2,
+                            process_id=5)
+    with pytest.raises(SystemExit, match="out of range"):
+        init_distributed(ns)
+    # all-None is a no-op (single process)
+    init_distributed(argparse.Namespace(coordinator=None, num_processes=None,
+                                        process_id=None))
