@@ -144,11 +144,17 @@ def make_handler(searcher, default_topk: int = 5, logger=None,
     return Handler
 
 
+class _Server(ThreadingHTTPServer):
+    # the stdlib default listen backlog (5) resets connections under a
+    # concurrent-client burst — exactly the pattern dynamic batching serves
+    request_queue_size = 128
+
+
 def make_server(searcher, host: str = "127.0.0.1", port: int = 0,
                 default_topk: int = 5, logger=None,
                 dispatcher=None) -> ThreadingHTTPServer:
     """Bound-but-not-serving HTTP server (tests drive it on port 0)."""
-    return ThreadingHTTPServer(
+    return _Server(
         (host, port),
         make_handler(searcher, default_topk, logger, dispatcher=dispatcher))
 

@@ -93,15 +93,21 @@ def main():
         host, port = server.server_address
         threading.Thread(target=server.serve_forever, daemon=True).start()
 
+        failures = []
+
         def one(i):
-            conn = http.client.HTTPConnection(host, port, timeout=300)
-            conn.request("POST", "/search",
-                         json.dumps({"queries": [queries[i % Q]], "topk": 5}),
-                         {"Content-Type": "application/json"})
-            resp = conn.getresponse()
-            resp.read()
-            conn.close()
-            assert resp.status == 200
+            try:
+                conn = http.client.HTTPConnection(host, port, timeout=300)
+                conn.request("POST", "/search",
+                             json.dumps({"queries": [queries[i % Q]],
+                                         "topk": 5}),
+                             {"Content-Type": "application/json"})
+                resp = conn.getresponse()
+                resp.read()
+                conn.close()
+                assert resp.status == 200
+            except Exception as exc:  # count, don't silently shorten the run
+                failures.append(f"{type(exc).__name__}: {exc}")
 
         one(0)                                    # warm
         n_clients = Q
@@ -115,9 +121,10 @@ def main():
         dt = time.perf_counter() - tic
         extra = (f"; {dispatcher.batches} device calls for "
                  f"{dispatcher.requests} requests" if dispatcher else "")
+        fail = f"; {len(failures)} FAILED ({failures[0]})" if failures else ""
         print(f"{tag}: {n_clients} concurrent 1-query requests in "
-              f"{dt * 1e3:.1f} ms ({n_clients / dt:.0f} queries/s{extra})",
-              flush=True)
+              f"{dt * 1e3:.1f} ms ({n_clients / dt:.0f} queries/s{extra}"
+              f"{fail})", flush=True)
         server.shutdown()
         server.server_close()
         if dispatcher is not None:
