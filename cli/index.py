@@ -55,6 +55,14 @@ def main():
                    help="loader workers: threads (default) or forked "
                         "processes (scales Python-level augment cost on "
                         "many-core hosts)")
+    p.add_argument("--num_devices", type=int, default=1,
+                   help="shard each encode batch over this many devices "
+                        "(data-parallel corpus ViT forwards; batch_size "
+                        "must divide). 1 = single device")
+    p.add_argument("--append", action="store_true",
+                   help="incremental build: if --out already exists, skip "
+                        "its videos, encode only the new ones, and merge "
+                        "(same checkpoint/config required)")
     args = p.parse_args()
 
     import jax
@@ -79,9 +87,45 @@ def main():
                          pad_to_batch=True)
     params = load_eval_params(args, cfg, logger)
 
-    index = serving.build_video_index(params, cfg, loader, dataset=ds,
-                                      logger=logger,
-                                      feature_dtype=args.feature_dtype)
+    mesh = None
+    if args.num_devices > 1:
+        if args.batch_size % args.num_devices:
+            raise SystemExit(f"--batch_size {args.batch_size} must divide "
+                             f"over --num_devices {args.num_devices}")
+        from neighborretr_tpu.parallel import mesh as pmesh
+        mesh = pmesh.make_mesh(num_devices=args.num_devices)
+        logger.info("Encoding data-parallel over %d devices",
+                    args.num_devices)
+
+    existing = None
+    out_path = args.out if args.out.endswith(".npz") else args.out + ".npz"
+    if args.append and os.path.exists(out_path):
+        existing = serving.load_index(out_path)
+        logger.info("Appending to %s (%d videos already indexed)",
+                    out_path, len(existing["video_ids"]))
+        if ("v_scale" in existing) != (args.feature_dtype == "int8"):
+            raise SystemExit(
+                "--feature_dtype differs from the existing index "
+                f"({'int8' if 'v_scale' in existing else 'float16'}); "
+                "match it or rebuild without --append")
+
+    skip = ({str(v) for v in existing["video_ids"]}
+            if existing is not None else None)
+    try:
+        index = serving.build_video_index(params, cfg, loader, dataset=ds,
+                                          logger=logger,
+                                          feature_dtype=args.feature_dtype,
+                                          mesh=mesh, skip_ids=skip)
+    except ValueError as e:
+        if existing is not None and "no valid videos" in str(e):
+            logger.info("No new videos to index; %s unchanged", out_path)
+            return
+        raise
+    if existing is not None:
+        before = len(existing["video_ids"])
+        index = serving.append_index(existing, index)
+        logger.info("Appended %d new videos",
+                    len(index["video_ids"]) - before)
     written = serving.save_index(args.out, index)
     logger.info("Wrote %s: %d videos, %.1f MB", written,
                 len(index["video_ids"]),

@@ -89,18 +89,31 @@ def index_video_features(index: Dict[str, np.ndarray]) -> jnp.ndarray:
 def build_video_index(params: Params, cfg: Config, loader,
                       dataset=None, logger=None,
                       feature_dtype: str = "float16",
-                      ) -> Dict[str, np.ndarray]:
+                      mesh=None, skip_ids=None) -> Dict[str, np.ndarray]:
     """Encode every unique video the loader yields (deduplicated by the
     stable per-video hash — multi-sentence datasets repeat each video once
     per caption, dataloader_msvd_retrieval.py semantics).
 
     feature_dtype: 'float16' (default) or 'int8' (halves the index again via
-    quantize_features; ranking quality asserted in tests/test_serving.py)."""
+    quantize_features; ranking quality asserted in tests/test_serving.py).
+    mesh: shard each encode batch over the mesh's first axis so the corpus
+    ViT forwards run data-parallel (params replicate; the 'auto' kernel
+    routing already picks the GSPMD-partitionable XLA paths on a mesh).
+    skip_ids: video ids to leave out (incremental --append builds)."""
     if feature_dtype not in ("float16", "int8"):
         # validate BEFORE the corpus encode: a typo must fail in
         # microseconds, not after hours of ViT forwards
         raise ValueError(f"feature_dtype must be float16 or int8, "
                          f"got {feature_dtype!r}")
+    if mesh is None:
+        place = jnp.asarray
+    else:
+        from .parallel.mesh import batch_sharding, replicate_tree
+        sharding = batch_sharding(mesh)
+        params = replicate_tree(params, mesh)
+        def place(v):
+            return jax.device_put(np.asarray(v), sharding)
+    skip_ids = frozenset(skip_ids or ())
     dataset = dataset if dataset is not None else loader.dataset
     pairs = getattr(dataset, "pairs", None)
     seen = set()
@@ -111,10 +124,13 @@ def build_video_index(params: Params, cfg: Config, loader,
             h = int(batch["video_hash"][i])
             if not ok or h in seen:
                 continue
+            vid = (pairs[int(row)][0] if pairs is not None
+                   else f"video{int(row)}")
+            if vid in skip_ids:
+                continue
             seen.add(h)
             keep.append(i)
-            ids.append(pairs[int(row)][0] if pairs is not None
-                       else f"video{int(row)}")
+            ids.append(vid)
         if not keep:
             continue
         # gather the unique rows BEFORE the ViT forward (multi-sentence
@@ -124,8 +140,8 @@ def build_video_index(params: Params, cfg: Config, loader,
         B = batch["video"].shape[0]
         gather = np.asarray(keep + [keep[0]] * (B - len(keep)))
         vf = _encode_video_batch(params, cfg,
-                                 jnp.asarray(batch["video"][gather]),
-                                 jnp.asarray(batch["video_mask"][gather]))
+                                 place(batch["video"][gather]),
+                                 place(batch["video_mask"][gather]))
         feats.append(np.asarray(vf, np.float16)[:len(keep)])
         masks.append(np.asarray(batch["video_mask"], np.float32)[keep])
         if logger is not None:
@@ -146,6 +162,37 @@ def build_video_index(params: Params, cfg: Config, loader,
         index["v_feat"], index["v_scale"] = quantize_features(
             index["v_feat"])
     return index
+
+
+def append_index(existing: Dict[str, np.ndarray],
+                 new: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Merge a freshly-built index into an existing one (incremental corpus
+    growth without re-encoding).  Both must come from the SAME config and
+    weights (byte-equal meta — the fingerprint covers both) and the same
+    feature dtype layout; rows of `new` whose video id already exists are
+    dropped (existing features win: they were served already)."""
+    if existing["meta"].tobytes() != new["meta"].tobytes():
+        raise ValueError(
+            "cannot append: the existing index was built with a different "
+            "model config or checkpoint (meta mismatch) — rebuild instead")
+    if ("v_scale" in existing) != ("v_scale" in new):
+        raise ValueError("cannot append: feature_dtype differs from the "
+                         "existing index (int8 vs float16)")
+    have = {str(v) for v in existing["video_ids"]}
+    fresh = [i for i, v in enumerate(new["video_ids"]) if str(v) not in have]
+    if not fresh:
+        return existing
+    out = {"meta": existing["meta"],
+           "video_ids": np.concatenate([existing["video_ids"],
+                                        new["video_ids"][fresh]]),
+           "v_feat": np.concatenate([existing["v_feat"],
+                                     new["v_feat"][fresh]]),
+           "v_mask": np.concatenate([existing["v_mask"],
+                                     new["v_mask"][fresh]])}
+    if "v_scale" in existing:
+        out["v_scale"] = np.concatenate([existing["v_scale"],
+                                         new["v_scale"][fresh]])
+    return out
 
 
 def save_index(path: str, index: Dict[str, np.ndarray]) -> str:

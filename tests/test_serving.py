@@ -559,3 +559,71 @@ def test_batching_dispatcher_rounds_to_buckets():
         assert out[0][0][0] == "vid_alpha_0"
     finally:
         d.close()
+
+
+def test_build_index_over_mesh_matches_single_device(setup):
+    """Data-parallel corpus encoding over the 8-device CPU mesh produces
+    the single-device index (same ids, features, masks)."""
+    from neighborretr_tpu.parallel import mesh as pmesh
+
+    cfg, ds, params, index = setup
+    mesh = pmesh.make_mesh()
+    if mesh.devices.size < 2:
+        pytest.skip("needs a multi-device mesh")
+    loader = BatchLoader(ds, 8, shuffle=False, drop_last=False, workers=0,
+                         pad_to_batch=True)
+    sharded = serving.build_video_index(params, cfg, loader, dataset=ds,
+                                        mesh=mesh)
+    assert list(sharded["video_ids"]) == list(index["video_ids"])
+    np.testing.assert_allclose(sharded["v_feat"].astype(np.float32),
+                               index["v_feat"].astype(np.float32),
+                               atol=2e-3)
+    np.testing.assert_array_equal(sharded["v_mask"], index["v_mask"])
+
+
+def test_append_index_merges_and_dedupes(setup):
+    """Incremental build: skip_ids leaves out existing videos; append_index
+    merges to exactly the full-build index; a Searcher over the merged
+    index matches one over the full build."""
+    cfg, ds, params, full = setup
+    have = [str(v) for v in full["video_ids"]]
+    first_ids, rest_ids = set(have[:5]), set(have[5:])
+
+    loader = BatchLoader(ds, 8, shuffle=False, drop_last=False, workers=0,
+                         pad_to_batch=True)
+    part = serving.build_video_index(params, cfg, loader, dataset=ds,
+                                     skip_ids=rest_ids)
+    assert list(part["video_ids"]) == have[:5]
+
+    loader = BatchLoader(ds, 8, shuffle=False, drop_last=False, workers=0,
+                         pad_to_batch=True)
+    new = serving.build_video_index(params, cfg, loader, dataset=ds,
+                                    skip_ids=first_ids)
+    merged = serving.append_index(part, new)
+    assert list(merged["video_ids"]) == have
+    np.testing.assert_array_equal(merged["v_feat"], full["v_feat"])
+
+    # idempotent: appending the same rows again is a no-op
+    again = serving.append_index(merged, new)
+    assert again is merged
+
+    tok = _StubTokenizer()
+    queries = ["a dog on a beach", "someone cooking"]
+    want = serving.Searcher(params, cfg, full, tok, query_batch=2).search(
+        queries, topk=3)
+    got = serving.Searcher(params, cfg, merged, tok, query_batch=2).search(
+        queries, topk=3)
+    assert got == want
+
+
+def test_append_index_rejects_mismatches(setup):
+    cfg, ds, params, full = setup
+    other = dict(full)
+    other["meta"] = np.frombuffer(b'{"different": true}', dtype=np.uint8)
+    with pytest.raises(ValueError, match="meta mismatch"):
+        serving.append_index(full, other)
+    quant = dict(full)
+    quant["v_feat"], quant["v_scale"] = serving.quantize_features(
+        full["v_feat"])
+    with pytest.raises(ValueError, match="feature_dtype"):
+        serving.append_index(full, quant)
