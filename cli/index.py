@@ -98,7 +98,7 @@ def main():
                     args.num_devices)
 
     existing = None
-    out_path = args.out if args.out.endswith(".npz") else args.out + ".npz"
+    out_path = serving.index_path(args.out)
     if args.append and os.path.exists(out_path):
         existing = serving.load_index(out_path)
         logger.info("Appending to %s (%d videos already indexed)",
@@ -108,6 +108,9 @@ def main():
                 "--feature_dtype differs from the existing index "
                 f"({'int8' if 'v_scale' in existing else 'float16'}); "
                 "match it or rebuild without --append")
+        # wrong checkpoint/config must fail NOW, not after hours of ViT
+        # forwards (append_index's meta comparison would catch it too late)
+        serving.check_meta(existing, cfg, params)
 
     skip = ({str(v) for v in existing["video_ids"]}
             if existing is not None else None)

@@ -195,12 +195,18 @@ def append_index(existing: Dict[str, np.ndarray],
     return out
 
 
+def index_path(path: str) -> str:
+    """THE canonical on-disk index path for a user-supplied one — shared by
+    save_index and the --append existence check (two rules would let an
+    append load one file and write another)."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_index(path: str, index: Dict[str, np.ndarray]) -> str:
     """Returns the actual path written.  Atomic (temp + rename): killing an
     hours-long rebuild mid-write cannot destroy the existing index."""
     from .core.checkpoint import _atomic_savez
-    if not path.endswith(".npz"):
-        path += ".npz"
+    path = index_path(path)
     _atomic_savez(path, index)
     return path
 
@@ -455,6 +461,8 @@ class BatchingDispatcher:
         self.buckets.append(self.max_batch)
         self._queue: "queue.SimpleQueue[Optional[_Pending]]" = \
             queue.SimpleQueue()
+        self._carry: Optional[_Pending] = None   # dequeued but over-cap
+        self._closed = False
         # observability (read by tests and the daemon's request log)
         self.batches = 0
         self.requests = 0
@@ -464,23 +472,44 @@ class BatchingDispatcher:
 
     def submit(self, queries: Sequence[str], topk: int
                ) -> List[List[Tuple[str, float]]]:
+        if self._closed:
+            raise RuntimeError("BatchingDispatcher is closed")
         p = _Pending(queries, topk)
         self._queue.put(p)
-        p.event.wait()
+        # bounded waits: a submit racing close() (enqueued after the drain)
+        # must surface an error, not block its handler thread forever
+        while not p.event.wait(timeout=1.0):
+            if self._closed and not p.event.is_set():
+                raise RuntimeError("BatchingDispatcher closed mid-request")
         if p.error is not None:
             raise p.error
         return p.results
 
     def close(self) -> None:
+        self._closed = True
         self._queue.put(None)
         self._thread.join(timeout=10)
+        # fail any requests that were still queued (or raced the sentinel)
+        import queue
+        while True:
+            try:
+                p = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if p is not None:
+                p.error = RuntimeError("BatchingDispatcher closed")
+                p.event.set()
 
     def _collect(self) -> Optional[List[_Pending]]:
         """One merged batch: block for the first request, then drain the
-        queue until max_batch or the window closes."""
+        queue until max_batch or the window closes.  A dequeued request
+        that would push the merge past max_batch is carried into the NEXT
+        batch (never re-ordered, never over-merged) — so a batch exceeds
+        max_batch only when a single request does."""
         import queue
         import time
-        first = self._queue.get()
+        first = self._carry if self._carry is not None else self._queue.get()
+        self._carry = None
         if first is None:
             return None
         batch = [first]
@@ -495,6 +524,9 @@ class BatchingDispatcher:
                 break
             if nxt is None:           # close() while a batch is forming:
                 self._queue.put(None)  # serve the batch, exit next round
+                break
+            if total + len(nxt.queries) > self.max_batch:
+                self._carry = nxt     # would overflow: starts the next batch
                 break
             batch.append(nxt)
             total += len(nxt.queries)

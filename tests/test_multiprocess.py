@@ -126,8 +126,22 @@ def test_train_cli_two_processes_match_single(tmp_path):
     duo = str(tmp_path / "duo")
     port = _free_port()
     procs = [_spawn_cli(pid, 2, port, duo) for pid in range(2)]
-    outs = [p.communicate(timeout=1200) for p in procs]
-    for p, (out, err) in zip(procs, outs):
+    # drain both pipes CONCURRENTLY: the processes share collectives, so a
+    # sequential communicate() deadlocks if the other fills its pipe buffer
+    import threading
+    outs = [None, None]
+
+    def drain(i):
+        outs[i] = procs[i].communicate(timeout=1200)
+
+    drains = [threading.Thread(target=drain, args=(i,)) for i in range(2)]
+    for t in drains:
+        t.start()
+    for t in drains:
+        t.join(timeout=1300)
+    for p, res in zip(procs, outs):
+        assert res is not None, "worker pipe drain timed out"
+        out, err = res
         assert p.returncode == 0, (out[-2000:], err[-2000:])
 
     want, got = _train_losses(single), _train_losses(duo)
