@@ -51,7 +51,8 @@ class ClipConfig:
 
     # CLI name → constructor attr (no annotation: not a dataclass field)
     _BACKBONES = {"ViT-B/32": "vit_b_32", "ViT-B/16": "vit_b_16",
-                  "ViT-L/14": "vit_l_14"}
+                  "ViT-L/14": "vit_l_14",
+                  "ViT-L/14@336px": "vit_l_14_336"}
 
     @staticmethod
     def vit_b_32() -> "ClipConfig":
@@ -91,6 +92,16 @@ class ClipConfig:
             vision_patch_size=14,
             transformer_width=768,
         )
+
+    @staticmethod
+    def vit_l_14_336() -> "ClipConfig":
+        """OpenAI ViT-L/14@336px: the L/14 tower at 336² inputs (24×24
+        patch grid → 577 vision tokens).  Same published-checkpoint zoo
+        contract as the others (models/fetch.py); dataset resolution
+        follows clip.image_resolution automatically."""
+        import dataclasses
+        return dataclasses.replace(ClipConfig.vit_l_14(),
+                                   image_resolution=336)
 
     @staticmethod
     def tiny() -> "ClipConfig":

@@ -83,3 +83,24 @@ def test_tiny_not_implied_by_explicit_random_clip():
     c = args(tiny=True, clip_checkpoint="random")
     resolve_clip_checkpoint(c, weights_already_supplied=False)
     assert tiny_requested(c)                  # explicit --tiny always wins
+
+
+def test_backbone_menu_resolves_all_names():
+    """Every advertised --base_encoder name constructs a consistent config,
+    and each has a published-checkpoint zoo entry (models/fetch.py)."""
+    from neighborretr_tpu.core.config import ClipConfig
+    from neighborretr_tpu.models.fetch import CLIP_CHECKPOINT_URLS
+
+    for name in ClipConfig.backbone_names():
+        cfg = ClipConfig.from_name(name)
+        assert cfg.image_resolution % cfg.vision_patch_size == 0, name
+        assert cfg.vision_width % 64 == 0 and cfg.transformer_width % 64 == 0
+        assert name in CLIP_CHECKPOINT_URLS, name
+
+    c336 = ClipConfig.from_name("ViT-L/14@336px")
+    assert c336.grid_size == 24 and c336.image_resolution == 336
+    assert c336.embed_dim == ClipConfig.vit_l_14().embed_dim
+
+    import pytest
+    with pytest.raises(ValueError, match="unknown base encoder"):
+        ClipConfig.from_name("RN50")
