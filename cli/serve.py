@@ -38,7 +38,7 @@ MAX_BODY_BYTES = 1 << 20  # 1 MiB of JSON is already ~4k captions
 
 
 def make_handler(searcher, default_topk: int = 5, logger=None,
-                 dispatcher=None):
+                 dispatcher=None, reload_fn=None):
     """Handler class closed over a serving.Searcher.
 
     Without a dispatcher, requests serialize through one lock: device
@@ -46,8 +46,15 @@ def make_handler(searcher, default_topk: int = 5, logger=None,
     bounded and gives each request the full chip instead of interleaving
     compiled programs.  With a `serving.BatchingDispatcher`, concurrent
     requests coalesce into one device call instead (same results — scores
-    are per-query independent)."""
+    are per-query independent).
+
+    reload_fn (optional): builds a FRESH Searcher from the current on-disk
+    index; POST /reload swaps it in live (the hot-reload leg of
+    `cli/index.py --append` — corpus growth without a daemon restart).
+    A failed reload (e.g. the index was rebuilt with a different
+    checkpoint) keeps the old searcher serving and returns the error."""
     lock = threading.Lock()
+    state = {"searcher": searcher}
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -81,7 +88,7 @@ def make_handler(searcher, default_topk: int = 5, logger=None,
                 results = dispatcher.submit(queries, topk)
             else:
                 with lock:
-                    results = searcher.search(queries, topk=topk)
+                    results = state["searcher"].search(queries, topk=topk)
             self._reply(200, {"results": [
                 [{"video_id": vid, "score": score} for vid, score in hits]
                 for hits in results]})
@@ -89,9 +96,10 @@ def make_handler(searcher, default_topk: int = 5, logger=None,
         def do_GET(self):  # noqa: N802 (http.server contract)
             url = urlparse(self.path)
             if url.path == "/healthz":
+                s = state["searcher"]
                 return self._reply(200, {
-                    "status": "ok", "videos": len(searcher),
-                    "query_batch": searcher.query_batch})
+                    "status": "ok", "videos": len(s),
+                    "query_batch": s.query_batch})
             if url.path == "/search":
                 q = parse_qs(url.query)
                 queries = q.get("q")
@@ -120,9 +128,25 @@ def make_handler(searcher, default_topk: int = 5, logger=None,
             if length < 0:
                 self.close_connection = True
                 return self._error(400, "invalid Content-Length header")
-            if urlparse(self.path).path != "/search":
+            path = urlparse(self.path).path
+            if path == "/reload":
                 self._drain(length)
-                return self._error(404, "POST /search only")
+                if reload_fn is None:
+                    return self._error(404, "reload not configured")
+                try:
+                    with lock:
+                        fresh = reload_fn()
+                        state["searcher"] = fresh
+                        if dispatcher is not None:
+                            dispatcher.searcher = fresh
+                except Exception as exc:
+                    # the old searcher keeps serving
+                    return self._error(409, f"reload failed: {exc}")
+                return self._reply(200, {"status": "reloaded",
+                                         "videos": len(state["searcher"])})
+            if path != "/search":
+                self._drain(length)
+                return self._error(404, "POST /search or /reload only")
             if length > MAX_BODY_BYTES:
                 # draining an arbitrarily large body is a DoS vector;
                 # close instead of resyncing
@@ -152,11 +176,12 @@ class _Server(ThreadingHTTPServer):
 
 def make_server(searcher, host: str = "127.0.0.1", port: int = 0,
                 default_topk: int = 5, logger=None,
-                dispatcher=None) -> ThreadingHTTPServer:
+                dispatcher=None, reload_fn=None) -> ThreadingHTTPServer:
     """Bound-but-not-serving HTTP server (tests drive it on port 0)."""
     return _Server(
         (host, port),
-        make_handler(searcher, default_topk, logger, dispatcher=dispatcher))
+        make_handler(searcher, default_topk, logger, dispatcher=dispatcher,
+                     reload_fn=reload_fn))
 
 
 def main():
@@ -227,11 +252,23 @@ def main():
         # stall behind program builds (each bucket is a distinct program)
         for b in dispatcher.buckets:
             searcher.search(["warmup"] * b, topk=args.topk)
+    def reload_fn():
+        """POST /reload: re-read --index from disk (e.g. after cli/index.py
+        --append grew it) and swap a fresh Searcher in live.  check_meta
+        inside the Searcher rejects an index rebuilt with different
+        weights/config — the old corpus keeps serving on failure."""
+        fresh_index = serving.load_index(args.index)
+        fresh = serving.Searcher(params, cfg, fresh_index, ClipTokenizer(),
+                                 query_batch=args.query_batch, mesh=mesh)
+        fresh.warmup()      # pay compiles before the swap, not on a request
+        logger.info("Reloaded index: %d videos", len(fresh))
+        return fresh
+
     server = make_server(searcher, args.host, args.port,
                          default_topk=args.topk, logger=logger,
-                         dispatcher=dispatcher)
-    logger.info("Serving on http://%s:%d (GET /healthz, GET|POST /search)",
-                *server.server_address)
+                         dispatcher=dispatcher, reload_fn=reload_fn)
+    logger.info("Serving on http://%s:%d (GET /healthz, GET|POST /search, "
+                "POST /reload)", *server.server_address)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -669,3 +669,83 @@ def test_batching_dispatcher_submit_after_close_raises():
     d.close()
     with pytest.raises(RuntimeError, match="closed"):
         d.submit(["q"], topk=1)
+
+
+def test_http_reload_swaps_index_live(setup, tmp_path):
+    """POST /reload: the daemon picks up an --append-grown index without a
+    restart; a reload that fails (wrong-checkpoint index) keeps the old
+    corpus serving and returns 409."""
+    import http.client
+    import json
+    import threading
+
+    from cli.serve import make_server
+
+    cfg, ds, params, full = setup
+    tok = _StubTokenizer()
+    have = [str(v) for v in full["video_ids"]]
+    half_ids = set(have[:len(have) // 2])
+
+    loader = BatchLoader(ds, 8, shuffle=False, drop_last=False, workers=0,
+                         pad_to_batch=True)
+    half = serving.build_video_index(params, cfg, loader, dataset=ds,
+                                     skip_ids=set(have) - half_ids)
+    path = str(tmp_path / "live.npz")
+    serving.save_index(path, half)
+
+    current = {"path": path}
+
+    def reload_fn():
+        idx = serving.load_index(current["path"])
+        return serving.Searcher(params, cfg, idx, tok, query_batch=4)
+
+    searcher = serving.Searcher(params, cfg, serving.load_index(path), tok,
+                                query_batch=4)
+    dispatcher = serving.BatchingDispatcher(searcher, max_wait_ms=1.0)
+    server = make_server(searcher, "127.0.0.1", 0, default_topk=3,
+                         dispatcher=dispatcher, reload_fn=reload_fn)
+    host, port = server.server_address
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def request(method, p, body=None):
+        conn = http.client.HTTPConnection(host, port, timeout=60)
+        conn.request(method, p, json.dumps(body) if body else None,
+                     {"Content-Type": "application/json"} if body else {})
+        resp = conn.getresponse()
+        out = resp.status, json.loads(resp.read().decode())
+        conn.close()
+        return out
+
+    try:
+        status, health = request("GET", "/healthz")
+        assert status == 200 and health["videos"] == len(half_ids)
+
+        # grow the on-disk index (the --append flow) and reload
+        serving.save_index(path, full)
+        status, out = request("POST", "/reload")
+        assert status == 200 and out["videos"] == len(have)
+        status, health = request("GET", "/healthz")
+        assert health["videos"] == len(have)
+        # searches now rank over the full corpus (through the dispatcher)
+        status, out = request("POST", "/search",
+                              {"queries": ["some caption"], "topk": len(have)})
+        assert status == 200
+        got_ids = {h["video_id"] for h in out["results"][0]}
+        assert got_ids == set(have)
+
+        # a wrong-checkpoint index on disk: reload fails, old corpus serves
+        import jax
+        from neighborretr_tpu.models import neighborretr as model
+        other = model.init_params(jax.random.PRNGKey(9), cfg.model)
+        bad = dict(full)
+        bad["meta"] = np.frombuffer(json.dumps(
+            serving._config_meta(cfg, other)).encode(), dtype=np.uint8)
+        serving.save_index(path, bad)
+        status, out = request("POST", "/reload")
+        assert status == 409 and "reload failed" in out["error"]
+        status, health = request("GET", "/healthz")
+        assert health["videos"] == len(have)     # old searcher intact
+    finally:
+        server.shutdown()
+        server.server_close()
+        dispatcher.close()
