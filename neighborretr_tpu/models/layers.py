@@ -238,6 +238,16 @@ def block_init(key, d_model: int, layers_for_std: int = 12) -> Params:
     }
 
 
+def _fused_attention_fits(L: int, n_head: int) -> bool:
+    """Scoped-VMEM guard for the fused attention kernels: the backward tile
+    holds several live fp32 [H, L, L] probs-sized buffers, and Mosaic's
+    per-kernel stack is capped at ~100 MB.  Measured boundary on v5e:
+    L=257/H=16 (ViT-L/14) compiles; L=577/H=16 (ViT-L/14@336px) overflows
+    by 0.6 MB even at one frame per grid cell.  Sequences past the
+    threshold demote to the XLA einsum path (same math, GSPMD-friendly)."""
+    return n_head * L * L <= 2_500_000
+
+
 def block_apply(p: Params, x, n_head: int, attn_bias=None, dtype=jnp.float32,
                 fused_attention=False):
     """fused_attention: False = XLA einsum path, True = frame-local Pallas
@@ -247,6 +257,8 @@ def block_apply(p: Params, x, n_head: int, attn_bias=None, dtype=jnp.float32,
     variants — the same fused path, with the additive bias streamed per
     tile."""
     from jax.ad_checkpoint import checkpoint_name as ckpt
+    if fused_attention and not _fused_attention_fits(x.shape[1], n_head):
+        fused_attention = False
     if fused_attention == "block":
         # whole pre-LN attention sublayer (LN1 + qkv + attention + out proj
         # + residual) in one Pallas kernel — x touches HBM once
