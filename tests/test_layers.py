@@ -103,3 +103,14 @@ def test_causal_bias_shape_and_values():
     i, j = np.meshgrid(np.arange(4), np.arange(4), indexing="ij")
     assert np.all(b[j > i] < -1e8)
     assert np.all(b[j <= i] == 0)
+
+
+def test_fused_attention_vmem_guard():
+    """Sequences whose backward tile overflows Mosaic's ~100 MB scoped VMEM
+    demote to the XLA path (measured boundary on v5e: ViT-L/14's L=257/H=16
+    compiles, ViT-L/14@336px's L=577/H=16 OOMs by 0.6 MB)."""
+    from neighborretr_tpu.models.layers import _fused_attention_fits
+    assert _fused_attention_fits(50, 12)        # ViT-B/32
+    assert _fused_attention_fits(197, 12)       # ViT-B/16
+    assert _fused_attention_fits(257, 16)       # ViT-L/14
+    assert not _fused_attention_fits(577, 16)   # ViT-L/14@336px
