@@ -95,7 +95,7 @@ def main():
     # defaults: vit_b_32 and vit_b_16 win without remat on v5e (the fused
     # attention kernel keeps activations within HBM; B/16 A/B: 96.0 vs 79.0
     # pairs/s); vit_l_14 (~18x the B/32 vision FLOPs/frame) needs remat on.
-    default_remat = "1" if BACKBONE == "vit_l_14" else "0"
+    default_remat = "1" if BACKBONE.startswith("vit_l") else "0"
     remat = os.environ.get("BENCH_REMAT", default_remat) == "1"
     mcfg = dataclasses.replace(ModelConfig(), remat=remat, unroll_layers=True)
     if CPU_FALLBACK:
@@ -177,6 +177,7 @@ def main():
     except Exception:
         pass
     name = (BACKBONE.replace("vit_b_", "ViT-B/").replace("vit_l_", "ViT-L/"))
+    res = mcfg.clip.image_resolution
     if CPU_FALLBACK:
         # vs the reference measured on the SAME CPU.  The self-heal re-exec
         # pins ViT-B/32 @ batch 8 = exactly the measured baseline shape; a
@@ -196,7 +197,7 @@ def main():
                        "(ViT-B/32 @ batch 8, bank 16, monolithic fp32) — "
                        "ratio batch-extrapolated")
         print(json.dumps({
-            "metric": (f"train pairs/sec ({name}, 12f@224, full hubness "
+            "metric": (f"train pairs/sec ({name}, 12f@{res}, full hubness "
                        "losses) [CPU FALLBACK — accelerator unavailable; "
                        "vs_baseline = measured same-CPU reference ratio"
                        f"{caveat}]"),
@@ -206,7 +207,7 @@ def main():
         }))
         return
     print(json.dumps({
-        "metric": f"train pairs/sec/chip ({name}, 12f@224, full hubness losses)",
+        "metric": f"train pairs/sec/chip ({name}, 12f@{res}, full hubness losses)",
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC_PER_GPU, 3),
