@@ -112,6 +112,16 @@ class BatchLoader:
         if hasattr(self.dataset, "set_epoch"):
             self.dataset.set_epoch(epoch)
 
+    def skip_next_batches(self, k: int) -> None:
+        """One-shot fast-forward: the NEXT ``__iter__`` starts at batch ``k``
+        of its (seeded, epoch-dependent) plan.  Exact mid-epoch resume: the
+        plan is a pure function of (seed, epoch), so skipping the batches a
+        preempted run already consumed continues the identical stream —
+        without decoding the skipped items."""
+        if k < 0:
+            raise ValueError(f"skip_next_batches: k must be >= 0, got {k}")
+        self._skip_next = int(k)
+
     def __len__(self) -> int:
         n = len(self.dataset)
         if self.drop_last:
@@ -183,6 +193,10 @@ class BatchLoader:
         limit = (n // self.batch_size) * self.batch_size if self.drop_last else n
         slices = [order[i: i + self.batch_size]
                   for i in range(0, limit, self.batch_size)]
+        skip = getattr(self, "_skip_next", 0)
+        if skip:
+            self._skip_next = 0
+            slices = slices[skip:]
 
         pool = self._make_pool()
         if self.prefetch <= 0:

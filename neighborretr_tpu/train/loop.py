@@ -146,6 +146,7 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
     best_host = None     # host copy of the best params, held by EVERY process
     global_step = 0
     start_epoch = 0
+    resume_skip = 0       # batches of start_epoch already consumed pre-resume
 
     # mid-run resume (full TrainState — impossible in the reference, which
     # saves parameter state_dicts only, main.py:161-187)
@@ -169,8 +170,10 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
         global_step = int(state.step)
         start_epoch = min(global_step // max(steps_per_epoch, 1),
                           cfg.train.epochs)
-        logger.info("Resumed from %s at step %d (epoch %d)",
-                    cfg.train.resume_checkpoint, global_step, start_epoch)
+        resume_skip = global_step - start_epoch * steps_per_epoch
+        logger.info("Resumed from %s at step %d (epoch %d%s)",
+                    cfg.train.resume_checkpoint, global_step, start_epoch,
+                    f", batch {resume_skip}" if resume_skip else "")
         # restore best-metric tracking: without it the first post-resume
         # eval would clobber best.npz with params worse than the
         # pre-interruption best.  The restored state must be IDENTICAL on
@@ -207,7 +210,7 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
                 cfg, state, tracker, guard, train_loader, bank_loader,
                 test_loader, test_ds, logger, mesh, key, t_total,
                 steps_per_epoch, start_epoch, global_step, best_path,
-                best_host, jsonl, writer)
+                best_host, jsonl, writer, resume_skip=resume_skip)
         if guard.requested:
             return state, tracker
         if writer is not None:
@@ -244,7 +247,7 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
 def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
                   test_loader, test_ds, logger, mesh, key, t_total,
                   steps_per_epoch, start_epoch, global_step, best_path,
-                  best_host, jsonl, writer=None):
+                  best_host, jsonl, writer=None, resume_skip=0):
     """Epoch loop body; returns early (with the preempt TrainState saved)
     when the guard catches SIGTERM."""
 
@@ -336,12 +339,27 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
     for epoch in range(start_epoch, cfg.train.epochs):
         train_loader.set_epoch(epoch)
         bank_loader.set_epoch(epoch)
+        skip = resume_skip if epoch == start_epoch else 0
 
-        tic = time.time()
-        state = state._replace(bank=fill_memory_bank(
-            state.params, cfg, bank_loader, state.bank, mesh))
-        logger.info("Epoch %d: memory bank filled in %.1fs", epoch,
-                    time.time() - tic)
+        if skip:
+            # EXACT mid-epoch continuation: the checkpointed bank already
+            # holds this epoch's fill plus the consumed steps' FIFO pushes —
+            # re-filling would clobber it.  Fast-forward the seeded batch
+            # plan instead (the loader plan is a pure function of
+            # (seed, epoch), step RNG keys fold from global_step, and the
+            # optimizer schedule reads state.step), so the resumed run's
+            # trajectory is IDENTICAL to the uninterrupted one
+            # (tests/test_train_loop.py::test_mid_epoch_resume_is_exact).
+            train_loader.skip_next_batches(skip)
+            logger.info("Epoch %d: exact mid-epoch resume at batch %d/%d "
+                        "(bank kept from the checkpoint)", epoch, skip,
+                        steps_per_epoch)
+        else:
+            tic = time.time()
+            state = state._replace(bank=fill_memory_bank(
+                state.params, cfg, bank_loader, state.bank, mesh))
+            logger.info("Epoch %d: memory bank filled in %.1fs", epoch,
+                        time.time() - tic)
         if guard.requested:     # SIGTERM during the (minutes-long) bank fill
             return preempt_exit()
 
@@ -370,7 +388,9 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
                 yield b
 
         data_wait_logged = 0.0
-        for it, batch in enumerate(_timed(device_batches)):
+        # `it` is the ABSOLUTE in-epoch batch index (display / mid-epoch-eval
+        # cadence then line up with the uninterrupted run after a skip)
+        for it, batch in enumerate(_timed(device_batches), start=skip):
             # profiler window (SURVEY §5: jax.profiler replaces the
             # reference's ad-hoc wall-clock timing)
             if cfg.train.profile_dir and global_step == cfg.train.profile_steps[0]:
@@ -404,7 +424,9 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
                 jsonl.write(kind="train", step=global_step, epoch=epoch,
                             **{k: round(v, 6) for k, v in scalars.items()})
                 done = it + 1
-                eta = (time.time() - epoch_tic) / done * (steps_per_epoch - done)
+                # elapsed covers only THIS run's steps (post-skip)
+                eta = ((time.time() - epoch_tic) / max(done - skip, 1)
+                       * (steps_per_epoch - done))
                 logger.info("Epoch %d/%d step %d/%d  %s  eta %.0fs",
                             epoch + 1, cfg.train.epochs, done,
                             steps_per_epoch, meters, eta)
