@@ -176,7 +176,8 @@ def main():
                   file=sys.stderr)
     except Exception:
         pass
-    name = (BACKBONE.replace("vit_b_", "ViT-B/").replace("vit_l_", "ViT-L/"))
+    name = (BACKBONE.replace("vit_b_", "ViT-B/").replace("vit_l_", "ViT-L/")
+            .replace("14_336", "14@336px"))   # match the zoo/CLI name
     res = mcfg.clip.image_resolution
     if CPU_FALLBACK:
         # vs the reference measured on the SAME CPU.  The self-heal re-exec

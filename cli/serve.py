@@ -54,6 +54,7 @@ def make_handler(searcher, default_topk: int = 5, logger=None,
     A failed reload (e.g. the index was rebuilt with a different
     checkpoint) keeps the old searcher serving and returns the error."""
     lock = threading.Lock()
+    reload_lock = threading.Lock()   # serializes reloads; never blocks search
     state = {"searcher": searcher}
 
     class Handler(BaseHTTPRequestHandler):
@@ -130,15 +131,23 @@ def make_handler(searcher, default_topk: int = 5, logger=None,
                 return self._error(400, "invalid Content-Length header")
             path = urlparse(self.path).path
             if path == "/reload":
+                if length > MAX_BODY_BYTES:   # /reload takes no body; a huge
+                    self.close_connection = True   # one is the same DoS the
+                    return self._error(413, "request body too large")  # /search cap refuses
                 self._drain(length)
                 if reload_fn is None:
                     return self._error(404, "reload not configured")
                 try:
-                    with lock:
+                    # build + warm the fresh Searcher OUTSIDE the request
+                    # lock (index load + compiles can take tens of seconds;
+                    # searches keep flowing on the old corpus meanwhile);
+                    # only the swap itself takes the lock
+                    with reload_lock:
                         fresh = reload_fn()
-                        state["searcher"] = fresh
-                        if dispatcher is not None:
-                            dispatcher.searcher = fresh
+                        with lock:
+                            state["searcher"] = fresh
+                            if dispatcher is not None:
+                                dispatcher.searcher = fresh
                 except Exception as exc:
                     # the old searcher keeps serving
                     return self._error(409, f"reload failed: {exc}")
@@ -261,6 +270,12 @@ def main():
         fresh = serving.Searcher(params, cfg, fresh_index, ClipTokenizer(),
                                  query_batch=args.query_batch, mesh=mesh)
         fresh.warmup()      # pay compiles before the swap, not on a request
+        if dispatcher is not None:
+            # a changed corpus size recompiles per merged bucket too —
+            # pre-pay those like startup does, or the first post-reload
+            # burst stalls behind program builds
+            for b in dispatcher.buckets:
+                fresh.search(["warmup"] * b, topk=args.topk)
         logger.info("Reloaded index: %d videos", len(fresh))
         return fresh
 

@@ -99,7 +99,6 @@ class ClipConfig:
         patch grid → 577 vision tokens).  Same published-checkpoint zoo
         contract as the others (models/fetch.py); dataset resolution
         follows clip.image_resolution automatically."""
-        import dataclasses
         return dataclasses.replace(ClipConfig.vit_l_14(),
                                    image_resolution=336)
 

@@ -356,8 +356,21 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
                         steps_per_epoch)
         else:
             tic = time.time()
+            # fill over an EMPTY bank: the uninterrupted flow cleared it at
+            # the previous epoch's end, but epoch-boundary RESUME states may
+            # carry stale tail slots (state_epochN is saved before the
+            # clear; a preempt can land between the last step and the
+            # clear) — and when the fill covers less than capacity
+            # (len(bank_loader) < mb_batch) those tails would diverge the
+            # resumed trajectory from the uninterrupted one
+            empty = mb.create(cfg.train.memory_bank_capacity,
+                              cfg.model.max_words, cfg.model.max_frames,
+                              cfg.model.clip.embed_dim)
+            if mesh is not None:
+                empty = mb.MemoryBank(*pmesh.replicate_tree(tuple(empty),
+                                                            mesh))
             state = state._replace(bank=fill_memory_bank(
-                state.params, cfg, bank_loader, state.bank, mesh))
+                state.params, cfg, bank_loader, empty, mesh))
             logger.info("Epoch %d: memory bank filled in %.1fs", epoch,
                         time.time() - tic)
         if guard.requested:     # SIGTERM during the (minutes-long) bank fill

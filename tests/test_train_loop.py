@@ -167,3 +167,64 @@ def test_mid_epoch_resume_is_exact(tmp_path, datasets, monkeypatch):
                     jax.tree.leaves(resumed.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=1e-6)
+
+
+def test_epoch_boundary_preempt_resume_is_exact(tmp_path, datasets,
+                                                monkeypatch):
+    """SIGTERM right after an epoch's FINAL step (before the epoch-end bank
+    clear): the resumed run must still match the uninterrupted one.  Uses
+    mb_batch > len(bank_loader) so the bank fill covers less than capacity —
+    a stale (uncleared) tail from the checkpoint would diverge epoch 1."""
+    import dataclasses
+    import json
+    import signal
+
+    import jax
+
+    from neighborretr_tpu.train import loop as loop_mod
+
+    train_ds, test_ds = datasets
+
+    def cfg2(out, resume=None):
+        c = _cfg(out, resume)
+        return dataclasses.replace(
+            c, train=dataclasses.replace(c.train, epochs=2, mb_batch=3))
+
+    ref_out = str(tmp_path / "ref")
+    os.makedirs(ref_out, exist_ok=True)
+    ref_state, _ = run_training(cfg2(ref_out), train_ds, test_ds)
+    assert int(ref_state.step) == 4                  # 2 epochs x 2 steps
+
+    real_step = loop_mod.train_step
+    calls = {"n": 0}
+
+    def stepper(*a, **k):
+        out = real_step(*a, **k)
+        calls["n"] += 1
+        if calls["n"] == 2:        # epoch 0's final step
+            signal.raise_signal(signal.SIGTERM)
+        return out
+
+    monkeypatch.setattr(loop_mod, "train_step", stepper)
+    out = str(tmp_path / "boundary")
+    os.makedirs(out, exist_ok=True)
+    state, _ = run_training(cfg2(out), train_ds, test_ds)
+    assert int(state.step) == 2
+    monkeypatch.setattr(loop_mod, "train_step", real_step)
+    resumed, _ = run_training(
+        cfg2(out, resume=os.path.join(out, "state_preempt.npz")),
+        train_ds, test_ds)
+    assert int(resumed.step) == 4
+
+    with open(os.path.join(out, "metrics.jsonl")) as f:
+        got = {r["step"]: r["loss"] for r in map(json.loads, f)
+               if r["kind"] == "train"}
+    with open(os.path.join(ref_out, "metrics.jsonl")) as f:
+        ref = {r["step"]: r["loss"] for r in map(json.loads, f)
+               if r["kind"] == "train"}
+    for s in (3, 4):               # epoch 1 ran on identical state
+        np.testing.assert_allclose(got[s], ref[s], rtol=0, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(ref_state.params),
+                    jax.tree.leaves(resumed.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-6)
