@@ -228,3 +228,57 @@ def test_epoch_boundary_preempt_resume_is_exact(tmp_path, datasets,
                     jax.tree.leaves(resumed.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_mid_epoch_resume_exact_under_fsdp(tmp_path, datasets, monkeypatch):
+    """Exact resume composes with parameter sharding: FSDP run preempted
+    mid-epoch, resumed (placement re-applied from the host checkpoint),
+    final params equal the uninterrupted FSDP run's."""
+    import dataclasses
+    import signal
+
+    import jax
+
+    from neighborretr_tpu.parallel import mesh as pmesh
+    from neighborretr_tpu.train import loop as loop_mod
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    train_ds, test_ds = datasets
+
+    def cfg_fsdp(out, resume=None):
+        c = _cfg(out, resume)
+        return dataclasses.replace(
+            c, train=dataclasses.replace(c.train, fsdp=True))
+
+    mesh = pmesh.make_mesh()
+    ref_out = str(tmp_path / "ref")
+    os.makedirs(ref_out, exist_ok=True)
+    ref_state, _ = run_training(cfg_fsdp(ref_out), train_ds, test_ds,
+                                mesh=mesh)
+    assert int(ref_state.step) == 2
+
+    real_step = loop_mod.train_step
+    calls = {"n": 0}
+
+    def stepper(*a, **k):
+        out = real_step(*a, **k)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            signal.raise_signal(signal.SIGTERM)
+        return out
+
+    monkeypatch.setattr(loop_mod, "train_step", stepper)
+    out = str(tmp_path / "interrupted")
+    os.makedirs(out, exist_ok=True)
+    run_training(cfg_fsdp(out), train_ds, test_ds, mesh=mesh)
+    monkeypatch.setattr(loop_mod, "train_step", real_step)
+    resumed, _ = run_training(
+        cfg_fsdp(out, resume=os.path.join(out, "state_preempt.npz")),
+        train_ds, test_ds, mesh=mesh)
+    assert int(resumed.step) == 2
+    for a, b in zip(jax.tree.leaves(pmesh.fetch_to_host(ref_state).params),
+                    jax.tree.leaves(pmesh.fetch_to_host(resumed).params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-6)
