@@ -214,7 +214,8 @@ def main():
                         max_frames=args.max_frames,
                         video_framerate=args.video_framerate,
                         workers=args.workers,
-                        worker_mode=args.worker_mode),
+                        worker_mode=args.worker_mode,
+                        augment_backend=args.augment_backend),
         train=TrainConfig(epochs=args.epochs, batch_size=args.batch_size,
                           batch_size_val=args.batch_size_val,
                           mb_batch=args.mb_batch, seed=args.seed,

@@ -271,6 +271,10 @@ class DataConfig:
     # Python-level augment cost across cores — reference DataLoader model)
     worker_mode: str = "thread"
     train_augment: bool = True
+    # "auto" | "native" | "pil" — native = the C++ clip kernels in
+    # data/native (byte-exact vs PIL); recorded here so the run's config
+    # dump captures which backend produced the pixels
+    augment_backend: str = "auto"
 
 
 @dataclass(frozen=True)
