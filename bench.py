@@ -97,7 +97,13 @@ def main():
     # pairs/s); vit_l_14 (~18x the B/32 vision FLOPs/frame) needs remat on.
     default_remat = "1" if BACKBONE.startswith("vit_l") else "0"
     remat = os.environ.get("BENCH_REMAT", default_remat) == "1"
-    mcfg = dataclasses.replace(ModelConfig(), remat=remat, unroll_layers=True)
+    # remat granularity sweep knob: "full" (save carry only) or "dots"
+    # (save matmul outputs, recompute elementwise) — only read when remat on
+    remat_policy = os.environ.get("BENCH_REMAT_POLICY", "full")
+    remat_skip_last = int(os.environ.get("BENCH_REMAT_SKIP_LAST", "0"))
+    mcfg = dataclasses.replace(ModelConfig(), remat=remat, unroll_layers=True,
+                               remat_policy=remat_policy,
+                               remat_skip_last=remat_skip_last)
     if CPU_FALLBACK:
         # fp32 on CPU, matching scripts/baseline_cpu_measure.py's reference
         # measurement (the torch reference runs fp32 on CPU)

@@ -239,13 +239,17 @@ def block_init(key, d_model: int, layers_for_std: int = 12) -> Params:
 
 
 def _fused_attention_fits(L: int, n_head: int) -> bool:
-    """Scoped-VMEM guard for the fused attention kernels: the backward tile
-    holds several live fp32 [H, L, L] probs-sized buffers, and Mosaic's
-    per-kernel stack is capped at ~100 MB.  Measured boundary on v5e:
-    L=257/H=16 (ViT-L/14) compiles; L=577/H=16 (ViT-L/14@336px) overflows
-    by 0.6 MB even at one frame per grid cell.  Sequences past the
-    threshold demote to the XLA einsum path (same math, GSPMD-friendly)."""
-    return n_head * L * L <= 2_500_000
+    """Scoped-VMEM guard for the single-tile fused attention kernels: the
+    backward tile holds several live fp32 [H, L, L] probs-sized buffers, and
+    Mosaic's per-kernel stack is capped at ~100 MB.  Measured boundary on
+    v5e: L=257/H=16 (ViT-L/14) compiles; L=577/H=16 (ViT-L/14@336px)
+    overflows by 0.6 MB even at one frame per grid cell.  Sequences past
+    this bound demote ONE level — the plain fused kernel's unbiased path
+    covers them by chunking the query rows (ops/pallas_attention.py::
+    _attention_core_rows); only biased long sequences (none exist in any
+    config: text/temporal are ≤64 tokens) fall back to XLA."""
+    from ..ops.pallas_attention import PROBS_TILE_LIMIT
+    return n_head * L * L <= PROBS_TILE_LIMIT
 
 
 def block_apply(p: Params, x, n_head: int, attn_bias=None, dtype=jnp.float32,
@@ -258,7 +262,15 @@ def block_apply(p: Params, x, n_head: int, attn_bias=None, dtype=jnp.float32,
     tile."""
     from jax.ad_checkpoint import checkpoint_name as ckpt
     if fused_attention and not _fused_attention_fits(x.shape[1], n_head):
-        fused_attention = False
+        # past the single-tile bound the sublayer ("block") kernel can't
+        # serve; the plain fused kernel still can via its query-row-chunked
+        # unbiased path — only a biased long sequence must go to XLA
+        from ..ops.pallas_attention import chunked_attention_fits
+        if attn_bias is None and chunked_attention_fits(
+                x.shape[1], n_head, x.shape[2]):
+            fused_attention = True
+        else:
+            fused_attention = False
     if fused_attention == "block":
         # whole pre-LN attention sublayer (LN1 + qkv + attention + out proj
         # + residual) in one Pallas kernel — x touches HBM once

@@ -38,6 +38,37 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
 
+# Scoped-VMEM bound for the single-tile kernels: the backward holds several
+# live fp32 [H, rows, rows] probs-sized buffers and Mosaic's per-kernel stack
+# is ~100 MB.  Measured boundary on v5e: L=257/H=16 compiles, L=577/H=16
+# overflows by 0.6 MB (models/layers.py::_fused_attention_fits uses the same
+# constant).  Past it, the unbiased path switches to the query-row-chunked
+# kernels below instead of giving up the fused path.
+PROBS_TILE_LIMIT = 2_500_000
+
+
+def _pick_row_chunk(L: int, n_head: int) -> int:
+    """Query-row chunk R for the large-L path: largest multiple of 8 keeping
+    the [H, R, L] probs tile within HALF the single-tile bound (the backward
+    holds ~2 live probs-sized fp32 buffers per chunk).  ViT-L/14@336px
+    (L=577, H=16) → R=128, 5 chunks.  NRTPU_ATTN_ROW_CHUNK overrides (and,
+    in fused_frame_attention, forces the chunked path — used by the parity
+    tests to exercise it at CPU-sized shapes)."""
+    import os
+    env = os.environ.get("NRTPU_ATTN_ROW_CHUNK")
+    if env:
+        return int(env)
+    budget = PROBS_TILE_LIMIT // 2
+    return max(8, min(L, budget // (n_head * L)) // 8 * 8)
+
+
+def chunked_attention_fits(L: int, n_head: int, d_model: int) -> bool:
+    """Can the query-row-chunked kernels serve sequence length L?  Needs an
+    R≥8 chunk within budget and the full-rows [L, 2D] fp32 accumulator +
+    [L, 3D] bf16 kv block to fit comfortably in VMEM."""
+    return (n_head * 8 * L <= PROBS_TILE_LIMIT // 2
+            and L * d_model * 4 * 3 <= 32 * 1024 * 1024)
+
 
 def _pick_fb(n_frames: int, L: int, target_rows: int = None) -> int:
     """Frames per grid cell: biggest divisor of N with FB·L ≤ target rows.
@@ -287,6 +318,158 @@ def _attention_bwd(meta, res, g):
 _attention_core.defvjp(_attention_fwd, _attention_bwd)
 
 
+# ---------------------------------------------------------------------------
+# query-row-chunked variant (large L — e.g. ViT-L/14@336px, 577 tokens/frame)
+#
+# Past PROBS_TILE_LIMIT the [H, L, L] probs buffers of the single-tile
+# kernels overflow Mosaic's scoped-VMEM stack, so the grid gains a second
+# dimension over query-row chunks of R: each cell recomputes softmax over the
+# FULL key axis for its R rows (keys never chunk, so the math is exact — no
+# online-softmax running stats), writes its dq rows, and accumulates its dk/dv
+# contributions into a full-rows fp32 block revisited across the chunk axis.
+# Unbiased only: at FB=1 the frame-diagonal bias is identically zero, and the
+# biased (text) sequences are ≤64 tokens — they never reach this path.
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel_rows(qkv_ref, qc_ref, out_ref, *, L: int, H: int, hd: int,
+                     scale: float):
+    D = H * hd
+    R = qc_ref.shape[1]
+    k3, v3 = _split_heads(qkv_ref[0][:, D:], L, D, H, hd, n_parts=2)
+    q3 = _split_heads(qc_ref[0][:, :D], R, D, H, hd, n_parts=1)[0]
+    logits = jax.lax.dot_general(
+        (q3.astype(jnp.float32) * scale).astype(jnp.bfloat16), k3,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                  # [H, R, L]
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = _attn_out_tile(probs, v3, R, D, H)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _bwd_kernel_rows(qkv_ref, qc_ref, g_ref, dq_ref, dkv_ref, *, L: int,
+                     H: int, hd: int, scale: float):
+    c = pl.program_id(1)
+    D = H * hd
+    R = qc_ref.shape[1]
+    k3, v3 = _split_heads(qkv_ref[0][:, D:], L, D, H, hd, n_parts=2)
+    # zero the edge chunk's padding rows (q AND cotangent) BEFORE the head
+    # split — 2-D lane broadcasts only (3-D middle-axis broadcasts abort
+    # Mosaic lowering).  Zeroed q makes the dead rows' probs a finite
+    # uniform row (out-of-bounds reads may be NaN-filled), zeroed g then
+    # cancels their dk/dv contributions exactly; their dq garbage is
+    # write-masked by the blocked out spec.
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) + c * R
+    q2 = jnp.where(row < L, qc_ref[0][:, :D], 0).astype(qc_ref.dtype)
+    q3 = _split_heads(q2, R, D, H, hd, n_parts=1)[0]
+    g2 = jnp.where(row < L, g_ref[0], 0).astype(g_ref.dtype)
+    g3 = _split_heads(g2, R, D, H, hd, n_parts=1)[0]
+    logits = jax.lax.dot_general(
+        (q3.astype(jnp.float32) * scale).astype(jnp.bfloat16), k3,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                  # [H, R, L]
+    probs = jax.nn.softmax(logits, axis=-1)
+    p16 = probs.astype(jnp.bfloat16)
+    dv3 = jax.lax.dot_general(                               # probsᵀ @ g
+        p16, g3, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                  # [H, L, hd]
+    dprobs = jax.lax.dot_general(                            # g @ vᵀ
+        g3, v3, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                  # [H, R, L]
+    dlogits = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
+                                        keepdims=True))
+    dl16 = (dlogits * scale).astype(jnp.bfloat16)
+    dq3 = jax.lax.dot_general(
+        dl16, k3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                  # [H, R, hd]
+    dk3 = jax.lax.dot_general(
+        dl16, q3, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                  # [H, L, hd]
+    dq_ref[0] = _merge_heads(dq3, R, D, H).astype(dq_ref.dtype)
+    dkv = jnp.concatenate([_merge_heads(dk3, L, D, H),
+                           _merge_heads(dv3, L, D, H)], axis=1)  # [L, 2D]
+
+    @pl.when(c == 0)
+    def _init():
+        dkv_ref[0] = dkv
+
+    @pl.when(c > 0)
+    def _accum():
+        dkv_ref[0] = dkv_ref[0] + dkv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _attention_core_rows(qkv, meta):
+    N, L, H, hd, R, interpret = meta
+    D = H * hd
+    kernel = functools.partial(_fwd_kernel_rows, L=L, H=H, hd=hd,
+                               scale=hd ** -0.5)
+    return pl.pallas_call(
+        kernel,
+        grid=(N, pl.cdiv(L, R)),
+        in_specs=[
+            pl.BlockSpec((1, L, 3 * D), lambda n, c: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, 3 * D), lambda n, c: (n, c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, R, D), lambda n, c: (n, c, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, L, D), qkv.dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * N * L * L * D, transcendentals=N * L * L,
+            bytes_accessed=N * L * 3 * D * 2 * 2),
+    )(qkv, qkv)
+
+
+def _attention_rows_fwd(qkv, meta):
+    return _attention_core_rows(qkv, meta), (qkv,)
+
+
+def _attention_rows_bwd(meta, res, g):
+    N, L, H, hd, R, interpret = meta
+    D = H * hd
+    (qkv,) = res
+    kernel = functools.partial(_bwd_kernel_rows, L=L, H=H, hd=hd,
+                               scale=hd ** -0.5)
+    dq, dkv = pl.pallas_call(
+        kernel,
+        grid=(N, pl.cdiv(L, R)),
+        in_specs=[
+            pl.BlockSpec((1, L, 3 * D), lambda n, c: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, 3 * D), lambda n, c: (n, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, D), lambda n, c: (n, c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, R, D), lambda n, c: (n, c, 0),
+                         memory_space=pltpu.VMEM),
+            # dk/dv accumulate across the chunk axis in fp32 (the block is
+            # revisited — index map constant in c — so Mosaic keeps it
+            # resident until the last chunk)
+            pl.BlockSpec((1, L, 2 * D), lambda n, c: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, L, D), qkv.dtype),
+            jax.ShapeDtypeStruct((N, L, 2 * D), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "arbitrary")),
+    )(qkv, qkv, g)
+    return (jnp.concatenate([dq, dkv.astype(qkv.dtype)], axis=-1),)
+
+
+_attention_core_rows.defvjp(_attention_rows_fwd, _attention_rows_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _attention_core_biased(qkv, bias, meta):
     N, L, H, hd, FB, interpret = meta
@@ -360,12 +543,20 @@ def fused_frame_attention(qkv: jnp.ndarray, n_head: int,
     the text tower's causal∧padding mask; treated as a constant — no
     cotangent).  None = the unmasked per-frame vision path.
     """
+    import os
     N, L, threeD = qkv.shape
     D = threeD // 3
     hd = D // n_head
     FB = _pick_fb(N, L)
-    meta = (N, L, n_head, hd, FB, interpret)
     if bias is None:
-        return _attention_core(qkv, meta)
+        # sequences whose probs tile overflows scoped VMEM (ViT-L/14@336px:
+        # L=577) take the query-row-chunked kernels; NRTPU_ATTN_ROW_CHUNK
+        # forces that path at any L (parity tests / A-B probing)
+        if (n_head * (FB * L) ** 2 > PROBS_TILE_LIMIT
+                or os.environ.get("NRTPU_ATTN_ROW_CHUNK")):
+            R = _pick_row_chunk(L, n_head)
+            return _attention_core_rows(qkv, (N, L, n_head, hd, R, interpret))
+        return _attention_core(qkv, (N, L, n_head, hd, FB, interpret))
+    meta = (N, L, n_head, hd, FB, interpret)
     bias = jnp.broadcast_to(bias.astype(jnp.float32), (N, L, L))
     return _attention_core_biased(qkv, bias, meta)
