@@ -97,8 +97,9 @@ def main():
     # pairs/s); vit_l_14 (~18x the B/32 vision FLOPs/frame) needs remat on.
     default_remat = "1" if BACKBONE.startswith("vit_l") else "0"
     remat = os.environ.get("BENCH_REMAT", default_remat) == "1"
-    # remat granularity sweep knob: "full" (save carry only) or "dots"
-    # (save matmul outputs, recompute elementwise) — only read when remat on
+    # remat granularity sweep knob (layers.REMAT_POLICIES keys): "full"
+    # (save carry only), "dots" (save the three matmul outputs), or "attn"
+    # (save the attention sublayer output) — only read when remat on
     remat_policy = os.environ.get("BENCH_REMAT_POLICY", "full")
     remat_skip_last = int(os.environ.get("BENCH_REMAT_SKIP_LAST", "0"))
     mcfg = dataclasses.replace(ModelConfig(), remat=remat, unroll_layers=True,

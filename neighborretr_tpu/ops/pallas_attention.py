@@ -51,23 +51,32 @@ def _pick_row_chunk(L: int, n_head: int) -> int:
     """Query-row chunk R for the large-L path: largest multiple of 8 keeping
     the [H, R, L] probs tile within HALF the single-tile bound (the backward
     holds ~2 live probs-sized fp32 buffers per chunk).  ViT-L/14@336px
-    (L=577, H=16) → R=128, 5 chunks.  NRTPU_ATTN_ROW_CHUNK overrides (and,
-    in fused_frame_attention, forces the chunked path — used by the parity
-    tests to exercise it at CPU-sized shapes)."""
+    (L=577, H=16) → R=128, 5 chunks.  The R=8 floor is within budget for
+    every shape chunked_attention_fits admits (routing guards on it).
+    NRTPU_ATTN_ROW_CHUNK overrides (and, in fused_frame_attention, forces
+    the chunked path — used by the parity tests to exercise it at CPU-sized
+    shapes)."""
     import os
     env = os.environ.get("NRTPU_ATTN_ROW_CHUNK")
     if env:
-        return int(env)
+        r = int(env)
+        if r <= 0 or r % 8:
+            raise ValueError(
+                "NRTPU_ATTN_ROW_CHUNK must be a positive multiple of 8 "
+                f"(TPU sublane granularity); got {env!r}")
+        return r
     budget = PROBS_TILE_LIMIT // 2
     return max(8, min(L, budget // (n_head * L)) // 8 * 8)
 
 
 def chunked_attention_fits(L: int, n_head: int, d_model: int) -> bool:
     """Can the query-row-chunked kernels serve sequence length L?  Needs an
-    R≥8 chunk within budget and the full-rows [L, 2D] fp32 accumulator +
-    [L, 3D] bf16 kv block to fit comfortably in VMEM."""
+    R≥8 chunk whose [H, R, L] probs tile stays within half the single-tile
+    budget, and the backward's full-rows residents — the k/v input blocks
+    plus their head-split bf16 copies (~8·L·D bytes) and the fp32 [L, 2D]
+    dk/dv accumulator (8·L·D) — to fit well under the ~100 MB VMEM limit."""
     return (n_head * 8 * L <= PROBS_TILE_LIMIT // 2
-            and L * d_model * 4 * 3 <= 32 * 1024 * 1024)
+            and L * d_model * 16 <= 32 * 1024 * 1024)
 
 
 def _pick_fb(n_frames: int, L: int, target_rows: int = None) -> int:
@@ -151,19 +160,25 @@ def _tile_bias(bias_ref, FB: int, L: int) -> jnp.ndarray:
     return jnp.concatenate(row_blocks, axis=0)
 
 
+def _attn_logits(q3, k3, scale: float):
+    """The logits dot every kernel here shares: q3 [H, R, hd] × k3 [H, L, hd]
+    → fp32 [H, R, L] as ONE batched bf16 MXU dot (scale folded into q in
+    fp32 before the cast — the fp32 softmax island starts at the output)."""
+    return jax.lax.dot_general(
+        (q3.astype(jnp.float32) * scale).astype(jnp.bfloat16), k3,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+
+
 def _attn_probs(qkv, bias, H: int, hd: int, scale: float):
-    """Shared attention-forward tile: packed [rows, 3D] qkv + additive bias
-    → (q3, k3, v3 [H, rows, hd] bf16, probs [H, rows, rows] fp32).
-    The single source of the logits/softmax math for every kernel here and
-    in pallas_block_attention (bf16 MXU dots, fp32 softmax island)."""
+    """Shared square attention-forward tile: packed [rows, 3D] qkv +
+    additive bias → (q3, k3, v3 [H, rows, hd] bf16, probs fp32).  Logits
+    math lives in _attn_logits (also used by the rectangular chunked
+    kernels); this wrapper adds the head split and the bias."""
     rows = qkv.shape[0]
     D = H * hd
     q3, k3, v3 = _split_heads(qkv, rows, D, H, hd)          # each [H, rows, hd]
-    logits = jax.lax.dot_general(                            # ONE batched dot
-        (q3.astype(jnp.float32) * scale).astype(jnp.bfloat16), k3,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)                  # [H, rows, rows]
-    probs = jax.nn.softmax(logits + bias[None], axis=-1)     # fp32
+    probs = jax.nn.softmax(_attn_logits(q3, k3, scale) + bias[None], axis=-1)
     return q3, k3, v3, probs
 
 
@@ -176,28 +191,36 @@ def _attn_out_tile(probs, v3, rows: int, D: int, H: int):
     return _merge_heads(out3, rows, D, H)
 
 
-def _attn_bwd_tile(q3, k3, v3, probs, g3, H: int, scale: float):
-    """Shared softmax+attention backward: cotangent g3 [H, rows, hd] w.r.t.
-    the attention output → packed dqkv [rows, 3D] fp32.  The single source
-    of the dv/dprobs/dlogits/dq/dk math (softmax vjp:
-    dlogits = p·(dp − Σ_k dp·p)) for every backward kernel in this module
-    and in pallas_block_attention."""
+def _attn_bwd_rect(q3, k3, v3, probs, g3, scale: float):
+    """The single source of the softmax+attention backward math (softmax
+    vjp: dlogits = p·(dp − Σ_k dp·p)) for every backward kernel in this
+    module and in pallas_block_attention — rectangular form: q3/g3
+    [H, R, hd] against k3/v3 [H, L, hd], probs [H, R, L] →
+    (dq3 [H, R, hd], dk3 [H, L, hd], dv3 [H, L, hd]) fp32."""
     p16 = probs.astype(jnp.bfloat16)
     dv3 = jax.lax.dot_general(                               # probsᵀ @ g
         p16, g3, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)                  # [H, rows, hd]
+        preferred_element_type=jnp.float32)                  # [H, L, hd]
     dprobs = jax.lax.dot_general(                            # g @ vᵀ
         g3, v3, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)                  # [H, rows, rows]
+        preferred_element_type=jnp.float32)                  # [H, R, L]
     dlogits = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
                                         keepdims=True))
     dl16 = (dlogits * scale).astype(jnp.bfloat16)
     dq3 = jax.lax.dot_general(
         dl16, k3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)                  # [H, rows, hd]
+        preferred_element_type=jnp.float32)                  # [H, R, hd]
     dk3 = jax.lax.dot_general(
         dl16, q3, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)                  # [H, rows, hd]
+        preferred_element_type=jnp.float32)                  # [H, L, hd]
+    return dq3, dk3, dv3
+
+
+def _attn_bwd_tile(q3, k3, v3, probs, g3, H: int, scale: float):
+    """Square wrapper over _attn_bwd_rect: cotangent g3 [H, rows, hd] w.r.t.
+    the attention output → packed dqkv [rows, 3D] fp32 (the layout the
+    single-tile kernels write back)."""
+    dq3, dk3, dv3 = _attn_bwd_rect(q3, k3, v3, probs, g3, scale)
     return jnp.concatenate(
         [dq3[h] for h in range(H)] + [dk3[h] for h in range(H)]
         + [dv3[h] for h in range(H)], axis=1)                # [rows, 3D] f32
@@ -331,27 +354,25 @@ _attention_core.defvjp(_attention_fwd, _attention_bwd)
 # biased (text) sequences are ≤64 tokens — they never reach this path.
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel_rows(qkv_ref, qc_ref, out_ref, *, L: int, H: int, hd: int,
-                     scale: float):
+def _fwd_kernel_rows(k_ref, v_ref, q_ref, out_ref, *, L: int, H: int,
+                     hd: int, scale: float):
     D = H * hd
-    R = qc_ref.shape[1]
-    k3, v3 = _split_heads(qkv_ref[0][:, D:], L, D, H, hd, n_parts=2)
-    q3 = _split_heads(qc_ref[0][:, :D], R, D, H, hd, n_parts=1)[0]
-    logits = jax.lax.dot_general(
-        (q3.astype(jnp.float32) * scale).astype(jnp.bfloat16), k3,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)                  # [H, R, L]
-    probs = jax.nn.softmax(logits, axis=-1)
+    R = q_ref.shape[1]
+    k3 = _split_heads(k_ref[0], L, D, H, hd, n_parts=1)[0]
+    v3 = _split_heads(v_ref[0], L, D, H, hd, n_parts=1)[0]
+    q3 = _split_heads(q_ref[0], R, D, H, hd, n_parts=1)[0]
+    probs = jax.nn.softmax(_attn_logits(q3, k3, scale), axis=-1)  # [H, R, L]
     out = _attn_out_tile(probs, v3, R, D, H)
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-def _bwd_kernel_rows(qkv_ref, qc_ref, g_ref, dq_ref, dkv_ref, *, L: int,
+def _bwd_kernel_rows(k_ref, v_ref, q_ref, g_ref, dq_ref, dkv_ref, *, L: int,
                      H: int, hd: int, scale: float):
     c = pl.program_id(1)
     D = H * hd
-    R = qc_ref.shape[1]
-    k3, v3 = _split_heads(qkv_ref[0][:, D:], L, D, H, hd, n_parts=2)
+    R = q_ref.shape[1]
+    k3 = _split_heads(k_ref[0], L, D, H, hd, n_parts=1)[0]
+    v3 = _split_heads(v_ref[0], L, D, H, hd, n_parts=1)[0]
     # zero the edge chunk's padding rows (q AND cotangent) BEFORE the head
     # split — 2-D lane broadcasts only (3-D middle-axis broadcasts abort
     # Mosaic lowering).  Zeroed q makes the dead rows' probs a finite
@@ -359,31 +380,12 @@ def _bwd_kernel_rows(qkv_ref, qc_ref, g_ref, dq_ref, dkv_ref, *, L: int,
     # cancels their dk/dv contributions exactly; their dq garbage is
     # write-masked by the blocked out spec.
     row = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) + c * R
-    q2 = jnp.where(row < L, qc_ref[0][:, :D], 0).astype(qc_ref.dtype)
+    q2 = jnp.where(row < L, q_ref[0], 0).astype(q_ref.dtype)
     q3 = _split_heads(q2, R, D, H, hd, n_parts=1)[0]
     g2 = jnp.where(row < L, g_ref[0], 0).astype(g_ref.dtype)
     g3 = _split_heads(g2, R, D, H, hd, n_parts=1)[0]
-    logits = jax.lax.dot_general(
-        (q3.astype(jnp.float32) * scale).astype(jnp.bfloat16), k3,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)                  # [H, R, L]
-    probs = jax.nn.softmax(logits, axis=-1)
-    p16 = probs.astype(jnp.bfloat16)
-    dv3 = jax.lax.dot_general(                               # probsᵀ @ g
-        p16, g3, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)                  # [H, L, hd]
-    dprobs = jax.lax.dot_general(                            # g @ vᵀ
-        g3, v3, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)                  # [H, R, L]
-    dlogits = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
-                                        keepdims=True))
-    dl16 = (dlogits * scale).astype(jnp.bfloat16)
-    dq3 = jax.lax.dot_general(
-        dl16, k3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)                  # [H, R, hd]
-    dk3 = jax.lax.dot_general(
-        dl16, q3, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)                  # [H, L, hd]
+    probs = jax.nn.softmax(_attn_logits(q3, k3, scale), axis=-1)  # [H, R, L]
+    dq3, dk3, dv3 = _attn_bwd_rect(q3, k3, v3, probs, g3, scale)
     dq_ref[0] = _merge_heads(dq3, R, D, H).astype(dq_ref.dtype)
     dkv = jnp.concatenate([_merge_heads(dk3, L, D, H),
                            _merge_heads(dv3, L, D, H)], axis=1)  # [L, 2D]
@@ -397,6 +399,21 @@ def _bwd_kernel_rows(qkv_ref, qc_ref, g_ref, dq_ref, dkv_ref, *, L: int,
         dkv_ref[0] = dkv_ref[0] + dkv
 
 
+def _rows_kv_q_specs(L: int, R: int, D: int):
+    """In-specs viewing ONE packed [N, L, 3D] qkv array three ways: the full
+    k and v column blocks (resident across the chunk axis) and the per-chunk
+    q row block — the kernels never read the q columns of the full block or
+    the k/v columns of the chunk, so narrowed views cut that DMA traffic."""
+    return [
+        pl.BlockSpec((1, L, D), lambda n, c: (n, 0, 1),
+                     memory_space=pltpu.VMEM),               # k columns
+        pl.BlockSpec((1, L, D), lambda n, c: (n, 0, 2),
+                     memory_space=pltpu.VMEM),               # v columns
+        pl.BlockSpec((1, R, D), lambda n, c: (n, c, 0),
+                     memory_space=pltpu.VMEM),               # q row chunk
+    ]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def _attention_core_rows(qkv, meta):
     N, L, H, hd, R, interpret = meta
@@ -406,23 +423,20 @@ def _attention_core_rows(qkv, meta):
     return pl.pallas_call(
         kernel,
         grid=(N, pl.cdiv(L, R)),
-        in_specs=[
-            pl.BlockSpec((1, L, 3 * D), lambda n, c: (n, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, 3 * D), lambda n, c: (n, c, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=_rows_kv_q_specs(L, R, D),
         out_specs=pl.BlockSpec((1, R, D), lambda n, c: (n, c, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, L, D), qkv.dtype),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
-            dimension_semantics=("parallel", "arbitrary")),
+            # no cross-chunk dependence in the forward — both grid axes are
+            # Megacore-splittable
+            dimension_semantics=("parallel", "parallel")),
         cost_estimate=pl.CostEstimate(
             flops=4 * N * L * L * D, transcendentals=N * L * L,
-            bytes_accessed=N * L * 3 * D * 2 * 2),
-    )(qkv, qkv)
+            bytes_accessed=N * L * 4 * D * 2),
+    )(qkv, qkv, qkv)
 
 
 def _attention_rows_fwd(qkv, meta):
@@ -438,13 +452,9 @@ def _attention_rows_bwd(meta, res, g):
     dq, dkv = pl.pallas_call(
         kernel,
         grid=(N, pl.cdiv(L, R)),
-        in_specs=[
-            pl.BlockSpec((1, L, 3 * D), lambda n, c: (n, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, 3 * D), lambda n, c: (n, c, 0),
-                         memory_space=pltpu.VMEM),
+        in_specs=_rows_kv_q_specs(L, R, D) + [
             pl.BlockSpec((1, R, D), lambda n, c: (n, c, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM),           # cotangent rows
         ],
         out_specs=[
             pl.BlockSpec((1, R, D), lambda n, c: (n, c, 0),
@@ -463,7 +473,7 @@ def _attention_rows_bwd(meta, res, g):
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
             dimension_semantics=("parallel", "arbitrary")),
-    )(qkv, qkv, g)
+    )(qkv, qkv, qkv, g)
     return (jnp.concatenate([dq, dkv.astype(qkv.dtype)], axis=-1),)
 
 
@@ -552,8 +562,17 @@ def fused_frame_attention(qkv: jnp.ndarray, n_head: int,
         # sequences whose probs tile overflows scoped VMEM (ViT-L/14@336px:
         # L=577) take the query-row-chunked kernels; NRTPU_ATTN_ROW_CHUNK
         # forces that path at any L (parity tests / A-B probing)
-        if (n_head * (FB * L) ** 2 > PROBS_TILE_LIMIT
-                or os.environ.get("NRTPU_ATTN_ROW_CHUNK")):
+        forced = bool(os.environ.get("NRTPU_ATTN_ROW_CHUNK"))
+        if forced or n_head * (FB * L) ** 2 > PROBS_TILE_LIMIT:
+            if not forced and not chunked_attention_fits(L, n_head, D):
+                # don't hand Mosaic a tile we know overflows — callers that
+                # want auto-demotion guard via _fused_attention_fits /
+                # chunked_attention_fits; direct callers get a clear error
+                raise ValueError(
+                    f"sequence length {L} (H={n_head}, D={D}) exceeds both "
+                    "the single-tile and query-row-chunked fused-attention "
+                    "VMEM bounds — use the XLA path "
+                    "(attention_impl='einsum')")
             R = _pick_row_chunk(L, n_head)
             return _attention_core_rows(qkv, (N, L, n_head, hd, R, interpret))
         return _attention_core(qkv, (N, L, n_head, hd, FB, interpret))

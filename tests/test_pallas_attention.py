@@ -189,3 +189,25 @@ def test_pick_row_chunk_vit_l_336():
     assert _pick_row_chunk(577, 16) == 128
     assert chunked_attention_fits(577, 16, 1024)
     assert not chunked_attention_fits(600_000, 16, 1024)
+
+
+@pytest.mark.parametrize("bad", ["0", "-8", "20"])
+def test_row_chunk_env_validated(monkeypatch, bad):
+    """'0' (a natural 'disable' spelling) and sublane-misaligned values must
+    raise up front, not surface as ZeroDivisionError / Mosaic rejections."""
+    from neighborretr_tpu.ops.pallas_attention import _pick_row_chunk
+    monkeypatch.setenv("NRTPU_ATTN_ROW_CHUNK", bad)
+    with pytest.raises(ValueError, match="NRTPU_ATTN_ROW_CHUNK"):
+        _pick_row_chunk(64, 2)
+
+
+def test_oversized_unbiased_sequence_raises_cleanly(rng, monkeypatch):
+    """A direct fused caller past BOTH fused bounds gets a ValueError naming
+    the XLA fallback instead of a Mosaic compile crash (limits shrunk so the
+    case is constructible at CPU size)."""
+    import neighborretr_tpu.ops.pallas_attention as pa
+    monkeypatch.setattr(pa, "PROBS_TILE_LIMIT", 64)  # single-tile fails
+    monkeypatch.setattr(pa, "chunked_attention_fits", lambda *a: False)
+    qkv = jnp.asarray(rng.normal(size=(2, 16, 3 * 32)).astype(np.float32))
+    with pytest.raises(ValueError, match="attention_impl='einsum'"):
+        pa.fused_frame_attention(qkv, 2, interpret=True)
