@@ -30,6 +30,7 @@ tests/test_pallas_attention.py against the XLA path, fwd + grad).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -48,14 +49,17 @@ PROBS_TILE_LIMIT = 2_500_000
 
 
 def _pick_row_chunk(L: int, n_head: int) -> int:
-    """Query-row chunk R for the large-L path: largest multiple of 8 keeping
-    the [H, R, L] probs tile within HALF the single-tile bound (the backward
-    holds ~2 live probs-sized fp32 buffers per chunk).  ViT-L/14@336px
-    (L=577, H=16) → R=128, 5 chunks.  The R=8 floor is within budget for
-    every shape chunked_attention_fits admits (routing guards on it).
-    NRTPU_ATTN_ROW_CHUNK overrides (and, in fused_frame_attention, forces
-    the chunked path — used by the parity tests to exercise it at CPU-sized
-    shapes)."""
+    """Query-row chunk R for the large-L path.  The VMEM cap — the
+    [H, R, L] probs tile within HALF the single-tile bound (the backward
+    holds ~2 live probs-sized fp32 buffers per chunk) — fixes the minimum
+    chunk COUNT; R is then the smallest multiple of 8 reaching that count,
+    which minimizes the padded rows the edge chunk computes.
+    ViT-L/14@336px (L=577, H=16): cap 128 → 5 chunks → R=120 (600 computed
+    rows, not 640 — 6% less attention work than the max-R choice).  The R=8
+    floor is within budget for every shape chunked_attention_fits admits
+    (routing guards on it).  NRTPU_ATTN_ROW_CHUNK overrides (and, in
+    fused_frame_attention, forces the chunked path — used by the parity
+    tests to exercise it at CPU-sized shapes)."""
     import os
     env = os.environ.get("NRTPU_ATTN_ROW_CHUNK")
     if env:
@@ -66,7 +70,10 @@ def _pick_row_chunk(L: int, n_head: int) -> int:
                 f"(TPU sublane granularity); got {env!r}")
         return r
     budget = PROBS_TILE_LIMIT // 2
-    return max(8, min(L, budget // (n_head * L)) // 8 * 8)
+    r_max = max(8, min(L, budget // (n_head * L)) // 8 * 8)
+    n_chunks = math.ceil(L / r_max)
+    rows_per_chunk = math.ceil(L / n_chunks)
+    return max(8, math.ceil(rows_per_chunk / 8) * 8)
 
 
 def chunked_attention_fits(L: int, n_head: int, d_model: int) -> bool:
