@@ -29,6 +29,14 @@ import jax
 import jax.numpy as jnp
 
 REFERENCE_PAIRS_PER_SEC_PER_GPU = 45.0
+# FLOPs-normalized upper bound for the reference on a modern GPU (BASELINE.md
+# "Analytic upper bound"): step FLOPs from XLA's cost model ÷ A100 bf16 peak
+# × a generous 40% MFU ceiling for a PyTorch DDP fine-tune trainer.  The
+# reference could not exceed this even at speed-of-light; vs_flop_bound is
+# therefore the most conservative possible reading of the comparison, and
+# vs_estimate (= the 45 pairs/s engineering estimate) the headline one.
+A100_BF16_PEAK_FLOPS = 312e12
+REFERENCE_GENEROUS_MFU = 0.40
 # Measured on THIS machine's CPU (scripts/baseline_cpu_measure.py, batch 8,
 # fp32, identical shapes): the reference takes 101.2 s/step → 0.079 pairs/s.
 # Used as the denominator only in the CPU-fallback path below.
@@ -167,6 +175,7 @@ def main():
     pairs_per_sec = BATCH * MEASURE_STEPS / elapsed
     print(f"# {MEASURE_STEPS} steps x batch {BATCH} in {elapsed:.2f}s, "
           f"loss={float(metrics['loss']):.4f}", file=sys.stderr)
+    flops = 0.0
     try:
         if CPU_FALLBACK:
             raise RuntimeError("skip MFU readout (v5e-peak-specific)")
@@ -214,12 +223,21 @@ def main():
             "vs_baseline": round(pairs_per_sec / ref_cpu, 3),
         }))
         return
-    print(json.dumps({
+    record = {
         "metric": f"train pairs/sec/chip ({name}, 12f@{res}, full hubness losses)",
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC_PER_GPU, 3),
-    }))
+        "vs_estimate": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC_PER_GPU, 3),
+    }
+    if flops > 0:
+        # speed-of-light bound for the reference on an A100 at the same math
+        # (same per-pair FLOPs — the losses and towers are the reference's):
+        # even a 40%-MFU reference could not beat this denominator.
+        bound = REFERENCE_GENEROUS_MFU * A100_BF16_PEAK_FLOPS / (flops / BATCH)
+        record["vs_flop_bound"] = round(pairs_per_sec / bound, 3)
+        record["flop_bound_pairs_per_sec"] = round(bound, 1)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

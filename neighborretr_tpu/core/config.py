@@ -132,6 +132,11 @@ class ModelConfig:
     video_merge_ratios: Tuple[float, float] = (1.0 / 4.0, 1.0 / 3.0)
     ctm_k: int = 3
     ctm_heads: int = 8
+    # DPC-KNN density tie-break noise (cluster.py:483-484 adds U[0,1)·1e-6).
+    # False → fully deterministic clustering (key=None) — used by golden
+    # parity runs that compare whole training trajectories against the
+    # reference with its torch.rand patched out.
+    cluster_noise: bool = True
     # dtype policy: params fp32; matmul-heavy compute in bf16 with fp32
     # LayerNorm/softmax islands (module_clip.py LayerNorm fp32 behavior).
     compute_dtype: str = "bfloat16"

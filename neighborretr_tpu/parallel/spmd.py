@@ -150,7 +150,8 @@ def compute_losses_spmd(params: Params, cfg: Config,
     lcfg = cfg.loss
     # global path + losses: tiny replicated compute, single-chip code verbatim
     g_t, g_v = model.merge_global_features(
-        params, cfg.model, t_feat, v_feat, t_mask, v_mask, key)
+        params, cfg.model, t_feat, v_feat, t_mask, v_mask,
+        key if cfg.model.cluster_noise else None)
     s_global = model.global_level(params, g_t, g_v)
 
     uniform_loss = 0.5 * (

@@ -321,10 +321,14 @@ def evaluate(params: Params, cfg: Config, loader, dataset=None,
         ranks, valid = M.device_multi_sentence_ranks(sim_3d)
         t2v = M.metrics_from_ranks(fetch(ranks)[fetch(valid)])
         v2t = M.metrics_from_ranks(fetch(M.device_video_to_text_ranks(sim_3d)))
+        M.log_tie_counts(logger, fetch(M.device_multi_sentence_ties(sim_3d)),
+                         0)
     else:
         r_t2v, r_v2t = M.device_ranks_both(sim)
         t2v = M.metrics_from_ranks(fetch(r_t2v))
         v2t = M.metrics_from_ranks(fetch(r_v2t))
+        ties_t2v, ties_v2t = M.device_ties_both(sim)
+        M.log_tie_counts(logger, fetch(ties_t2v), fetch(ties_v2t))
     sim_time = time.time() - tic
 
     if logger is not None:

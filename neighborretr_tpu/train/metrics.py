@@ -54,6 +54,43 @@ def device_ranks_both(similarity: jnp.ndarray):
 
 
 @jax.jit
+def device_ties_both(similarity: jnp.ndarray):
+    """Rows whose diagonal score ties at least one other entry, both
+    directions.  Where ties exist the strict-greater device rank can differ
+    from the reference's host compute_metrics (which may emit multiple rank
+    entries per tied row, utils/metrics.py:57-66 — kept for parity, see
+    PARITY.md); eval logs these counts so the two are self-explaining."""
+    diag = jnp.diagonal(similarity)
+    t2v = jnp.sum(jnp.sum(similarity == diag[:, None], axis=1) > 1)
+    v2t = jnp.sum(jnp.sum(similarity == diag[None, :], axis=0) > 1)
+    return t2v, v2t
+
+
+@jax.jit
+def device_multi_sentence_ties(sim_3d: jnp.ndarray) -> jnp.ndarray:
+    """Tie count for the [V, max_caps, V] caption-grouped tensor: valid
+    caption rows whose own-video score ties another video's score."""
+    V = sim_3d.shape[0]
+    own = jnp.take_along_axis(
+        sim_3d, jnp.arange(V, dtype=jnp.int32)[:, None, None], axis=2)
+    tied = jnp.sum(sim_3d == own, axis=-1) > 1
+    return jnp.sum(tied & jnp.isfinite(own[..., 0]))
+
+
+def log_tie_counts(logger, ties_t2v: int, ties_v2t: int) -> None:
+    """One observability line, only when ties exist (bf16 similarities tie
+    ~0.2% of rows in practice): explains any device-rank vs reference-rank
+    metric delta before a user has to diff the two implementations."""
+    ties_t2v, ties_v2t = int(ties_t2v), int(ties_v2t)
+    if logger is not None and (ties_t2v or ties_v2t):
+        logger.info(
+            "Eval score ties at the diagonal: %d t2v row(s), %d v2t row(s) — "
+            "device strict ranks may differ from the reference's host "
+            "compute_metrics on exactly these rows (PARITY.md tie semantics)",
+            ties_t2v, ties_v2t)
+
+
+@jax.jit
 def device_multi_sentence_ranks(sim_3d: jnp.ndarray):
     """On-device t2v ranks for the [V, max_caps, V] caption-grouped tensor.
 

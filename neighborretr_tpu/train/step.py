@@ -108,7 +108,8 @@ def compute_losses(params: Params, cfg: Config, batch: Dict[str, jnp.ndarray],
 
     # global path: CTM merge → global similarity → uniform + KL
     g_t, g_v = model.merge_global_features(
-        params, mcfg, text_feat, video_feat, t_mask, v_mask, key)
+        params, mcfg, text_feat, video_feat, t_mask, v_mask,
+        key if mcfg.cluster_noise else None)
     s_global = model.global_level(params, g_t, g_v)
 
     uniform_loss = 0.5 * (

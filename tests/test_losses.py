@@ -90,6 +90,7 @@ def _neighbor_loss_torch_oracle(sim, bank, k, temp):
     return lp.mean().item()
 
 
+@pytest.mark.smoke
 def test_neighbor_adjusting_loss_vs_oracle(rng):
     B, M, k, temp = 12, 20, 4, 3.0
     sim = rng.normal(size=(B, B)).astype(np.float32)

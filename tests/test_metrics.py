@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from neighborretr_tpu.train import metrics as M
 
@@ -83,3 +84,44 @@ def test_best_tracker_json_roundtrip():
     # a worse eval after restore must NOT trigger a best-checkpoint save
     assert not t2.update({"R1": 41.0, "R5": 70.0}, {"R1": 40.0, "R5": 66.0})
     assert t2.update({"R1": 45.0, "R5": 71.0}, {"R1": 43.0, "R5": 70.0})
+
+
+@pytest.mark.smoke
+def test_device_ties_both_counts():
+    # row 0: diagonal 5.0 ties column 2 -> t2v tie; row 1/2 tie-free.
+    # column 1: diagonal 4.0 ties row 2 -> v2t tie.
+    sim = np.array([
+        [5.0, 1.0, 5.0],
+        [0.0, 4.0, 1.0],
+        [2.0, 4.0, 6.0],
+    ], dtype=np.float32)
+    t2v, v2t = M.device_ties_both(jnp.array(sim))
+    assert int(t2v) == 1
+    assert int(v2t) == 1
+    # tie-free matrix reports zero in both directions
+    t2v0, v2t0 = M.device_ties_both(jnp.array([[2.0, 1.0], [0.0, 3.0]]))
+    assert int(t2v0) == 0 and int(v2t0) == 0
+
+
+def test_device_multi_sentence_ties():
+    V, P = 3, 2
+    sim = np.full((V, P, V), -np.inf, dtype=np.float32)
+    sim[0, 0] = [5.0, 5.0, 0.0]   # own score ties video 1
+    sim[0, 1] = [3.0, 1.0, 0.0]   # tie-free
+    sim[1, 0] = [1.0, 6.0, 0.0]
+    sim[2, 0] = [9.0, 8.0, 7.0]
+    # padded caption slots ([1,1], [2,1]) stay -inf and must not count even
+    # though -inf == -inf across every video
+    assert int(M.device_multi_sentence_ties(jnp.array(sim))) == 1
+
+
+def test_log_tie_counts_one_line(caplog):
+    import logging
+    logger = logging.getLogger("test_tie_counts")
+    with caplog.at_level(logging.INFO, logger="test_tie_counts"):
+        M.log_tie_counts(logger, 0, 0)      # silent when tie-free
+        assert caplog.records == []
+        M.log_tie_counts(logger, 2, 1)
+        assert len(caplog.records) == 1
+        assert "2 t2v" in caplog.records[0].getMessage()
+    M.log_tie_counts(None, 3, 3)            # no logger -> no crash

@@ -134,6 +134,7 @@ def mats():
     }
 
 
+@pytest.mark.smoke
 def test_centrality_weighting_loss_parity(mats):
     ref = ref_losses.CentralityWeightingLoss()(
         torch.from_numpy(mats["sim"]), torch.from_numpy(mats["weights"]))
@@ -153,6 +154,7 @@ def test_neighbor_adjusting_loss_parity(mats, num_neighbors):
     np.testing.assert_allclose(float(ours), float(ref), atol=1e-5)
 
 
+@pytest.mark.smoke
 def test_uniform_regularization_loss_parity(mats):
     # call-site aliasing replicated: logit_scale receives --temperature (3.0)
     ref = ref_losses.UniformRegularizationLoss()(
@@ -169,6 +171,7 @@ def test_sinkhorn_targets_parity(mats):
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-6)
 
 
+@pytest.mark.smoke
 def test_kl_divergence_loss_parity(mats):
     ref = ref_losses.KLDivergenceLoss()(
         torch.from_numpy(mats["sim"]), torch.from_numpy(mats["other"]))
@@ -181,6 +184,7 @@ def test_kl_divergence_loss_parity(mats):
 # metrics parity (utils/metrics.py:38-145)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.smoke
 def test_compute_metrics_parity():
     rng = np.random.default_rng(3)
     sim = rng.normal(size=(64, 64)).astype(np.float32)
@@ -189,6 +193,7 @@ def test_compute_metrics_parity():
     assert ours == ref
 
 
+@pytest.mark.smoke
 def test_compute_metrics_parity_with_ties():
     # integer-valued scores force duplicated values; the reference's
     # where(sorted-diag==0) idiom can emit >1 rank per row — match exactly
@@ -525,6 +530,7 @@ def test_export_loads_into_reference_model(ref_model, batch):
 # training/optimizer.py:39-75 + trainer.py:104's outer global clip)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.smoke
 def test_bertadam_parity_vs_reference():
     """Drive the reference's own BertAdam and our bert_adam_update with
     identical params/grads for several steps and assert the trajectories
@@ -647,6 +653,7 @@ def test_optimizer_grouping_parity_whole_tree(ref_model, our_setup):
 # BPE tokenizer parity (models/tokenization_clip.py) — live, not recorded
 # ---------------------------------------------------------------------------
 
+@pytest.mark.smoke
 def test_tokenizer_parity_vs_reference_live():
     """Byte-exact tokenization against the reference's own SimpleTokenizer
     (tests/test_tokenizer.py pins recorded golden ids; this runs both

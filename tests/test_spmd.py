@@ -24,6 +24,7 @@ def cfg():
                   train=TrainConfig(batch_size=B, mb_batch=1))
 
 
+@pytest.mark.smoke
 def test_spmd_losses_match_single_device(cfg, rng):
     mesh = pmesh.make_mesh()
     params = model.init_params(jax.random.PRNGKey(0), cfg.model)
@@ -48,6 +49,7 @@ def test_spmd_losses_match_single_device(cfg, rng):
                                    rtol=2e-3, atol=1e-5)
 
 
+@pytest.mark.smoke
 def test_spmd_gradients_match_single_device(cfg, rng):
     mesh = pmesh.make_mesh()
     params = model.init_params(jax.random.PRNGKey(0), cfg.model)

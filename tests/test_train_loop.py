@@ -111,6 +111,7 @@ def test_preemption_sigterm_saves_resumable_state(tmp_path, datasets,
     assert int(resumed.step) == 2
 
 
+@pytest.mark.smoke
 def test_mid_epoch_resume_is_exact(tmp_path, datasets, monkeypatch):
     """A preempted-and-resumed run produces the SAME trajectory as an
     uninterrupted one: same remaining batches (fast-forwarded seeded plan),
