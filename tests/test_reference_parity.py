@@ -849,3 +849,264 @@ def test_training_trajectory_parity(ref_model, our_setup, batch):
     assert moved > 1e-4, "reference parameters never moved — test is vacuous"
     print(f"trajectory parity: {matched} leaves, ref moved {moved:.2e}, "
           f"worst leaf {worst[0]} max|diff|={worst[1]:.2e}")
+
+
+def test_epoch_protocol_parity(ref_model, our_setup, tmp_path):
+    """Golden EPOCH-PROTOCOL parity: both stacks run TWO FULL epochs through
+    their real orchestration — epoch-start bank fill from a second dataloader
+    pass → train epoch (mid-epoch eval at step 1 and every n_display·3) →
+    per-epoch eval → bank clear → best tracking — from identical weights and
+    an identical seeded batch plan.
+
+    Reference side: the ACTUAL MemoryBankManager.load_memory_bank /
+    train_epoch / eval_epoch / clear_memory_bank in main.py:266-374's order
+    (memory_bank.py:80-268, trainer.py:18-220, evaluator.py:66-292).
+    Our side: train.loop.run_training end-to-end (jsonl metrics as the
+    record).  Asserted: every per-step loss, every eval's R@K/MdR/MnR in
+    order (2 mid-epoch + 2 per-epoch), and the final parameters — across
+    the epoch boundary, bank refill and clear included."""
+    import dataclasses
+    import json as json_mod
+    import logging
+
+    from NeighborRetr.models import optimization as ref_optim
+    from NeighborRetr.training import evaluator as ref_evaluator
+    from NeighborRetr.training import trainer as ref_trainer
+    from NeighborRetr.utils import memory_bank as ref_mb_mod
+    from NeighborRetr.utils.metric_logger import MetricLogger as RefMeters
+
+    from neighborretr_tpu.core import checkpoint as ckpt_mod
+    from neighborretr_tpu.core.config import OptimizerConfig, TrainConfig
+    from neighborretr_tpu.models.weights_io import (
+        reference_state_dict_from_params)
+    from neighborretr_tpu.train.loop import run_training
+
+    cfg_m, params0 = our_setup
+    N_TRAIN, N_TEST, BS, BSV = 12, 8, 6, 4
+    EPOCHS, MBB, SEED = 2, 2, 123
+    lr, coef_lr, wd, warm = 1e-3, 0.1, 0.2, 0.1
+    t_total = EPOCHS * (N_TRAIN // BS)        # = run_training's t_total
+
+    # ---- shared fixed data (video pre-normalized float32, as in the other
+    # full-model parity tests; ids/hashes equal so the reference's
+    # inds-vs-hash split, trainer.py:75 vs memory_bank.py:139, is moot) ----
+    def make_item(i, test=False):
+        r = np.random.default_rng(9000 + i + (50000 if test else 0))
+        ids = r.integers(1, VOCAB - 1, size=(MW,)).astype(np.int64)
+        tm = np.zeros((MW,), np.float32)
+        n = int(r.integers(3, MW + 1))
+        tm[:n] = 1
+        ids[n - 1] = VOCAB - 1
+        ids[n:] = 0
+        video = r.normal(0.0, 1.0, size=(MF, RES, RES, 3)).astype(np.float32)
+        vm = np.ones((MF,), np.float32)
+        if not test and i == 0:
+            vm[MF - 1] = 0                    # one padded frame
+        return {"text_ids": ids, "text_mask": tm, "video": video,
+                "video_mask": vm}
+
+    train_items = [make_item(i) for i in range(N_TRAIN)]
+    test_items = [make_item(i, test=True) for i in range(N_TEST)]
+
+    class _Ds:
+        multi_sentence_per_video = False
+        cut_off_points: list = []
+
+        def __init__(self, items):
+            self.items = items
+
+        def __len__(self):
+            return len(self.items)
+
+        def item(self, i):
+            it = self.items[i]
+            return {"text_ids": it["text_ids"].astype(np.int32),
+                    "text_mask": it["text_mask"],
+                    "video": it["video"],
+                    "video_mask": it["video_mask"],
+                    "idx": np.int32(i),
+                    "video_hash": np.int64(i)}
+
+    class _RefDs(torch.utils.data.Dataset):
+        def __init__(self, items):
+            self.items = items
+
+        def __len__(self):
+            return len(self.items)
+
+        def __getitem__(self, i):
+            it = self.items[i]
+            return (torch.from_numpy(it["text_ids"]),
+                    torch.from_numpy(it["text_mask"]),
+                    torch.from_numpy(
+                        it["video"].transpose(0, 3, 1, 2)).contiguous(),
+                    torch.from_numpy(it["video_mask"]),
+                    torch.tensor(i), torch.tensor(i))
+
+    def plan(seed, epoch, n):
+        """data/loader.py::BatchLoader._order — the shared seeded plan."""
+        o = np.arange(n)
+        np.random.default_rng(seed + epoch).shuffle(o)
+        return o
+
+    # ---- reference side: real orchestration, main.py:287-374's order ----
+    logger = logging.getLogger("ref_epoch_parity")
+    logger.addHandler(logging.NullHandler())
+    logger.propagate = False
+    from types import SimpleNamespace
+    args = SimpleNamespace(
+        logger=logger, n_display=1, epochs=EPOCHS, detect_grad=False,
+        device=torch.device("cpu"), local_rank=0, save_model=False,
+        distributed=False, world_size=1, batch_size=BS, mb_batch=MBB)
+
+    ref_train_ds, ref_test_ds = _RefDs(train_items), _RefDs(test_items)
+    val_dl = torch.utils.data.DataLoader(ref_test_ds, batch_size=BSV,
+                                         shuffle=False)
+
+    saved = {k: v.clone() for k, v in ref_model.state_dict().items()}
+    ref_step_losses, ref_evals = [], []
+    orig_forward = ref_model.forward
+    real_rand = torch.rand
+    real_trainer_eval = ref_trainer.eval_epoch
+    try:
+        ref_model.float().train()
+
+        def rec_forward(*a, **k):
+            out = orig_forward(*a, **k)
+            if out is not None:                   # train mode only
+                ref_step_losses.append(float(out[0].detach()))
+            return out
+
+        ref_model.forward = rec_forward
+
+        def rec_eval(args_, model_, loader_, device_):
+            t2v, v2t = ref_evaluator.eval_epoch(args_, model_, loader_,
+                                                device_)
+            ref_evals.append((t2v, v2t))
+            return t2v, v2t
+
+        ref_trainer.eval_epoch = rec_eval
+
+        no_decay = ["bias", "LayerNorm.bias", "LayerNorm.weight"]
+        named = list(ref_model.named_parameters())
+        dec = [(n, p) for n, p in named
+               if not any(nd in n for nd in no_decay)]
+        nod = [(n, p) for n, p in named if any(nd in n for nd in no_decay)]
+        groups = [
+            {"params": [p for n, p in dec if "clip." in n],
+             "weight_decay": wd, "lr": lr * coef_lr},
+            {"params": [p for n, p in dec if "clip." not in n],
+             "weight_decay": wd},
+            {"params": [p for n, p in nod if "clip." in n],
+             "weight_decay": 0.0, "lr": lr * coef_lr},
+            {"params": [p for n, p in nod if "clip." not in n],
+             "weight_decay": 0.0},
+        ]
+        opt = ref_optim.BertAdam(
+            groups, lr=lr, warmup=warm, schedule="warmup_cosine", b1=0.9,
+            b2=0.98, e=1e-6, t_total=t_total, weight_decay=wd,
+            max_grad_norm=1.0)
+        # torch>=2.0 zero_grad defaults to set_to_none=True, which makes the
+        # reference's get_lr() (skips p.grad is None, optimization.py:127)
+        # return [] and crash trainer.py:156 — pin the historical zeroing
+        # behavior the reference was written against
+        import functools as _ft
+        opt.zero_grad = _ft.partial(torch.optim.Optimizer.zero_grad, opt,
+                                    set_to_none=False)
+
+        torch.rand = lambda *a, **k: torch.zeros(*a, **k)  # DPC noise off
+        mbm = ref_mb_mod.MemoryBankManager(args)
+        meters = RefMeters(delimiter="  ")
+        global_step = 0
+        for epoch in range(EPOCHS):
+            bank_dl = torch.utils.data.DataLoader(
+                ref_train_ds, batch_size=BS,
+                sampler=[int(x) for x in plan(SEED + 7919, epoch, N_TRAIN)],
+                drop_last=True)
+            mbm.load_memory_bank(ref_model, bank_dl, args.device, epoch)
+            train_dl = torch.utils.data.DataLoader(
+                ref_train_ds, batch_size=BS,
+                sampler=[int(x) for x in plan(SEED, epoch, N_TRAIN)],
+                drop_last=True)
+            _, global_step, _, _ = ref_trainer.train_epoch(
+                epoch, args, ref_model, train_dl, args.device, 1, opt, None,
+                global_step, t_total, val_dl, meters)
+            rec_eval(args, ref_model, val_dl, args.device)   # main.py:333
+            mbm.clear_memory_bank(ref_model)                 # main.py:368
+        ref_final = {k: v.detach().clone()
+                     for k, v in ref_model.state_dict().items()}
+    finally:
+        torch.rand = real_rand
+        ref_model.forward = orig_forward
+        ref_trainer.eval_epoch = real_trainer_eval
+        ref_model.load_state_dict(saved)
+        ref_model.eval()
+
+    assert len(ref_step_losses) == t_total
+    assert len(ref_evals) == 4          # mid at step 1 & 3 + 2 per-epoch
+    assert np.isfinite(ref_step_losses).all(), ref_step_losses
+
+    # ---- our side: run_training end-to-end ----
+    init_path = str(tmp_path / "init.npz")
+    ckpt_mod.save_params(init_path, jax.device_get(params0))
+    out_dir = str(tmp_path / "run")
+    cfg = Config(
+        model=dataclasses.replace(cfg_m, cluster_noise=False),
+        loss=LossConfig(num_neighbors=3),
+        optim=OptimizerConfig(lr=lr, coef_lr=coef_lr, weight_decay=wd,
+                              warmup_proportion=warm),
+        train=TrainConfig(epochs=EPOCHS, batch_size=BS, batch_size_val=BSV,
+                          mb_batch=MBB, seed=SEED, n_display=1,
+                          output_dir=out_dir, init_checkpoint=init_path,
+                          save_checkpoints=False, save_on_preempt=False,
+                          mid_epoch_eval=True))
+    our_logger = logging.getLogger("our_epoch_parity")
+    our_logger.addHandler(logging.NullHandler())
+    our_logger.propagate = False
+    state, _tracker = run_training(cfg, _Ds(train_items), _Ds(test_items),
+                                   logger=our_logger)
+
+    with open(os.path.join(out_dir, "metrics.jsonl")) as f:
+        rows = [json_mod.loads(line) for line in f]
+    our_losses = [r["loss"] for r in rows if r["kind"] == "train"]
+    our_evals = [(r["t2v"], r["v2t"]) for r in rows if r["kind"] == "eval"]
+
+    # 1. per-step losses across both epochs (bank refill between them)
+    assert len(our_losses) == t_total
+    assert np.isfinite(our_losses).all(), our_losses
+    np.testing.assert_allclose(our_losses, ref_step_losses, atol=5e-3)
+
+    # 2. every eval's metrics, in orchestration order
+    assert len(our_evals) == 4
+    for i, ((our_t2v, our_v2t), (ref_t2v, ref_v2t)) in enumerate(
+            zip(our_evals, ref_evals)):
+        for k in ("R1", "R5", "R10", "R50", "MR", "MeanR"):
+            assert our_t2v[k] == pytest.approx(ref_t2v[k], abs=1e-4), \
+                f"eval {i} t2v {k}"
+            assert our_v2t[k] == pytest.approx(ref_v2t[k], abs=1e-4), \
+                f"eval {i} v2t {k}"
+
+    # 3. final parameters across the epoch boundary
+    exported = reference_state_dict_from_params(
+        jax.device_get(state.params), cfg_m)
+    worst, matched, moved = ("", 0.0), 0, 0.0
+    for name, ours in exported.items():
+        if name not in ref_final or name.startswith("mb_"):
+            continue
+        matched += 1
+        ours = np.asarray(ours, np.float32)
+        ref_np = ref_final[name].float().numpy()
+        if name in saved:
+            moved = max(moved, float(np.max(np.abs(
+                ref_np - saved[name].float().numpy()))))
+        diff = float(np.max(np.abs(ours - ref_np)))
+        if diff > worst[1]:
+            worst = (name, diff)
+        np.testing.assert_allclose(
+            ours, ref_np, atol=2e-4,
+            err_msg=f"{name} after {EPOCHS} epochs")
+    assert matched > 100, f"only {matched} leaves compared"
+    assert moved > 1e-4, "reference parameters never moved — vacuous test"
+    print(f"epoch-protocol parity: {t_total} steps, 4 evals, {matched} "
+          f"leaves, ref moved {moved:.2e}, worst leaf {worst[0]} "
+          f"max|diff|={worst[1]:.2e}")
