@@ -1,0 +1,162 @@
+"""From-files flagship throughput: real mp4s → cv2 decode → augment → H2D →
+train step, end-to-end through cli/train.py on the default (TPU) backend.
+
+Answers the question the synthetic bench (bench.py) cannot: does the HOST
+pipeline sustain the chip?  The reference's training input path IS its
+DataLoader workers (data_dataloaders.py:36-47), so the honest flagship
+number must include decode + augmentation + upload.
+
+Generates N real encoded clips (320x240, 72 frames @ 6 fps → 12 s, so the
+1-fps sampler draws the full 12 frames like production data) + MSR-VTT-format
+annotations, then drives cli/train.py at the flagship config and reports:
+
+  * median step interval (pairs/s) from metrics.jsonl (n_display=1 rows;
+    the median is robust to the mid-epoch-eval-adjacent intervals),
+  * median data_wait_s — host time the step loop spent blocked on the
+    loader (0 ≈ the pipeline keeps up; ≈interval ≈ fully loader-bound),
+  * the synthetic-bench ratio.
+
+Usage: python scripts/files_throughput_drive.py [--n_videos 576]
+           [--batch 96] [--workers N] [--augment POLICY|''] [--keep]
+"""
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+
+def write_clip(path, seed, n_frames=72, fps=6, w=320, h=240):
+    import cv2
+    writer = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps, (w, h))
+    assert writer.isOpened(), "cv2 VideoWriter mp4v unavailable"
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+    for i in range(n_frames):
+        writer.write(np.clip(base.astype(np.int32) + i * 2, 0, 255)
+                     .astype(np.uint8))
+    writer.release()
+
+
+def build_tree(root, n_train, n_test):
+    import csv
+    videos = os.path.join(root, "videos")
+    anno = os.path.join(root, "anns")
+    stamp = os.path.join(root, f".done_{n_train}_{n_test}")
+    if os.path.exists(stamp):
+        return anno, videos
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(videos), os.makedirs(anno)
+    words = ["dog", "car", "chef", "song", "game", "city", "river", "dance"]
+    sentences = []
+    tic = time.time()
+    for i in range(n_train + n_test):
+        vid = f"video{i}"
+        write_clip(os.path.join(videos, vid + ".mp4"), seed=i)
+        sentences.append({"video_id": vid,
+                          "caption": f"a {words[i % 8]} clip number {i}"})
+        if i and i % 100 == 0:
+            print(f"# generated {i} clips in {time.time() - tic:.0f}s",
+                  flush=True)
+    with open(os.path.join(anno, "MSRVTT_train.9k.csv"), "w",
+              newline="") as f:
+        wr = csv.writer(f)
+        wr.writerow(["video_id"])
+        for i in range(n_train):
+            wr.writerow([f"video{i}"])
+    json.dump({"sentences": sentences},
+              open(os.path.join(anno, "MSRVTT_data.json"), "w"))
+    with open(os.path.join(anno, "MSRVTT_JSFUSION_test.csv"), "w",
+              newline="") as f:
+        wr = csv.writer(f)
+        wr.writerow(["key", "vid_key", "video_id", "sentence"])
+        for i in range(n_train, n_train + n_test):
+            wr.writerow([f"k{i}", f"vk{i}", f"video{i}",
+                         f"a {words[i % 8]} clip number {i}"])
+    open(stamp, "w").close()
+    print(f"# tree built in {time.time() - tic:.0f}s", flush=True)
+    return anno, videos
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n_videos", type=int, default=576)
+    ap.add_argument("--n_test", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=96)
+    ap.add_argument("--workers", type=int, default=os.cpu_count() or 8)
+    ap.add_argument("--worker_mode", default="thread",
+                    choices=["thread", "process"])
+    ap.add_argument("--augment", default="rand-m7-n4-mstd0.5-inc1")
+    ap.add_argument("--augment_backend", default="auto")
+    ap.add_argument("--root", default="/tmp/nrtpu_files_drive")
+    ap.add_argument("--out", default="/tmp/nrtpu_files_drive/run")
+    ap.add_argument("--synthetic_ref", type=float, default=347.1,
+                    help="synthetic bench pairs/s for the ratio line")
+    args = ap.parse_args()
+
+    anno, videos = build_tree(args.root, args.n_videos, args.n_test)
+    shutil.rmtree(args.out, ignore_errors=True)
+
+    cmd = [sys.executable, "cli/train.py", "--datatype", "msrvtt",
+           "--anno_path", anno, "--video_path", videos,
+           "--clip_checkpoint", "random",
+           "--unroll_layers",    # the bench memory profile: no remat +
+           # unrolled layers + fused attention fits batch 96 in HBM
+           # (bench.py:89-99); the scanned-layer default OOMs there
+           "--epochs", "1", "--batch_size", str(args.batch),
+           "--batch_size_val", str(args.n_test),
+           "--mb_batch", "1", "--n_display", "1",
+           "--workers", str(args.workers),
+           "--worker_mode", args.worker_mode,
+           "--augment", args.augment,
+           "--augment_backend", args.augment_backend,
+           "--output_dir", args.out]
+    print("#", " ".join(cmd), flush=True)
+    tic = time.time()
+    r = subprocess.run(cmd, cwd=REPO)
+    assert r.returncode == 0, f"train CLI failed rc={r.returncode}"
+    wall = time.time() - tic
+
+    rows = [json.loads(line)
+            for line in open(os.path.join(args.out, "metrics.jsonl"))]
+    train = [r for r in rows if r["kind"] == "train"]
+    steps = len(train)
+    ivals = np.diff([r["time"] for r in train])
+    med = float(np.median(ivals))
+    waits = [r["data_wait_s"] for r in train[1:]]
+    med_wait = float(np.median(waits))
+    pairs = args.batch / med
+    # NOTE on data_wait under single-core starvation: the loader's producer
+    # thread holds the core between next() calls, so the main thread's stall
+    # surfaces inside the metrics device_get rather than in next() — the
+    # per-clip host cost (step interval / batch, when the chip step is ~0.3 s)
+    # is the honest loader-bound signal, not data_wait alone.
+    clip_ms = med / args.batch * 1000
+    print(json.dumps({
+        "metric": ("from-files train pairs/s (real mp4 decode + augment + "
+                   "H2D + step)"),
+        "pairs_per_sec": round(pairs, 2),
+        "median_step_s": round(med, 3),
+        "median_data_wait_s": round(med_wait, 3),
+        "host_ms_per_clip_per_core": round(clip_ms * (os.cpu_count() or 1), 1),
+        "cores_to_sustain_synthetic": round(
+            args.synthetic_ref * clip_ms * (os.cpu_count() or 1) / 1000, 1),
+        "steps_measured": steps,
+        "workers": args.workers,
+        "augment": args.augment or "off",
+        "host_cores": os.cpu_count(),
+        "vs_synthetic": round(pairs / args.synthetic_ref, 3),
+        "wall_s": round(wall, 1),
+    }, indent=None), flush=True)
+
+
+if __name__ == "__main__":
+    main()
