@@ -73,6 +73,9 @@ def parse_args():
                         "processes (scales Python-level augment cost on "
                         "many-core hosts)")
     p.add_argument("--n_display", type=int, default=50)
+    p.add_argument("--mid_epoch_eval", type=int, default=1, choices=[0, 1],
+                   help="validate every n_display*3 steps mid-epoch "
+                        "(trainer.py:169); 0 = per-epoch eval only")
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--remat", action="store_true")
     p.add_argument("--remat_policy", default="full",
@@ -230,6 +233,7 @@ def main():
                           micro_batches=args.micro_batches,
                           pipeline_parallel=args.pipeline_parallel,
                           pipeline_microbatches=args.pipeline_microbatches,
+                          mid_epoch_eval=bool(args.mid_epoch_eval),
                           fsdp=args.fsdp),
     )
 

@@ -40,6 +40,8 @@ def main():
 
     mcfg = dataclasses.replace(ModelConfig(), max_words=64, max_frames=64,
                                remat=REMAT, unroll_layers=not REMAT,
+                               remat_policy=os.environ.get(
+                                   "BENCH_REMAT_POLICY", "full"),
                                video_chunk_frames=CHUNK)
     cfg = Config(model=mcfg, loss=LossConfig(),
                  train=TrainConfig(batch_size=BATCH, mb_batch=MB_BATCH))

@@ -86,17 +86,21 @@ def main():
     server.server_close()
 
     # --- many concurrent SINGLE-query clients: lock-serialized vs dynamic
-    # batching (the production small-request pattern) ---
-    def run_concurrent(dispatcher, tag):
+    # batching across the batch-window sweep — an SLO needs TAILS, so each
+    # request's end-to-end latency is recorded and p50/p95/p99 reported ---
+    def run_concurrent(dispatcher, tag, reps=3):
         server = make_server(searcher, "127.0.0.1", 0, default_topk=5,
                              dispatcher=dispatcher)
         host, port = server.server_address
         threading.Thread(target=server.serve_forever, daemon=True).start()
 
         failures = []
+        lat_ms = []
+        lat_lock = threading.Lock()
 
-        def one(i):
+        def one(i, record=True):
             try:
+                t0 = time.perf_counter()
                 conn = http.client.HTTPConnection(host, port, timeout=300)
                 conn.request("POST", "/search",
                              json.dumps({"queries": [queries[i % Q]],
@@ -106,33 +110,41 @@ def main():
                 resp.read()
                 conn.close()
                 assert resp.status == 200
+                if record:
+                    with lat_lock:
+                        lat_ms.append((time.perf_counter() - t0) * 1e3)
             except Exception as exc:  # count, don't silently shorten the run
                 failures.append(f"{type(exc).__name__}: {exc}")
 
-        one(0)                                    # warm
+        one(0, record=False)                      # warm
         n_clients = Q
         tic = time.perf_counter()
-        threads = [threading.Thread(target=one, args=(i,))
-                   for i in range(n_clients)]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        dt = time.perf_counter() - tic
+        for _ in range(reps):                     # reps×Q samples for p99
+            threads = [threading.Thread(target=one, args=(i,))
+                       for i in range(n_clients)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+        dt = (time.perf_counter() - tic) / reps
         extra = (f"; {dispatcher.batches} device calls for "
                  f"{dispatcher.requests} requests" if dispatcher else "")
         fail = f"; {len(failures)} FAILED ({failures[0]})" if failures else ""
-        print(f"{tag}: {n_clients} concurrent 1-query requests in "
-              f"{dt * 1e3:.1f} ms ({n_clients / dt:.0f} queries/s{extra}"
-              f"{fail})", flush=True)
+        p50, p95, p99 = np.percentile(lat_ms, [50, 95, 99])
+        print(f"{tag}: {n_clients} concurrent 1-query clients  "
+              f"{n_clients / dt:6.0f} q/s  p50 {p50:6.1f}  p95 {p95:6.1f}  "
+              f"p99 {p99:6.1f} ms{extra}{fail}", flush=True)
         server.shutdown()
         server.server_close()
         if dispatcher is not None:
             dispatcher.close()
+        return n_clients / dt, p50, p95, p99
 
-    run_concurrent(None, "lock-serialized       ")
-    run_concurrent(serving.BatchingDispatcher(searcher, max_wait_ms=2.0),
-                   "dynamic batching (2ms)")
+    run_concurrent(None, "lock-serialized ")
+    for window in (0.0, 1.0, 2.0, 5.0, 10.0):
+        run_concurrent(
+            serving.BatchingDispatcher(searcher, max_wait_ms=window),
+            f"batch window {window:4.1f}ms")
 
 
 if __name__ == "__main__":
