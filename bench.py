@@ -187,8 +187,9 @@ def main():
         flops = float((cost or {}).get("flops", 0.0))
         if flops > 0:
             mfu = flops * MEASURE_STEPS / elapsed / 197e12
-            print(f"# est MFU {100 * mfu:.1f}% (XLA cost model, "
-                  f"{flops / 1e12:.2f} TFLOP/step vs 197 TFLOPs bf16 peak)",
+            print(f"# est MFU {100 * mfu:.1f}% (XLA cost model — a FLOOR: "
+                  f"Pallas custom-call FLOPs are invisible to it; analytic "
+                  f"step MFU is ~56% — scripts/roofline.py, PARITY.md)",
                   file=sys.stderr)
     except Exception:
         pass

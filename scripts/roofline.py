@@ -1,19 +1,26 @@
 """One-table step roofline for the flagship config (VERDICT r2 item 5).
 
 Measures every phase of the batch-96 training step on the real chip —
-vision tower (attn/MLP split), text tower, temporal transformer, loss side
-(local similarity vs CTM+global+uniform/KL/neighbor split), BertAdam — each
-as a jitted scalar-reducing probe (tunnel measurement rules: see
-scripts/ablate.py header), alongside each phase's XLA-cost-model FLOPs and
-its FLOP-bound time at the v5e bf16 peak (197 TFLOP/s).  Prints the table
-PARITY.md's "Step roofline" section records, plus the phase sum vs the
-measured full step (residual = scheduling/fusion overlap the per-phase
-probes cannot see).
+vision tower (attn/MLP split by ablation), text tower, temporal
+transformer, loss side (B×B sim / bank / CTM split), BertAdam — each as a
+jitted scalar-reducing probe (tunnel measurement rules: scripts/ablate.py
+header), against each phase's ANALYTIC matmul FLOPs at the v5e bf16 peak
+(197 TFLOP/s).
+
+Why analytic, not XLA cost_analysis: (a) Pallas custom calls are invisible
+to the cost model — any probe containing the fused attention or bank
+kernels under-reports (measured: the "video f+b no-mlp" probe shows
+0.27 TF for a program whose attention algebra alone is ~10 TF); (b) even
+for pure-XLA programs the cost model reports backward below the algebraic
+dW+dx = 2×fwd (measured 2.0× fwd for the in-tower MLP f+b vs the
+algebraic 3×).  Analytic FLOPs use the standard 2·M·N·K per matmul and
+f+b = 3×fwd (dW + dx each 2MNK), which makes the bounds conservative and
+self-consistent; elementwise/softmax/LN FLOPs are excluded (they are why
+a ratio of 1.0 is unreachable for VPU-heavy phases).
 
 Usage: python scripts/roofline.py  (BENCH_BATCH=96 default)
 """
 import dataclasses
-import functools
 import os
 import sys
 import time
@@ -41,30 +48,22 @@ MB_BATCH = int(os.environ.get("BENCH_MB", "4"))
 N_ITER = 16
 PEAK = 197e12
 
-rows = []
+table = []
 
 
-def timeit(name, jitted, *args, flops=None):
+def timeit(name, jitted, *args, flops=0.0, note=""):
     out = jitted(*args)
-    _ = float(out)
+    _ = float(out) if hasattr(out, "dtype") else None
     tic = time.perf_counter()
     for _ in range(N_ITER):
         out = jitted(*args)
-    _ = float(out)
+    _ = float(out) if hasattr(out, "dtype") else None
     ms = (time.perf_counter() - tic) / N_ITER * 1000
-    if flops is None:
-        try:
-            cost = jitted.lower(*args).compile().cost_analysis()
-            if isinstance(cost, (list, tuple)):
-                cost = cost[0] if cost else {}
-            flops = float((cost or {}).get("flops", 0.0))
-        except Exception:
-            flops = 0.0
     bound = flops / PEAK * 1000
-    rows.append((name, ms, flops, bound))
-    ratio = f"{ms / bound:5.2f}x" if bound > 0 else "    —"
-    print(f"{name:34s} {ms:8.2f} ms  {flops / 1e12:7.2f} TF "
-          f"bound {bound:7.2f} ms  {ratio}", flush=True)
+    ratio = f"{ms / bound:5.2f}x" if bound > 0 else "     —"
+    table.append((name, ms, flops, bound, note))
+    print(f"{name:36s} {ms:8.2f} ms  {flops / 1e12:6.2f} TF  "
+          f"bound {bound:7.2f} ms  {ratio}  {note}", flush=True)
     return ms
 
 
@@ -74,10 +73,45 @@ def main():
                  train=TrainConfig(batch_size=BATCH, mb_batch=MB_BATCH))
     W, F, R = mcfg.max_words, mcfg.max_frames, mcfg.clip.image_resolution
     E = mcfg.clip.embed_dim
+    c = mcfg.clip
+    M_BANK = cfg.train.memory_bank_capacity
+
+    # ---- analytic matmul FLOPs (fwd; callers scale by 3 for f+b) ----
+    NF = BATCH * F                                   # frames
+    Lv = (R // c.vision_patch_size) ** 2 + 1         # vision tokens/frame
+    Dv, Hv = c.vision_width, c.vision_width // 64
+    Mv = NF * Lv
+    vis_attn_fwd = c.vision_layers * (
+        2 * Mv * Dv * 3 * Dv                         # qkv
+        + 2 * (2 * NF * Hv * Lv * Lv * 64)           # QK^T + PV
+        + 2 * Mv * Dv * Dv)                          # out proj
+    vis_mlp_fwd = c.vision_layers * 2 * (2 * Mv * Dv * 4 * Dv)
+    stem_fwd = 2 * NF * (Lv - 1) * (c.vision_patch_size ** 2 * 3) * Dv
+    vis_proj_fwd = 2 * NF * Dv * E                   # CLS @ proj
+
+    Mt = BATCH * W
+    Dt, Ht = c.transformer_width, c.transformer_heads
+    txt_fwd = c.transformer_layers * (
+        2 * Mt * Dt * 3 * Dt + 2 * (2 * BATCH * Ht * W * W * 64)
+        + 2 * Mt * Dt * Dt + 2 * (2 * Mt * Dt * 4 * Dt)) \
+        + 2 * Mt * Dt * E                            # per-token projection
+    tmp_fwd = mcfg.temporal_layers * (
+        2 * BATCH * F * E * 3 * E + 2 * (2 * BATCH * 8 * F * F * 64)
+        + 2 * BATCH * F * E * E + 2 * (2 * BATCH * F * E * 4 * E))
+
+    # loss side: B×B token-interaction (both einsum orders in fwd) + bank
+    # matrices + CTM cross-attn (small) — matmul terms only
+    sim_bb_fwd = 2 * (2 * BATCH * BATCH * W * F * E)
+    sim_bank_fwd = 2 * (2 * BATCH * M_BANK * W * F * E)
+    ctm_fwd = 2 * (2 * BATCH * W * W * E + 2 * BATCH * F * F * E)  # rough
+
+    step_analytic = 3 * (vis_attn_fwd + vis_mlp_fwd + txt_fwd + tmp_fwd
+                         + sim_bb_fwd + sim_bank_fwd + ctm_fwd) \
+        + stem_fwd + 3 * vis_proj_fwd               # stem frozen: fwd only
+
     rng = np.random.default_rng(0)
-    ids = rng.integers(1, mcfg.clip.vocab_size - 1,
-                       size=(BATCH, W)).astype(np.int32)
-    ids[:, -1] = mcfg.clip.vocab_size - 1
+    ids = rng.integers(1, c.vocab_size - 1, size=(BATCH, W)).astype(np.int32)
+    ids[:, -1] = c.vocab_size - 1
     batch = {
         "text_ids": jnp.asarray(ids),
         "text_mask": jnp.ones((BATCH, W), jnp.float32),
@@ -87,20 +121,20 @@ def main():
         "idx": jnp.arange(BATCH, dtype=jnp.int32),
     }
     params = model.init_params(jax.random.PRNGKey(0), mcfg)
-    bank = mb.create(cfg.train.memory_bank_capacity, W, F, E)
+    bank = mb.create(M_BANK, W, F, E)
     for i in range(MB_BATCH):
         bank = fill_bank_step(params, bank, batch, cfg, i * BATCH)
-    t_feat, v_feat = jax.jit(
-        lambda p: model.get_text_video_feat(
-            p, mcfg, batch["text_ids"], batch["text_mask"], batch["video"],
-            batch["video_mask"]), static_argnums=())(params)
+    t_feat, v_feat = jax.jit(lambda p: model.get_text_video_feat(
+        p, mcfg, batch["text_ids"], batch["text_mask"], batch["video"],
+        batch["video_mask"]))(params)
     t_feat = jax.block_until_ready(t_feat)
     key = jax.random.PRNGKey(1)
+    tm, vm = batch["text_mask"], batch["video_mask"]
 
-    print(f"device: {jax.devices()[0]}  batch {BATCH}  bank "
-          f"{cfg.train.memory_bank_capacity}", flush=True)
+    print(f"device: {jax.devices()[0]}  batch {BATCH}  bank {M_BANK}",
+          flush=True)
 
-    # ---- full step (the number everything must sum to) ----
+    # ---- full step ----
     state = create_train_state(params, bank)
 
     @jax.jit
@@ -108,29 +142,30 @@ def main():
         state, metrics = train_step(state, batch, key, cfg, 1000)
         return state, metrics["loss"]
 
-    state, out = full_step(state)          # warm/compile
+    state, out = full_step(state)
     _ = float(out)
     tic = time.perf_counter()
     for _ in range(N_ITER):
         state, out = full_step(state)
     _ = float(out)
     step_ms = (time.perf_counter() - tic) / N_ITER * 1000
-    cost = full_step.lower(state).compile().cost_analysis()
-    if isinstance(cost, (list, tuple)):
-        cost = cost[0] if cost else {}
-    step_flops = float((cost or {}).get("flops", 0.0))
-    print(f"{'FULL train step':34s} {step_ms:8.2f} ms  "
-          f"{step_flops / 1e12:7.2f} TF bound {step_flops / PEAK * 1e3:7.2f} "
-          f"ms  {step_ms / (step_flops / PEAK * 1e3):5.2f}x", flush=True)
-    print(f"pairs/s = {BATCH / step_ms * 1000:.1f}", flush=True)
+    bound = step_analytic / PEAK * 1000
+    print(f"{'FULL train step':36s} {step_ms:8.2f} ms  "
+          f"{step_analytic / 1e12:6.2f} TF  bound {bound:7.2f} ms  "
+          f"{step_ms / bound:5.2f}x  ({BATCH / step_ms * 1000:.1f} pairs/s)",
+          flush=True)
 
     # ---- towers ----
-    def vfb(c):
+    def vfb(cc):
         def loss(p):
             return jnp.sum(jnp.square(model.get_video_feat(
-                p, c, batch["video"], batch["video_mask"])))
-        return jax.jit(lambda p: jnp.sum(jax.grad(loss)(
-            p)["clip"]["visual"]["class_embedding"]))
+                p, cc, batch["video"], batch["video_mask"])))
+        # reduce over EVERY grad leaf: returning one leaf lets XLA
+        # dead-code-eliminate all other dW matmuls (measured: the probe
+        # then runs at 2x fwd instead of the algebraic 3x)
+        return jax.jit(lambda p: sum(jnp.sum(jnp.square(g))
+                                     for g in jax.tree.leaves(
+                                         jax.grad(loss)(p))))
 
     orig_block = L.block_apply
 
@@ -160,95 +195,94 @@ def main():
         return x + L.mha(p["attn"], h, n_head, attn_bias, dtype,
                          fused=bool(fused_attention))
 
-    full_ms = timeit("video tower f+b", vfb(mcfg), params)
+    full_ms = timeit("video tower f+b", vfb(mcfg), params,
+                     flops=3 * (vis_attn_fwd + vis_mlp_fwd + vis_proj_fwd)
+                     + stem_fwd)
     L.block_apply = block_no_attn
-    noattn_ms = timeit("video f+b no-attn", vfb(mcfg), params)
+    noattn_ms = timeit("video f+b no-attn", vfb(mcfg), params,
+                       flops=3 * (vis_mlp_fwd + vis_proj_fwd) + stem_fwd)
     L.block_apply = block_no_mlp
-    nomlp_ms = timeit("video f+b no-mlp", vfb(mcfg), params)
+    nomlp_ms = timeit("video f+b no-mlp", vfb(mcfg), params,
+                      flops=3 * (vis_attn_fwd + vis_proj_fwd) + stem_fwd)
     L.block_apply = orig_block
-    print(f"{'  -> attn sublayers (full-noattn)':34s} "
-          f"{full_ms - noattn_ms:8.2f} ms", flush=True)
-    print(f"{'  -> MLP sublayers (full-nomlp)':34s} "
-          f"{full_ms - nomlp_ms:8.2f} ms", flush=True)
+    attn_ms, attn_fl = full_ms - noattn_ms, 3 * vis_attn_fwd
+    mlp_ms, mlp_fl = full_ms - nomlp_ms, 3 * vis_mlp_fwd
+    for nm, msv, fl in (("  -> attn sublayers (full-noattn)", attn_ms, attn_fl),
+                        ("  -> MLP sublayers (full-nomlp)", mlp_ms, mlp_fl)):
+        b = fl / PEAK * 1000
+        table.append((nm, msv, fl, b, ""))
+        print(f"{nm:36s} {msv:8.2f} ms  {fl / 1e12:6.2f} TF  "
+              f"bound {b:7.2f} ms  {msv / b:5.2f}x", flush=True)
 
     def tfb():
         def loss(p):
             return jnp.sum(jnp.square(model.get_text_feat(
                 p, mcfg, batch["text_ids"], batch["text_mask"])))
-        return jax.jit(lambda p: jnp.sum(
-            jax.grad(loss)(p)["clip"]["text"]["token_embedding"]))
+        return jax.jit(lambda p: sum(jnp.sum(jnp.square(g))
+                                     for g in jax.tree.leaves(
+                                         jax.grad(loss)(p))))
 
-    timeit("text tower f+b", tfb(), params)
+    timeit("text tower f+b", tfb(), params, flops=3 * txt_fwd)
 
-    # ---- temporal transformer alone (frame feats -> aggregated) ----
+    # ---- temporal transformer alone ----
     from neighborretr_tpu.models.temporal import aggregate_video_features
     frame_feat = jnp.asarray(rng.normal(0, 0.3, (BATCH, F, E)), jnp.float32)
 
     def tempfb():
-        def loss(p):
+        def loss(pt):
             return jnp.sum(jnp.square(aggregate_video_features(
-                p, mcfg, frame_feat, batch["video_mask"])))
-        return jax.jit(lambda p: jnp.sum(jax.tree.leaves(
-            jax.grad(loss)(p))[0]))
+                pt, mcfg, frame_feat, batch["video_mask"])))
+        return jax.jit(lambda pt: sum(jnp.sum(jnp.square(g))
+                                      for g in jax.tree.leaves(
+                                          jax.grad(loss)(pt))))
 
-    timeit("temporal tfm f+b", tempfb(), params)
+    timeit("temporal tfm f+b", tempfb(), params["temporal"],
+           flops=3 * tmp_fwd)
 
-    # ---- loss side: everything downstream of the encoders ----
-    tm = batch["text_mask"]
-    vm = batch["video_mask"]
-
-    def loss_side(p, tf_, vf_):
-        c2 = dataclasses.replace(cfg)
-        total, _ = compute_losses_from_feats(p, c2, tf_, vf_)
-        return total
-
-    def compute_losses_from_feats(p, c2, tf_, vf_):
-        # compute_losses minus the encoders: patch get_text_video_feat
-        real = model.get_text_video_feat
-        model.get_text_video_feat = lambda *a, **k: (tf_, vf_)
-        try:
-            return compute_losses(p, c2, batch, bank, key)
-        finally:
-            model.get_text_video_feat = real
-
+    # ---- loss side (everything downstream of the encoders) ----
     def lossfb():
+        real = model.get_text_video_feat
+
         def loss(p, tf_, vf_):
-            return loss_side(p, tf_, vf_)[0] if isinstance(
-                loss_side(p, tf_, vf_), tuple) else loss_side(p, tf_, vf_)
-        return jax.jit(lambda p, tf_, vf_: jnp.sum(
-            jax.grad(loss, argnums=1)(p, tf_, vf_)))
+            model.get_text_video_feat = lambda *a, **k: (tf_, vf_)
+            try:
+                total, _ = compute_losses(p, cfg, batch, bank, key)
+            finally:
+                model.get_text_video_feat = real
+            return total
+        return jax.jit(lambda p, tf_, vf_: sum(
+            jnp.sum(jnp.square(g)) for g in jax.tree.leaves(
+                jax.grad(loss, argnums=(0, 1, 2))(p, tf_, vf_))))
 
     timeit("loss side f+b (sim+CTM+4 losses)", lossfb(), params, t_feat,
-           v_feat)
+           v_feat, flops=3 * (sim_bb_fwd + sim_bank_fwd + ctm_fwd))
 
-    # local similarity alone (the in-batch B x B matrix, f+b)
     def simfb():
         def loss(tf_):
             s = model.local_similarity(params, tf_, v_feat, tm, vm, False)
             return jnp.sum(jnp.square(s))
         return jax.jit(lambda tf_: jnp.sum(jax.grad(loss)(tf_)))
 
-    timeit("  local sim BxB f+b", simfb(), t_feat)
+    timeit("  local sim BxB f+b", simfb(), t_feat, flops=3 * sim_bb_fwd)
 
-    # bank matrices / neighbor reduction (fused kernel) f+b
     use_pallas = model.resolve_use_pallas(mcfg)
 
     def bankfb():
         def loss(tf_):
             if use_pallas and model.bank_fusion_supported(mcfg):
-                c = model.bank_centrality(params, tf_, bank.feat_v, tm,
+                s = model.bank_centrality(params, tf_, bank.feat_v, tm,
                                           bank.mask_v, axis=1,
                                           sim_dtype=mcfg.sim_dtype)
             else:
-                c = model.local_similarity(params, tf_, bank.feat_v, tm,
+                s = model.local_similarity(params, tf_, bank.feat_v, tm,
                                            bank.mask_v, use_pallas,
                                            sim_dtype=mcfg.sim_dtype)
-            return jnp.sum(jnp.square(c))
+            return jnp.sum(jnp.square(s))
         return jax.jit(lambda tf_: jnp.sum(jax.grad(loss)(tf_)))
 
-    timeit("  bank sim/centrality f+b", bankfb(), t_feat)
+    timeit("  bank sim/centrality f+b", bankfb(), t_feat,
+           flops=3 * sim_bank_fwd / 2)   # one direction of the two
 
-    # CTM merge + global level f+b
     def ctmfb():
         def loss(tf_):
             g_t, g_v = model.merge_global_features(params, mcfg, tf_, v_feat,
@@ -256,9 +290,9 @@ def main():
             return jnp.sum(jnp.square(model.global_level(params, g_t, g_v)))
         return jax.jit(lambda tf_: jnp.sum(jax.grad(loss)(tf_)))
 
-    timeit("  CTM merge + global f+b", ctmfb(), t_feat)
+    timeit("  CTM merge + global f+b", ctmfb(), t_feat, flops=3 * ctm_fwd)
 
-    # ---- BertAdam ----
+    # ---- BertAdam (memory-bound: bound column is meaningless) ----
     grads = jax.tree.map(lambda p: jnp.full_like(p, 1e-4), params)
     opt = bertadam.bert_adam_init(params)
 
@@ -267,17 +301,18 @@ def main():
         np_, no = bertadam.bert_adam_update(g, o, p, cfg.optim, 1000)
         return jnp.sum(jax.tree.leaves(np_)[0])
 
-    timeit("BertAdam update", adam, params, grads, opt)
+    timeit("BertAdam update", adam, params, grads, opt,
+           note="memory-bound (3 HBM passes over params+moments)")
 
-    print("\nphase sum (towers+temporal+loss+adam) vs full step:", flush=True)
-    named = {n: m for n, m, _, _ in rows}
-    acc = (named.get("video tower f+b", 0) + named.get("text tower f+b", 0)
-           + named.get("temporal tfm f+b", 0)
-           + named.get("loss side f+b (sim+CTM+4 losses)", 0)
-           + named.get("BertAdam update", 0))
-    print(f"  sum {acc:.1f} ms vs step {step_ms:.1f} ms "
-          f"(residual {step_ms - acc:+.1f} ms = overlap/scheduling)",
-          flush=True)
+    named = {n: m for n, m, *_ in table}
+    acc = (named["video tower f+b"] + named["text tower f+b"]
+           + named["temporal tfm f+b"]
+           + named["loss side f+b (sim+CTM+4 losses)"]
+           + named["BertAdam update"])
+    print(f"\nphase sum (video+text+temporal+loss+adam) = {acc:.1f} ms "
+          f"vs full step {step_ms:.1f} ms "
+          f"(residual {step_ms - acc:+.1f} ms = overlap/scheduling + "
+          f"bank FIFO + logit clamp)", flush=True)
 
 
 if __name__ == "__main__":
