@@ -43,8 +43,13 @@ def main():
                                remat_policy=os.environ.get(
                                    "BENCH_REMAT_POLICY", "full"),
                                video_chunk_frames=CHUNK)
+    from neighborretr_tpu.core.config import OptimizerConfig
     cfg = Config(model=mcfg, loss=LossConfig(),
-                 train=TrainConfig(batch_size=BATCH, mb_batch=MB_BATCH))
+                 optim=OptimizerConfig(moments_dtype=os.environ.get(
+                     "BENCH_MOMENTS", "float32")),
+                 train=TrainConfig(batch_size=BATCH, mb_batch=MB_BATCH,
+                                   micro_batches=int(os.environ.get(
+                                       "BENCH_MICRO", "1"))))
     print(f"# device: {jax.devices()[0]}  batch={BATCH} bank="
           f"{cfg.train.memory_bank_capacity} remat={REMAT}", file=sys.stderr)
 
@@ -66,7 +71,8 @@ def main():
     bank = mb.create(cfg.train.memory_bank_capacity, W, F, mcfg.clip.embed_dim)
     for i in range(cfg.train.mb_batch):
         bank = fill_bank_step(params, bank, batch, cfg, i * BATCH)
-    state = create_train_state(params, bank)
+    state = create_train_state(params, bank,
+                               moments_dtype=cfg.optim.moments_dtype)
 
     for i in range(2):
         state, metrics = train_step(state, batch, jax.random.PRNGKey(i),
