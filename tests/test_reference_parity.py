@@ -970,6 +970,17 @@ def test_epoch_protocol_parity(ref_model, our_setup, tmp_path):
     real_trainer_eval = ref_trainer.eval_epoch
     try:
         ref_model.float().train()
+        # order-independence: force the reference EXACTLY onto our starting
+        # params (earlier tests in this module mutate the shared ref_model
+        # fixture and their state_dict restore is not bit-faithful — a
+        # ~1e-7 leak amplifies to 1e-3 in the step-4 loss).  The export
+        # round-trip is proven exact by the file-migration test; dead
+        # never-executed leaves (*_fc0/_intra) are absent and stay put.
+        sd0 = reference_state_dict_from_params(
+            jax.device_get(params0), cfg_m)
+        ref_model.load_state_dict(
+            {k: torch.from_numpy(np.asarray(v).copy()) for k, v in
+             sd0.items()}, strict=False)
 
         def rec_forward(*a, **k):
             out = orig_forward(*a, **k)
@@ -1013,6 +1024,14 @@ def test_epoch_protocol_parity(ref_model, our_setup, tmp_path):
         import functools as _ft
         opt.zero_grad = _ft.partial(torch.optim.Optimizer.zero_grad, opt,
                                     set_to_none=False)
+
+        # clear grads left by earlier tests on the shared fixture: the
+        # reference's train_epoch calls zero_grad only AFTER each step
+        # (trainer.py:105-110), so its first backward ACCUMULATES onto any
+        # pre-existing .grad — a leak that shifted step-3/4 losses when
+        # this test ran after the trajectory test
+        for _, p in named:
+            p.grad = None
 
         torch.rand = lambda *a, **k: torch.zeros(*a, **k)  # DPC noise off
         mbm = ref_mb_mod.MemoryBankManager(args)
@@ -1074,6 +1093,8 @@ def test_epoch_protocol_parity(ref_model, our_setup, tmp_path):
     # 1. per-step losses across both epochs (bank refill between them)
     assert len(our_losses) == t_total
     assert np.isfinite(our_losses).all(), our_losses
+    print(f"epoch-protocol step losses ours={our_losses} "
+          f"ref={ref_step_losses}")
     np.testing.assert_allclose(our_losses, ref_step_losses, atol=5e-3)
 
     # 2. every eval's metrics, in orchestration order
