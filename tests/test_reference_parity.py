@@ -851,6 +851,7 @@ def test_training_trajectory_parity(ref_model, our_setup, batch):
           f"worst leaf {worst[0]} max|diff|={worst[1]:.2e}")
 
 
+@pytest.mark.smoke
 def test_epoch_protocol_parity(ref_model, our_setup, tmp_path):
     """Golden EPOCH-PROTOCOL parity: both stacks run TWO FULL epochs through
     their real orchestration — epoch-start bank fill from a second dataloader
