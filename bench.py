@@ -30,11 +30,12 @@ import jax.numpy as jnp
 
 REFERENCE_PAIRS_PER_SEC_PER_GPU = 45.0
 # FLOPs-normalized upper bound for the reference on a modern GPU (BASELINE.md
-# "Analytic upper bound"): step FLOPs from XLA's cost model ÷ A100 bf16 peak
-# × a generous 40% MFU ceiling for a PyTorch DDP fine-tune trainer.  The
-# reference could not exceed this even at speed-of-light; vs_flop_bound is
-# therefore the most conservative possible reading of the comparison, and
-# vs_estimate (= the 45 pairs/s engineering estimate) the headline one.
+# "Analytic upper bound"): analytic per-pair step FLOPs (utils/flops.py,
+# roofline-validated) ÷ A100 bf16 peak × a generous 40% MFU ceiling for a
+# PyTorch DDP fine-tune trainer.  The reference could not exceed this even at
+# speed-of-light; vs_flop_bound is therefore the most conservative possible
+# reading of the comparison, and vs_estimate (= the 45 pairs/s engineering
+# estimate) the headline one.
 A100_BF16_PEAK_FLOPS = 312e12
 REFERENCE_GENEROUS_MFU = 0.40
 # Measured on THIS machine's CPU (scripts/baseline_cpu_measure.py, batch 8,
@@ -231,13 +232,32 @@ def main():
         "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC_PER_GPU, 3),
         "vs_estimate": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC_PER_GPU, 3),
     }
+    # speed-of-light bound for the reference on an A100 at the same math
+    # (same per-pair FLOPs — the losses and towers are the reference's):
+    # even a 40%-MFU reference could not beat this denominator.  Headline
+    # vs_flop_bound uses the ANALYTIC per-pair FLOPs (utils/flops.py,
+    # validated by scripts/roofline.py — flagship 319.2 GFLOP/pair); the
+    # XLA-cost-model variant is demoted to *_costmodel because the cost
+    # model undercounts Pallas custom-call FLOPs ~1.5x, which made the
+    # round-2/3 recorded bound too generous to the reference (VERDICT r3 #4).
+    from neighborretr_tpu.utils.flops import analytic_pair_flops
+    pair_flops = analytic_pair_flops(cfg)
+    bound = REFERENCE_GENEROUS_MFU * A100_BF16_PEAK_FLOPS / pair_flops
+    record["vs_flop_bound"] = round(pairs_per_sec / bound, 3)
+    record["flop_bound_pairs_per_sec"] = round(bound, 1)
+    record["flop_bound_note"] = (
+        "analytic matmul FLOPs (utils/flops.py, roofline-validated "
+        f"{pair_flops / 1e9:.1f} GFLOP/pair) / A100 bf16 peak x 40% MFU "
+        "ceiling granted to the reference")
     if flops > 0:
-        # speed-of-light bound for the reference on an A100 at the same math
-        # (same per-pair FLOPs — the losses and towers are the reference's):
-        # even a 40%-MFU reference could not beat this denominator.
-        bound = REFERENCE_GENEROUS_MFU * A100_BF16_PEAK_FLOPS / (flops / BATCH)
-        record["vs_flop_bound"] = round(pairs_per_sec / bound, 3)
-        record["flop_bound_pairs_per_sec"] = round(bound, 1)
+        # the old cost-model-derived figure, kept for cross-round continuity
+        bound_cm = (REFERENCE_GENEROUS_MFU * A100_BF16_PEAK_FLOPS
+                    / (flops / BATCH))
+        record["vs_flop_bound_costmodel"] = round(pairs_per_sec / bound_cm, 3)
+        record["flop_bound_costmodel_note"] = (
+            "XLA cost-model FLOPs — a known UNDERCOUNT (Pallas custom-call "
+            "FLOPs invisible), making this bound over-generous to the "
+            "reference; superseded by the analytic vs_flop_bound")
     print(json.dumps(record))
 
 

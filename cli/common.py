@@ -128,7 +128,8 @@ def build_eval_dataset(args, cfg, batch_size: int):
                          max_words=args.max_words,
                          max_frames=args.max_frames,
                          resolution=cfg.model.clip.image_resolution,
-                         video_framerate=args.video_framerate)
+                         video_framerate=args.video_framerate,
+                         packed_dir=getattr(args, "packed_dir", ""))
 
 
 def load_query_model(args, index, logger):

@@ -42,6 +42,8 @@ def main():
                         "checkpoint; args_parser.py:137)")
     p.add_argument("--max_frames", type=int, default=12)
     p.add_argument("--video_framerate", type=int, default=1)
+    p.add_argument("--packed_dir", default="",
+                   help="packed pre-decoded corpus (cli/pack_dataset.py)")
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--worker_mode", choices=["thread", "process"],
                    default="thread",

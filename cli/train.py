@@ -145,6 +145,10 @@ def parse_args():
                    help="0 normal, 1 reverse, 2 random (rawvideo_util.py:331)")
     p.add_argument("--video_cache_size", type=int, default=0,
                    help="per-worker decoded-clip LRU capacity")
+    p.add_argument("--packed_dir", default="",
+                   help="packed pre-decoded corpus (cli/pack_dataset.py): "
+                        "clip reads become page-cached memcpys instead of "
+                        "per-epoch cv2 decodes; misses fall back to decode")
     p.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler trace of early steps here")
     p.add_argument("--debug_nans", action="store_true",
@@ -218,7 +222,8 @@ def main():
                         video_framerate=args.video_framerate,
                         workers=args.workers,
                         worker_mode=args.worker_mode,
-                        augment_backend=args.augment_backend),
+                        augment_backend=args.augment_backend,
+                        packed_dir=args.packed_dir),
         train=TrainConfig(epochs=args.epochs, batch_size=args.batch_size,
                           batch_size_val=args.batch_size_val,
                           mb_batch=args.mb_batch, seed=args.seed,
@@ -311,7 +316,8 @@ def main():
         tokenizer = ClipTokenizer()
         kw = dict(max_words=args.max_words, max_frames=args.max_frames,
                   resolution=cfg.model.clip.image_resolution,
-                  video_framerate=args.video_framerate)
+                  video_framerate=args.video_framerate,
+                  packed_dir=args.packed_dir)
         train_ds = build_dataset(args.datatype, "train", args.anno_path,
                                  args.video_path, tokenizer,
                                  is_train=True, augment=args.augment or None,

@@ -280,6 +280,9 @@ class DataConfig:
     # data/native (byte-exact vs PIL); recorded here so the run's config
     # dump captures which backend produced the pixels
     augment_backend: str = "auto"
+    # packed pre-decoded corpus directory (cli/pack_dataset.py /
+    # data/packed.py); "" = decode from video files per epoch
+    packed_dir: str = ""
 
 
 @dataclass(frozen=True)

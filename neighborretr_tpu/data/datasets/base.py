@@ -109,6 +109,7 @@ class RetrievalDataset:
         frame_order: int = 0,
         cache_capacity: int = 0,
         seed: int = 0,
+        packed_dir: str = "",
     ):
         self.pairs = pairs                  # (video_id, caption, start, end)
         self.video_paths = video_paths
@@ -130,6 +131,15 @@ class RetrievalDataset:
                                                backend=augment_backend)
                          if (is_train and augment) else None)
         self._clip_cache = ClipLRUCache(cache_capacity)
+        # packed pre-decoded corpus (data/packed.py): clip reads become
+        # page-cached memcpys; misses fall back to cv2 decode.  The reader
+        # refuses an index sampled with different (frames, resolution, fps).
+        self._packed = None
+        if packed_dir:
+            from ..packed import PackedReader
+            self._packed = PackedReader(packed_dir)
+            self._packed.check_compatible(max_frames, resolution,
+                                          video_framerate)
 
     def set_epoch(self, epoch: int) -> None:
         """Epoch-dependent stochastic decoration: item-level RNGs derive
@@ -160,20 +170,25 @@ class RetrievalDataset:
     def video_item(self, video_id: str, start=None, end=None,
                    rng: Optional[np.random.Generator] = None
                    ) -> Dict[str, np.ndarray]:
-        path = self.video_paths[video_id]
-        if self._clip_cache.capacity > 0:
-            key = (path, _mtime(path), self.max_frames, self.resolution,
-                   self.video_framerate, start, end)
-            cached = self._clip_cache.get(key)
-            if cached is None:
+        cached = None
+        if self._packed is not None:    # packed hit: decode fully skipped —
+            from ..packed import clip_key   # works without the raw .mp4 tree
+            cached = self._packed.get(clip_key(video_id, start, end))
+        if cached is None:
+            path = self.video_paths[video_id]
+            if self._clip_cache.capacity > 0:
+                key = (path, _mtime(path), self.max_frames, self.resolution,
+                       self.video_framerate, start, end)
+                cached = self._clip_cache.get(key)
+                if cached is None:
+                    cached = decode_video_frames(
+                        path, self.max_frames, self.resolution,
+                        self.video_framerate, start, end)
+                    self._clip_cache.put(key, cached)
+            else:  # cache off (the default): skip the stat()+lock round trip
                 cached = decode_video_frames(
                     path, self.max_frames, self.resolution,
                     self.video_framerate, start, end)
-                self._clip_cache.put(key, cached)
-        else:   # cache off (the default): skip the stat() + lock round trip
-            cached = decode_video_frames(
-                path, self.max_frames, self.resolution,
-                self.video_framerate, start, end)
         frames, mask = cached
         # Stochastic decoration applies to the VALID frames only — padding
         # stays zero (reference order: augment/shuffle the decoded frames,

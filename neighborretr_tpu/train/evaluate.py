@@ -322,7 +322,7 @@ def evaluate(params: Params, cfg: Config, loader, dataset=None,
         t2v = M.metrics_from_ranks(fetch(ranks)[fetch(valid)])
         v2t = M.metrics_from_ranks(fetch(M.device_video_to_text_ranks(sim_3d)))
         M.log_tie_counts(logger, fetch(M.device_multi_sentence_ties(sim_3d)),
-                         0)
+                         fetch(M.device_video_to_text_ties(sim_3d)))
     else:
         r_t2v, r_v2t = M.device_ranks_both(sim)
         t2v = M.metrics_from_ranks(fetch(r_t2v))

@@ -77,6 +77,17 @@ def device_multi_sentence_ties(sim_3d: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(tied & jnp.isfinite(own[..., 0]))
 
 
+@jax.jit
+def device_video_to_text_ties(sim_3d: jnp.ndarray) -> jnp.ndarray:
+    """v2t tie count for the caption-grouped tensor: rows of the SAME
+    max-over-captions matrix device_video_to_text_ranks ranks whose
+    diagonal ties another entry (strict-greater rank undercounts exactly
+    these rows vs the reference's host path)."""
+    m = jnp.max(sim_3d, axis=1).T
+    diag = jnp.diagonal(m)
+    return jnp.sum(jnp.sum(m == diag[:, None], axis=1) > 1)
+
+
 def log_tie_counts(logger, ties_t2v: int, ties_v2t: int) -> None:
     """One observability line, only when ties exist (bf16 similarities tie
     ~0.2% of rows in practice): explains any device-rank vs reference-rank

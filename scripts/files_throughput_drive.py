@@ -100,10 +100,50 @@ def main():
     ap.add_argument("--out", default="/tmp/nrtpu_files_drive/run")
     ap.add_argument("--synthetic_ref", type=float, default=347.1,
                     help="synthetic bench pairs/s for the ratio line")
+    ap.add_argument("--packed", action="store_true",
+                    help="pack the corpus first (cli/pack_dataset.py) and "
+                         "train with --packed_dir: clip reads become "
+                         "page-cached memcpys instead of per-step decodes")
+    ap.add_argument("--compress_first", action="store_true",
+                    help="re-encode the tree at 3 fps/224 px first via "
+                         "cli/compress_video.py (the reference's documented "
+                         "preprocessing, preprocess/compress_video.py:34-43) "
+                         "and train from the compressed files")
     args = ap.parse_args()
 
     anno, videos = build_tree(args.root, args.n_videos, args.n_test)
     shutil.rmtree(args.out, ignore_errors=True)
+
+    compress_s = None
+    if args.compress_first:
+        comp = os.path.join(args.root, "videos_3fps")
+        tic = time.time()
+        r = subprocess.run(
+            [sys.executable, "cli/compress_video.py", "--input_root", videos,
+             "--output_root", comp, "--fps", "3", "--size", "224",
+             "--workers", str(args.workers)], cwd=REPO)
+        assert r.returncode == 0, f"compress_video failed rc={r.returncode}"
+        compress_s = time.time() - tic
+        videos = comp
+        print(f"# 3fps/224 re-encode: {compress_s:.1f}s "
+              f"({1000 * compress_s / (args.n_videos + args.n_test):.1f} "
+              "ms/clip wall)", flush=True)
+
+    packed_dir, pack_stats = "", None
+    if args.packed:
+        packed_dir = os.path.join(args.root, "packed" +
+                                  ("_3fps" if args.compress_first else ""))
+        shutil.rmtree(packed_dir, ignore_errors=True)
+        r = subprocess.run(
+            [sys.executable, "cli/pack_dataset.py", "--datatype", "msrvtt",
+             "--anno_path", anno, "--video_path", videos,
+             "--output_dir", packed_dir, "--max_frames", "12",
+             "--resolution", "224", "--video_framerate", "1",
+             "--workers", str(args.workers)],
+            cwd=REPO, capture_output=True, text=True)
+        assert r.returncode == 0, f"pack_dataset failed: {r.stderr[-800:]}"
+        pack_stats = json.loads(r.stdout.strip().splitlines()[-1])
+        print(f"# packed: {pack_stats}", flush=True)
 
     cmd = [sys.executable, "cli/train.py", "--datatype", "msrvtt",
            "--anno_path", anno, "--video_path", videos,
@@ -119,6 +159,8 @@ def main():
            "--augment", args.augment,
            "--augment_backend", args.augment_backend,
            "--output_dir", args.out]
+    if packed_dir:
+        cmd += ["--packed_dir", packed_dir]
     print("#", " ".join(cmd), flush=True)
     tic = time.time()
     r = subprocess.run(cmd, cwd=REPO)
@@ -140,8 +182,11 @@ def main():
     # per-clip host cost (step interval / batch, when the chip step is ~0.3 s)
     # is the honest loader-bound signal, not data_wait alone.
     clip_ms = med / args.batch * 1000
+    src = ("packed read" if packed_dir else
+           "3fps-reencoded mp4 decode" if args.compress_first
+           else "real mp4 decode")
     print(json.dumps({
-        "metric": ("from-files train pairs/s (real mp4 decode + augment + "
+        "metric": (f"from-files train pairs/s ({src} + augment + "
                    "H2D + step)"),
         "pairs_per_sec": round(pairs, 2),
         "median_step_s": round(med, 3),
@@ -155,6 +200,10 @@ def main():
         "host_cores": os.cpu_count(),
         "vs_synthetic": round(pairs / args.synthetic_ref, 3),
         "wall_s": round(wall, 1),
+        "input_mode": ("packed" if packed_dir else
+                       "3fps-reencoded" if args.compress_first else "mp4"),
+        "pack_decode_wall_s": (pack_stats or {}).get("decode_wall_s"),
+        "compress_wall_s": (round(compress_s, 1) if compress_s else None),
     }, indent=None), flush=True)
 
 

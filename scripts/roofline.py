@@ -77,37 +77,16 @@ def main():
     M_BANK = cfg.train.memory_bank_capacity
 
     # ---- analytic matmul FLOPs (fwd; callers scale by 3 for f+b) ----
-    NF = BATCH * F                                   # frames
-    Lv = (R // c.vision_patch_size) ** 2 + 1         # vision tokens/frame
-    Dv, Hv = c.vision_width, c.vision_width // 64
-    Mv = NF * Lv
-    vis_attn_fwd = c.vision_layers * (
-        2 * Mv * Dv * 3 * Dv                         # qkv
-        + 2 * (2 * NF * Hv * Lv * Lv * 64)           # QK^T + PV
-        + 2 * Mv * Dv * Dv)                          # out proj
-    vis_mlp_fwd = c.vision_layers * 2 * (2 * Mv * Dv * 4 * Dv)
-    stem_fwd = 2 * NF * (Lv - 1) * (c.vision_patch_size ** 2 * 3) * Dv
-    vis_proj_fwd = 2 * NF * Dv * E                   # CLS @ proj
-
-    Mt = BATCH * W
-    Dt, Ht = c.transformer_width, c.transformer_heads
-    txt_fwd = c.transformer_layers * (
-        2 * Mt * Dt * 3 * Dt + 2 * (2 * BATCH * Ht * W * W * 64)
-        + 2 * Mt * Dt * Dt + 2 * (2 * Mt * Dt * 4 * Dt)) \
-        + 2 * Mt * Dt * E                            # per-token projection
-    tmp_fwd = mcfg.temporal_layers * (
-        2 * BATCH * F * E * 3 * E + 2 * (2 * BATCH * 8 * F * F * 64)
-        + 2 * BATCH * F * E * E + 2 * (2 * BATCH * F * E * 4 * E))
-
-    # loss side: B×B token-interaction (both einsum orders in fwd) + bank
-    # matrices + CTM cross-attn (small) — matmul terms only
-    sim_bb_fwd = 2 * (2 * BATCH * BATCH * W * F * E)
-    sim_bank_fwd = 2 * (2 * BATCH * M_BANK * W * F * E)
-    ctm_fwd = 2 * (2 * BATCH * W * W * E + 2 * BATCH * F * F * E)  # rough
-
-    step_analytic = 3 * (vis_attn_fwd + vis_mlp_fwd + txt_fwd + tmp_fwd
-                         + sim_bb_fwd + sim_bank_fwd + ctm_fwd) \
-        + stem_fwd + 3 * vis_proj_fwd               # stem frozen: fwd only
+    # shared with bench.py's vs_flop_bound: neighborretr_tpu/utils/flops.py
+    from neighborretr_tpu.utils.flops import (analytic_step_flops,
+                                              analytic_step_phase_flops)
+    _ph = analytic_step_phase_flops(cfg)
+    vis_attn_fwd, vis_mlp_fwd = _ph["vis_attn_fwd"], _ph["vis_mlp_fwd"]
+    stem_fwd, vis_proj_fwd = _ph["stem_fwd"], _ph["vis_proj_fwd"]
+    txt_fwd, tmp_fwd = _ph["txt_fwd"], _ph["tmp_fwd"]
+    sim_bb_fwd, sim_bank_fwd = _ph["sim_bb_fwd"], _ph["sim_bank_fwd"]
+    ctm_fwd = _ph["ctm_fwd"]
+    step_analytic = analytic_step_flops(cfg)
 
     rng = np.random.default_rng(0)
     ids = rng.integers(1, c.vocab_size - 1, size=(BATCH, W)).astype(np.int32)

@@ -115,6 +115,25 @@ def test_device_multi_sentence_ties():
     assert int(M.device_multi_sentence_ties(jnp.array(sim))) == 1
 
 
+def test_device_video_to_text_ties():
+    # v2t ranks come from max-over-captions transposed (device_video_to_text
+    # _ranks); ties must be counted on that SAME matrix (ADVICE r3 #1 — the
+    # multi-sentence eval branch used to hard-code v2t ties to 0).
+    V, P = 3, 2
+    sim = np.full((V, P, V), -np.inf, dtype=np.float32)
+    # max-over-captions m[v, w] = best caption of video v against video w;
+    # the ranked matrix is m.T.  Build one diagonal tie in m.T's row 1:
+    # m.T[1] = m[:, 1] = [6.0, 6.0, 0.0] → diagonal 6.0 ties entry 0.
+    sim[0, 0] = [5.0, 6.0, 0.0]
+    sim[0, 1] = [3.0, 1.0, 0.0]
+    sim[1, 0] = [1.0, 6.0, 0.0]
+    sim[2, 0] = [9.0, 0.0, 7.0]
+    assert int(M.device_video_to_text_ties(jnp.array(sim))) == 1
+    # tie-free tensor counts zero
+    sim[0, 0] = [5.0, 4.0, 0.0]
+    assert int(M.device_video_to_text_ties(jnp.array(sim))) == 0
+
+
 def test_log_tie_counts_one_line(caplog):
     import logging
     logger = logging.getLogger("test_tie_counts")
