@@ -90,6 +90,12 @@ def parse_args():
     p.add_argument("--explicit_spmd", action="store_true",
                    help="shard_map row-sharded losses instead of GSPMD "
                         "auto-partitioning (enables Pallas kernels on meshes)")
+    p.add_argument("--bank_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="memory-bank feature storage dtype; bfloat16 halves "
+                        "the bank HBM + its similarity streaming traffic "
+                        "(no_grad state, re-filled each step — quantization "
+                        "never accumulates)")
     p.add_argument("--opt_moments_dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="storage dtype for Adam moments (bfloat16 halves "
@@ -227,6 +233,7 @@ def main():
         train=TrainConfig(epochs=args.epochs, batch_size=args.batch_size,
                           batch_size_val=args.batch_size_val,
                           mb_batch=args.mb_batch, seed=args.seed,
+                          bank_dtype=args.bank_dtype,
                           n_display=args.n_display,
                           output_dir=args.output_dir,
                           init_checkpoint=args.init_checkpoint,

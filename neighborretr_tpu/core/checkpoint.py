@@ -220,6 +220,13 @@ def latest_resumable(output_dir: str):
         # tracking that happened after the epoch save hit the same step)
         if step >= best_step:
             best_path, best_step = path, step
+    # sharded (per-process) preempt save: candidate only when the full set
+    # is present and step-consistent — _read_sharded_set validates that
+    mpath = os.path.join(output_dir, "state_preempt" + MANIFEST_SUFFIX)
+    if os.path.exists(mpath):
+        got = _read_sharded_set(mpath)
+        if got is not None and got[0] >= best_step:
+            best_path, best_step = mpath, got[0]
     return best_path
 
 
@@ -240,6 +247,8 @@ def resolve_resume_auto(output_dir: str):
         path = latest_resumable(output_dir)
         if path is None:
             enc = np.zeros((2,), np.int64)
+        elif path.endswith(MANIFEST_SUFFIX):
+            enc = np.array([3, 0], np.int64)
         elif os.path.basename(path) == "state_preempt.npz":
             enc = np.array([2, 0], np.int64)
         else:
@@ -250,6 +259,8 @@ def resolve_resume_auto(output_dir: str):
     kind, epoch = (int(x) for x in multihost_utils.broadcast_one_to_all(enc))
     if kind == 0:
         return None
+    if kind == 3:
+        return os.path.join(output_dir, "state_preempt" + MANIFEST_SUFFIX)
     return os.path.join(output_dir, "state_preempt.npz" if kind == 2
                         else f"state_epoch{epoch}.npz")
 
@@ -266,13 +277,10 @@ def save_train_state(path: str, state) -> None:
     _atomic_savez(path, payload)
 
 
-def load_train_state(path: str, state_like):
+def _train_state_from_flat(flat: Dict[str, np.ndarray], state_like):
     from ..train.bertadam import BertAdamState
     from ..train.memory_bank import MemoryBank
     from ..train.step import TrainState
-
-    with np.load(path, allow_pickle=False) as data:
-        flat = {k: data[k] for k in data.files}
 
     def sub(prefix):
         plen = len(prefix) + len(_SEP)
@@ -290,3 +298,163 @@ def load_train_state(path: str, state_like):
     bank = MemoryBank(**{k: bank_flat[k].astype(np.asarray(v).dtype)
                          for k, v in bank_like.items()})
     return TrainState(params=params, opt=opt, bank=bank, step=flat["step"])
+
+
+def load_train_state(path: str, state_like):
+    with np.load(path, allow_pickle=False) as data:
+        flat = {k: data[k] for k in data.files}
+    return _train_state_from_flat(flat, state_like)
+
+
+# ---------------------------------------------------------------------------
+# Sharded (per-process, collective-free) TrainState checkpoints
+#
+# The mid-epoch preemption story for process-SPANNING state (multi-host FSDP
+# / tensor parallelism): a collective device→host fetch cannot be entered
+# safely from a signal-initiated teardown (peers may already be dying), so
+# each process instead writes ONLY its locally-addressable shards — one
+# atomic npz per process plus a process-0 manifest — and resume reassembles
+# the global arrays from the union of the shard files.  The reference has no
+# counterpart (no failure handling at all, SURVEY §5).
+# ---------------------------------------------------------------------------
+
+MANIFEST_SUFFIX = ".manifest.json"
+
+
+def _shard_bounds(index, shape) -> np.ndarray:
+    """Global (start, stop) per dim of a shard's index tuple (int64 [ndim,2])."""
+    out = []
+    for sl, dim in zip(index, shape):
+        out.append((0 if sl.start is None else int(sl.start),
+                    dim if sl.stop is None else int(sl.stop)))
+    return np.asarray(out, np.int64).reshape(len(shape), 2)
+
+
+def _to_npz_dtype(arr: np.ndarray) -> np.ndarray:
+    if arr.dtype.name == "bfloat16":   # npz has no portable bf16 (see
+        return arr.astype(np.float32)  # flatten_tree); fp32 holds it exactly
+    return arr
+
+
+def save_sharded_train_state(output_dir: str, state,
+                             tag: str = "state_preempt") -> str:
+    """Collective-free per-process save; every process MUST call this (each
+    writes `{tag}.shard{p}.npz`; process 0 adds `{tag}.manifest.json`).
+    Replicated / fully-addressable leaves go to process 0's file only;
+    process-spanning leaves contribute their local replica-0 shards (data +
+    global bounds) — the union across files tiles each global array exactly
+    once.  Returns this process's shard path."""
+    import jax
+
+    pidx, pcount = jax.process_index(), jax.process_count()
+    payload = {}
+    for name, tree in (("params", state.params), ("opt_m", state.opt.m),
+                       ("opt_v", state.opt.v), ("bank", state.bank._asdict())):
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            key = f"{name}{_SEP}{path_key(path)}"
+            if (not isinstance(leaf, jax.Array) or leaf.is_fully_replicated
+                    or leaf.is_fully_addressable):
+                if pidx == 0:        # replicated: local read, save once
+                    payload[f"full{_SEP}{key}"] = _to_npz_dtype(
+                        np.asarray(leaf))
+                continue
+            payload[f"shape{_SEP}{key}"] = np.asarray(leaf.shape, np.int64)
+            for j, sh in enumerate(leaf.addressable_shards):
+                if sh.replica_id != 0:
+                    continue         # another replica owns this block
+                payload[f"shdata{_SEP}{key}@{j}"] = _to_npz_dtype(
+                    np.asarray(sh.data))
+                payload[f"shidx{_SEP}{key}@{j}"] = _shard_bounds(
+                    sh.index, leaf.shape)
+    payload["opt_step"] = np.asarray(state.opt.step)
+    payload["step"] = np.asarray(state.step)
+    payload["process_count"] = np.asarray(pcount, np.int64)
+    shard_path = os.path.join(output_dir, f"{tag}.shard{pidx}.npz")
+    _atomic_savez(shard_path, payload)
+    if pidx == 0:
+        import json
+        mpath = os.path.join(output_dir, tag + MANIFEST_SUFFIX)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"tag": tag, "step": int(np.asarray(state.step)),
+                       "process_count": pcount}, f)
+        os.replace(tmp, mpath)
+    return shard_path
+
+
+def _read_sharded_set(manifest_path: str):
+    """(step, flat dict of reassembled GLOBAL arrays) for a sharded save,
+    or None if the set is incomplete/inconsistent (a skewed preemption can
+    leave processes at different steps — such a set must not resume)."""
+    import glob as _glob
+    import json
+
+    try:
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        tag = manifest["tag"]
+        pcount = int(manifest["process_count"])
+    except Exception:
+        return None
+    out_dir = os.path.dirname(manifest_path)
+    files = sorted(_glob.glob(os.path.join(out_dir, f"{tag}.shard*.npz")))
+    if len(files) != pcount:
+        return None
+    flat: Dict[str, np.ndarray] = {}
+    shapes: Dict[str, np.ndarray] = {}
+    pieces: Dict[str, list] = {}
+    steps = set()
+    try:
+        for fp in files:
+            with np.load(fp, allow_pickle=False) as data:
+                steps.add(int(data["step"]))
+                if int(data["process_count"]) != pcount:
+                    return None
+                for k in data.files:
+                    kind, _, rest = k.partition(_SEP)
+                    if kind == "full":
+                        flat[rest] = data[k]
+                    elif kind == "shape":
+                        shapes[rest] = data[k]
+                    elif kind == "shdata":
+                        base = rest.rsplit("@", 1)[0]
+                        idx_key = f"shidx{_SEP}{rest}"
+                        pieces.setdefault(base, []).append(
+                            (data[idx_key], data[k]))
+                    elif kind in ("shidx",):
+                        pass
+                    else:
+                        flat[k] = data[k]     # step/opt_step/process_count
+    except Exception:
+        return None
+    if len(steps) != 1:
+        return None                 # skewed save: processes disagree
+    for key, shape in shapes.items():
+        parts = pieces.get(key, [])
+        if not parts:
+            return None
+        buf = np.zeros(tuple(int(d) for d in shape), parts[0][1].dtype)
+        covered = 0
+        for bounds, arr in parts:
+            sl = tuple(slice(int(a), int(b)) for a, b in bounds)
+            buf[sl] = arr
+            covered += arr.size
+        if covered != buf.size:     # replica-0 shards tile exactly once,
+            return None             # so covered size == global size
+        flat[key] = buf
+    flat.pop("process_count", None)
+    return steps.pop(), flat
+
+
+def load_sharded_train_state(manifest_path: str, state_like):
+    """Resume from a per-process sharded save (path = the manifest json).
+    Every process reassembles the full global arrays from all shard files
+    (shared storage, as with every checkpoint here) — placement back onto
+    the mesh happens in the caller's normal resume path."""
+    got = _read_sharded_set(manifest_path)
+    if got is None:
+        raise ValueError(
+            f"sharded checkpoint at {manifest_path} is incomplete or "
+            "inconsistent (missing shard files or skewed steps)")
+    _, flat = got
+    return _train_state_from_flat(flat, state_like)

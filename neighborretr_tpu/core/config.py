@@ -291,6 +291,11 @@ class TrainConfig:
     batch_size: int = 128        # global batch
     batch_size_val: int = 128
     mb_batch: int = 15           # memory-bank fill batches per epoch
+    # storage dtype of the bank FEATURE tensors (train/memory_bank.py).
+    # "bfloat16" halves the bank's HBM and its similarity streaming traffic
+    # — the bank is no_grad state refreshed every step, so quantization
+    # never accumulates; masks/ids stay exact.
+    bank_dtype: str = "float32"
     seed: int = 42
     n_display: int = 50
     output_dir: str = "outputs"

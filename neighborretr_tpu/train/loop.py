@@ -130,7 +130,8 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
         logger.info("Warm-started from %s", cfg.train.init_checkpoint)
 
     bank = mb.create(cfg.train.memory_bank_capacity, cfg.model.max_words,
-                     cfg.model.max_frames, cfg.model.clip.embed_dim)
+                     cfg.model.max_frames, cfg.model.clip.embed_dim,
+                     feat_dtype=cfg.train.bank_dtype)
 
     if mesh is not None:
         # params: replicated on DP meshes, Megatron-sharded when the mesh
@@ -151,8 +152,14 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
     # mid-run resume (full TrainState — impossible in the reference, which
     # saves parameter state_dicts only, main.py:161-187)
     if cfg.train.resume_checkpoint:
-        state = ckpt.load_train_state(cfg.train.resume_checkpoint,
-                                      pmesh.fetch_to_host(state))
+        if cfg.train.resume_checkpoint.endswith(ckpt.MANIFEST_SUFFIX):
+            # per-process sharded preempt save (multi-host FSDP/TP mid-epoch
+            # SIGTERM): reassemble the global arrays from the shard files
+            state = ckpt.load_sharded_train_state(cfg.train.resume_checkpoint,
+                                                  pmesh.fetch_to_host(state))
+        else:
+            state = ckpt.load_train_state(cfg.train.resume_checkpoint,
+                                          pmesh.fetch_to_host(state))
         if mesh is not None:
             # params (and their optimizer moments) keep the mesh placement
             # rule — TP shardings on a data×model mesh, replicated otherwise
@@ -277,16 +284,20 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
         path = os.path.join(cfg.train.output_dir, "state_preempt.npz")
         # Pure-DP state is replicated, so every process can read it LOCALLY
         # (fetch_to_host's fully-replicated fast path) — no collective, no
-        # deadlock even if only this process received the SIGTERM.  Weight
-        # shards that span processes (multi-host tensor parallelism) would
-        # need a process_allgather, which cannot be safely entered from a
-        # signal-initiated teardown — skip the save with a warning there.
+        # deadlock even if only this process received the SIGTERM.  State
+        # with process-SPANNING shards (multi-host FSDP/TP) would need a
+        # process_allgather, which cannot be safely entered from a
+        # signal-initiated teardown — each process instead writes its own
+        # locally-addressable shards (collective-free,
+        # core/checkpoint.py::save_sharded_train_state); resume reassembles
+        # from the shard set and rejects skewed/incomplete sets.
         if state_needs_collective():
-            logger.warning(
-                "Preemption signal caught, but the TrainState has process-"
-                "spanning tensor-parallel shards — skipping state_preempt "
-                "save (collective fetch is unsafe under preemption); resume "
-                "from the last state_epochN.npz instead")
+            shard_path = ckpt.save_sharded_train_state(
+                cfg.train.output_dir, state)
+            logger.info(
+                "Preemption signal caught: saved this process's state "
+                "shards to %s (resume with --resume auto once all %d "
+                "processes have saved)", shard_path, jax.process_count())
             return
         state_host = pmesh.fetch_to_host(state)
         if jax.process_index() == 0:
@@ -365,7 +376,8 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
             # resumed trajectory from the uninterrupted one
             empty = mb.create(cfg.train.memory_bank_capacity,
                               cfg.model.max_words, cfg.model.max_frames,
-                              cfg.model.clip.embed_dim)
+                              cfg.model.clip.embed_dim,
+                              feat_dtype=cfg.train.bank_dtype)
             if mesh is not None:
                 empty = mb.MemoryBank(*pmesh.replicate_tree(tuple(empty),
                                                             mesh))
@@ -489,7 +501,8 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
         # epoch-end bank clear (main.py:368-374): re-created next epoch
         state = state._replace(bank=mb.create(
             cfg.train.memory_bank_capacity, cfg.model.max_words,
-            cfg.model.max_frames, cfg.model.clip.embed_dim))
+            cfg.model.max_frames, cfg.model.clip.embed_dim,
+            feat_dtype=cfg.train.bank_dtype))
         if mesh is not None:
             state = state._replace(
                 bank=mb.MemoryBank(*pmesh.replicate_tree(tuple(state.bank), mesh)))

@@ -31,11 +31,17 @@ class MemoryBank(NamedTuple):
 
 
 def create(capacity: int, max_words: int, max_frames: int,
-           embed_dim: int) -> MemoryBank:
+           embed_dim: int, feat_dtype=jnp.float32) -> MemoryBank:
+    """`feat_dtype` is the STORAGE dtype of the feature tensors (cast on
+    every fill/FIFO write — fifo_update/write_slice take old.dtype).  bf16
+    halves the bank's HBM and the bank-similarity streaming traffic; the
+    bank is no_grad state refreshed every step (modeling.py:222-249), so
+    the quantization never accumulates.  Masks/ids keep exact dtypes."""
+    feat_dtype = jnp.dtype(feat_dtype)
     return MemoryBank(
         ind=jnp.full((capacity,), -1, jnp.int32),
-        feat_t=jnp.zeros((capacity, max_words, embed_dim), jnp.float32),
-        feat_v=jnp.zeros((capacity, max_frames, embed_dim), jnp.float32),
+        feat_t=jnp.zeros((capacity, max_words, embed_dim), feat_dtype),
+        feat_v=jnp.zeros((capacity, max_frames, embed_dim), feat_dtype),
         mask_t=jnp.zeros((capacity, max_words), jnp.float32),
         mask_v=jnp.zeros((capacity, max_frames), jnp.float32),
     )

@@ -1,6 +1,12 @@
 """Eval-path throughput on the real chip: blocked similarity-matrix build
 over an MSR-VTT-1kA-sized cache (1000 texts × 1000 videos) plus the encode
-rate, the two phases of train/evaluate.py."""
+rate, the two phases of train/evaluate.py.
+
+Long-token eval shape (VERDICT r3 #8 — the ActivityNet/DiDeMo protocol:
+paragraph captions, ~5k corpus): EVAL_N=4900 EVAL_WORDS=64 EVAL_FRAMES=64
+EVAL_ENC_BATCH=16 python scripts/eval_bench.py
+"""
+import os
 import sys
 import time
 
@@ -23,10 +29,14 @@ from neighborretr_tpu.train.evaluate import (similarity_matrix,
 
 def main():
     print("device:", jax.devices()[0], flush=True)
-    cfg = Config(model=ModelConfig())
+    import dataclasses
+    T = int(os.environ.get("EVAL_WORDS", "24"))
+    V = int(os.environ.get("EVAL_FRAMES", "12"))
+    cfg = Config(model=dataclasses.replace(ModelConfig(), max_words=T,
+                                           max_frames=V))
     params = model.init_params(jax.random.PRNGKey(0), cfg.model)
     rng = np.random.default_rng(0)
-    N, T, V, D = 1000, 24, 12, 512
+    N, D = int(os.environ.get("EVAL_N", "1000")), 512
 
     t_feat = jnp.asarray(rng.normal(size=(N, T, D)).astype(np.float32))
     t_mask = np.ones((N, T), np.float32)
@@ -42,8 +52,10 @@ def main():
     print(f"similarity matrix {N}x{N}: {dt*1e3:.1f} ms "
           f"({N*N/dt/1e6:.1f}M pairs/s)", flush=True)
 
-    # phase 1: encode rate (batch 128, eval mode = no grads)
-    B, F, R = 128, cfg.model.max_frames, cfg.model.clip.image_resolution
+    # phase 1: encode rate (batch 128, eval mode = no grads; long-token
+    # shapes need a smaller batch — EVAL_ENC_BATCH)
+    B = int(os.environ.get("EVAL_ENC_BATCH", "128"))
+    F, R = cfg.model.max_frames, cfg.model.clip.image_resolution
     batch_video = jnp.asarray(
         rng.integers(0, 256, (B, F, R, R, 3)).astype(np.uint8))
     vmask = jnp.ones((B, F), jnp.float32)

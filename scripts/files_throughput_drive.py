@@ -18,6 +18,12 @@ annotations, then drives cli/train.py at the flagship config and reports:
 
 Usage: python scripts/files_throughput_drive.py [--n_videos 576]
            [--batch 96] [--workers N] [--augment POLICY|''] [--keep]
+
+TUNNEL CAVEAT (round 4): over the axon tunnel this CLI-level drive
+measures two environment artifacts — the fallback-executable warm regime
+and session-throttled H2D (~30-40 MB/s; PARITY "From-files") — which
+dominate short epochs on a 1-core host.  For the steady-state number past
+those artifacts use scripts/files_steady_bench.py.
 """
 import argparse
 import json
@@ -100,6 +106,13 @@ def main():
     ap.add_argument("--out", default="/tmp/nrtpu_files_drive/run")
     ap.add_argument("--synthetic_ref", type=float, default=347.1,
                     help="synthetic bench pairs/s for the ratio line")
+    ap.add_argument("--epochs", type=int, default=1,
+                    help="2+ isolates steady-state: epoch-2 steps have no "
+                         "compiles and (packed) fully page-cached reads; "
+                         "the median is taken over the LAST epoch's rows")
+    ap.add_argument("--mid_epoch_eval", type=int, default=1, choices=[0, 1],
+                    help="0 removes eval/best-save interference from the "
+                         "step intervals (the input-pipeline signal)")
     ap.add_argument("--packed", action="store_true",
                     help="pack the corpus first (cli/pack_dataset.py) and "
                          "train with --packed_dir: clip reads become "
@@ -151,7 +164,8 @@ def main():
            "--unroll_layers",    # the bench memory profile: no remat +
            # unrolled layers + fused attention fits batch 96 in HBM
            # (bench.py:89-99); the scanned-layer default OOMs there
-           "--epochs", "1", "--batch_size", str(args.batch),
+           "--epochs", str(args.epochs), "--batch_size", str(args.batch),
+           "--mid_epoch_eval", str(args.mid_epoch_eval),
            "--batch_size_val", str(args.n_test),
            "--mb_batch", "1", "--n_display", "1",
            "--workers", str(args.workers),
@@ -171,6 +185,9 @@ def main():
             for line in open(os.path.join(args.out, "metrics.jsonl"))]
     train = [r for r in rows if r["kind"] == "train"]
     steps = len(train)
+    if args.epochs > 1:       # steady-state: last epoch only (no compiles;
+        last = max(r["epoch"] for r in train)      # packed reads page-hot)
+        train = [r for r in train if r["epoch"] == last]
     ivals = np.diff([r["time"] for r in train])
     med = float(np.median(ivals))
     waits = [r["data_wait_s"] for r in train[1:]]

@@ -48,6 +48,8 @@ def main():
                  optim=OptimizerConfig(moments_dtype=os.environ.get(
                      "BENCH_MOMENTS", "float32")),
                  train=TrainConfig(batch_size=BATCH, mb_batch=MB_BATCH,
+                                   bank_dtype=os.environ.get(
+                                       "BENCH_BANK_DTYPE", "float32"),
                                    micro_batches=int(os.environ.get(
                                        "BENCH_MICRO", "1"))))
     print(f"# device: {jax.devices()[0]}  batch={BATCH} bank="
@@ -68,7 +70,8 @@ def main():
     }
 
     params = model.init_params(jax.random.PRNGKey(0), mcfg)
-    bank = mb.create(cfg.train.memory_bank_capacity, W, F, mcfg.clip.embed_dim)
+    bank = mb.create(cfg.train.memory_bank_capacity, W, F,
+                     mcfg.clip.embed_dim, feat_dtype=cfg.train.bank_dtype)
     for i in range(cfg.train.mb_batch):
         bank = fill_bank_step(params, bank, batch, cfg, i * BATCH)
     state = create_train_state(params, bank,

@@ -3,6 +3,7 @@ the beyond-reference capability (the reference saves state_dicts only and
 cannot resume mid-run, main.py:161-187)."""
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -273,3 +274,100 @@ def test_resolve_resume_auto_multihost_encoding(tmp_path, monkeypatch):
     assert ckpt.resolve_resume_auto(d).endswith("state_preempt.npz")
     assert [tuple(int(v) for v in e) for e in sent] == \
         [(0, 0), (1, 7), (2, 0)]
+
+
+def test_sharded_state_roundtrip_single_process(cfg, tmp_path, rng):
+    """Collective-free sharded save → latest_resumable picks the manifest →
+    sharded load → continued step bit-identical to the uninterrupted one.
+    Single-process: every leaf takes the 'full' path; the multi-shard
+    reassembly path is unit-tested below and exercised for real by the
+    2x4-device FSDP leg in tests/test_multiprocess.py."""
+    params = model.init_params(jax.random.PRNGKey(0), cfg.model)
+    bank = mb.create(cfg.train.memory_bank_capacity, W, F,
+                     cfg.model.clip.embed_dim)
+    batch = make_batch(rng, cfg, batch=B)
+    state, _ = train_step(create_train_state(params, bank), batch,
+                          jax.random.PRNGKey(1), cfg, 10)
+
+    shard = ckpt.save_sharded_train_state(str(tmp_path), state)
+    assert shard.endswith("state_preempt.shard0.npz")
+    manifest = str(tmp_path / ("state_preempt" + ckpt.MANIFEST_SUFFIX))
+    assert ckpt.latest_resumable(str(tmp_path)) == manifest
+
+    like = create_train_state(
+        model.init_params(jax.random.PRNGKey(9), cfg.model),
+        mb.create(cfg.train.memory_bank_capacity, W, F,
+                  cfg.model.clip.embed_dim))
+    resumed = ckpt.load_sharded_train_state(manifest, like)
+    assert int(resumed.step) == 1
+
+    cont, m_cont = train_step(state, batch, jax.random.PRNGKey(2), cfg, 10)
+    res, m_res = train_step(resumed, batch, jax.random.PRNGKey(2), cfg, 10)
+    np.testing.assert_allclose(float(m_cont["loss"]), float(m_res["loss"]),
+                               rtol=1e-6)
+    _trees_equal(cont.params, res.params)
+    _trees_equal(tuple(cont.bank), tuple(res.bank))
+
+
+def test_read_sharded_set_reassembles_and_rejects(tmp_path):
+    """The reassembly core: shards from two 'processes' tile a global array
+    back together; incomplete sets, skewed steps, and coverage gaps are all
+    rejected (a skewed preemption must not resume)."""
+    import json as _json
+
+    d = tmp_path
+    key = "params//w"
+    full = np.arange(24, dtype=np.float32).reshape(6, 4)
+
+    def write(name, rows, step, pcount=2, extra=None):
+        payload = {
+            f"shape//{key}": np.asarray(full.shape, np.int64),
+            "step": np.asarray(step, np.int64),
+            "opt_step": np.asarray(step, np.int64),
+            "process_count": np.asarray(pcount, np.int64),
+        }
+        for j, (a, b) in enumerate(rows):
+            payload[f"shdata//{key}@{j}"] = full[a:b]
+            payload[f"shidx//{key}@{j}"] = np.asarray(
+                [[a, b], [0, 4]], np.int64)
+        payload.update(extra or {})
+        np.savez(d / name, **payload)
+
+    mpath = str(d / ("state_preempt" + ckpt.MANIFEST_SUFFIX))
+    with open(mpath, "w") as f:
+        _json.dump({"tag": "state_preempt", "step": 7, "process_count": 2}, f)
+
+    # each process holds two of the four row-blocks
+    write("state_preempt.shard0.npz", [(0, 2), (4, 6)], step=7)
+    write("state_preempt.shard1.npz", [(2, 3), (3, 4)], step=7)
+    step, flat = ckpt._read_sharded_set(mpath)
+    assert step == 7
+    np.testing.assert_array_equal(flat[key], full)
+
+    # missing shard file → rejected
+    os.rename(d / "state_preempt.shard1.npz", d / "hold.npz")
+    assert ckpt._read_sharded_set(mpath) is None
+    os.rename(d / "hold.npz", d / "state_preempt.shard1.npz")
+
+    # skewed steps (one process preempted a step later) → rejected
+    write("state_preempt.shard1.npz", [(2, 3), (3, 4)], step=8)
+    assert ckpt._read_sharded_set(mpath) is None
+
+    # coverage gap (a shard never written) → rejected
+    write("state_preempt.shard1.npz", [(2, 3)], step=7)
+    assert ckpt._read_sharded_set(mpath) is None
+
+    with pytest.raises(ValueError, match="incomplete or "):
+        ckpt.load_sharded_train_state(mpath, None)
+
+
+def test_resolve_resume_auto_sharded_kind(tmp_path, monkeypatch):
+    """kind=3 broadcast: every process reconstructs the manifest path."""
+    import jax.experimental.multihost_utils as mhu
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    monkeypatch.setattr(mhu, "broadcast_one_to_all",
+                        lambda x: np.asarray((3, 0), np.int64))
+    want = str(tmp_path / ("state_preempt" + ckpt.MANIFEST_SUFFIX))
+    assert ckpt.resolve_resume_auto(str(tmp_path)) == want

@@ -283,3 +283,48 @@ def test_mid_epoch_resume_exact_under_fsdp(tmp_path, datasets, monkeypatch):
                     jax.tree.leaves(pmesh.fetch_to_host(resumed).params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=1e-6)
+
+
+def test_bfloat16_bank_trains_close_to_fp32(tmp_path):
+    """--bank_dtype bfloat16: the bank is no_grad state re-filled every step
+    (modeling.py:222-249), so bf16 storage must train finitely and land
+    within bf16 rounding of the fp32-bank loss, with the dtype preserved
+    through fill, FIFO, and the donated step."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from neighborretr_tpu.data.datasets.synthetic import make_synthetic_batch
+    from neighborretr_tpu.models import neighborretr as model
+    from neighborretr_tpu.train import memory_bank as mb
+    from neighborretr_tpu.train.step import (create_train_state,
+                                             fill_bank_step, train_step)
+
+    cfg = Config(model=ModelConfig.tiny(max_words=8, max_frames=4),
+                 loss=LossConfig(num_neighbors=3),
+                 train=TrainConfig(batch_size=8, mb_batch=1))
+    batch = {k: jnp.asarray(v) for k, v in
+             make_synthetic_batch(cfg.model, 8, 0,
+                                  variable_lengths=True).items()}
+
+    losses = {}
+    for dtype in ("float32", "bfloat16"):
+        # fresh params per run: train_step donates its state (the first
+        # run's buffers are deleted)
+        params = model.init_params(jax.random.PRNGKey(0), cfg.model)
+        c = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, bank_dtype=dtype))
+        bank = mb.create(c.train.memory_bank_capacity, 8, 4,
+                         c.model.clip.embed_dim, feat_dtype=dtype)
+        assert str(bank.feat_t.dtype) == dtype
+        bank = fill_bank_step(params, bank, batch, c, 0)
+        assert str(bank.feat_t.dtype) == dtype      # fill casts to storage
+        state, metrics = train_step(create_train_state(params, bank), batch,
+                                    jax.random.PRNGKey(1), c, 10)
+        assert str(state.bank.feat_t.dtype) == dtype  # FIFO preserves it
+        losses[dtype] = float(metrics["loss"])
+        assert np.isfinite(losses[dtype])
+    # bf16 feature rounding perturbs the bank-similarity losses only mildly
+    np.testing.assert_allclose(losses["bfloat16"], losses["float32"],
+                               rtol=2e-2)
