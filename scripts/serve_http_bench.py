@@ -140,11 +140,100 @@ def main():
             dispatcher.close()
         return n_clients / dt, p50, p95, p99
 
-    run_concurrent(None, "lock-serialized ")
+    # SLO protocol (VERDICT r3 #7): the lock-serialized run is the same-day
+    # CONTROL; every configuration is also reported as a ratio to it so the
+    # table stays comparable across sessions whose absolute tunnel speed
+    # differs (round-2 vs round-3 swung 3x).
+    ctrl_qs, ctrl_p50, ctrl_p95, ctrl_p99 = run_concurrent(
+        None, "lock-serialized ")
+    rows = []
     for window in (0.0, 1.0, 2.0, 5.0, 10.0):
-        run_concurrent(
+        qs, p50, p95, p99 = run_concurrent(
             serving.BatchingDispatcher(searcher, max_wait_ms=window),
             f"batch window {window:4.1f}ms")
+        rows.append((window, qs, p99))
+    print("\n# control-normalized (x lock-serialized): "
+          + "  ".join(f"w{w:g}ms {qs / ctrl_qs:.1f}x q/s, "
+                      f"p99 {p99 / ctrl_p99:.3f}x" for w, qs, p99 in rows),
+          flush=True)
+
+    # --- concurrent RELOAD under load: p99 of a burst that spans a live
+    # POST /reload of the full 10k index (the hot-swap tail cost as a
+    # number, not a claim) ---
+    import os
+    import tempfile
+    idx_path = os.path.join(tempfile.mkdtemp(), "reload_index.npz")
+    np.savez(idx_path, **index)
+
+    def reload_fn():
+        # mirrors cli/serve.py: fresh Searcher from disk, compiles pre-paid
+        # BEFORE the swap so requests never stall behind program builds
+        fresh = serving.Searcher(params, cfg, serving.load_index(idx_path),
+                                 ClipTokenizer(), query_batch=Q)
+        fresh.warmup()
+        fresh.search(["warmup"], topk=5)
+        return fresh
+
+    disp = serving.BatchingDispatcher(searcher, max_wait_ms=2.0)
+    server = make_server(searcher, "127.0.0.1", 0, default_topk=5,
+                         dispatcher=disp, reload_fn=reload_fn)
+    host, port = server.server_address
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    lat_ms, failures = [], []
+    lat_lock = threading.Lock()
+
+    def one(i):
+        try:
+            t0 = time.perf_counter()
+            conn = http.client.HTTPConnection(host, port, timeout=300)
+            conn.request("POST", "/search",
+                         json.dumps({"queries": [queries[i % Q]],
+                                     "topk": 5}),
+                         {"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            resp.read()
+            conn.close()
+            assert resp.status == 200
+            with lat_lock:
+                lat_ms.append((time.perf_counter() - t0) * 1e3)
+        except Exception as exc:
+            failures.append(f"{type(exc).__name__}: {exc}")
+
+    def reload_once():
+        conn = http.client.HTTPConnection(host, port, timeout=600)
+        conn.request("POST", "/reload", "{}",
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        resp.read()
+        conn.close()
+        return resp.status
+
+    one(0)                                       # warm
+    lat_ms.clear()
+    tic = time.perf_counter()
+    reload_status = [None]
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(2 * Q)]
+    rel = threading.Thread(
+        target=lambda: reload_status.__setitem__(0, reload_once()))
+    for t in threads[:Q]:
+        t.start()
+    rel.start()                                  # reload mid-burst
+    for t in threads[Q:]:
+        t.start()
+    for t in threads:
+        t.join()
+    rel.join()
+    dt = time.perf_counter() - tic
+    p50, p95, p99 = np.percentile(lat_ms, [50, 95, 99])
+    fail = f"; {len(failures)} FAILED ({failures[0]})" if failures else ""
+    print(f"reload-under-load: {2 * Q} clients + live /reload "
+          f"(status {reload_status[0]}) in {dt:.2f}s  "
+          f"{2 * Q / dt:6.0f} q/s  p50 {p50:6.1f}  p95 {p95:6.1f}  "
+          f"p99 {p99:6.1f} ms  (x{p99 / ctrl_p99:.3f} control p99){fail}",
+          flush=True)
+    server.shutdown()
+    server.server_close()
+    disp.close()
 
 
 if __name__ == "__main__":
