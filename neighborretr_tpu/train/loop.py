@@ -282,15 +282,18 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
 
     def save_preempt():
         path = os.path.join(cfg.train.output_dir, "state_preempt.npz")
-        # Pure-DP state is replicated, so every process can read it LOCALLY
-        # (fetch_to_host's fully-replicated fast path) — no collective, no
-        # deadlock even if only this process received the SIGTERM.  State
-        # with process-SPANNING shards (multi-host FSDP/TP) would need a
+        # Single-process state is fully addressable — read locally, write
+        # one npz.  State with process-SPANNING shards would need a
         # process_allgather, which cannot be safely entered from a
         # signal-initiated teardown — each process instead writes its own
         # locally-addressable shards (collective-free,
         # core/checkpoint.py::save_sharded_train_state); resume reassembles
-        # from the shard set and rejects skewed/incomplete sets.
+        # from the shard set and rejects skewed/incomplete sets.  In
+        # practice EVERY multi-host run takes the sharded path, not just
+        # FSDP/TP: the FIFO bank refresh consumes the data-sharded batch
+        # features, so XLA leaves state.bank.feat_* sharded over `data`
+        # across processes (measured in
+        # tests/test_multiprocess.py::test_multihost_dp_midepoch_...).
         if state_needs_collective():
             shard_path = ckpt.save_sharded_train_state(
                 cfg.train.output_dir, state)

@@ -416,3 +416,68 @@ def test_multihost_fsdp_midepoch_preempt_sharded_resume(tmp_path):
     # final state equal to one fp32 ulp across the mid-epoch
     # controller-spanning preemption (params + moments + bank + step)
     _state_files_equal(os.path.join(part, "state_epoch1.npz"), final_full)
+
+
+@pytest.mark.slow
+def test_multihost_dp_midepoch_preempt_replicated_resume(tmp_path):
+    """Localization control for the rounding drift documented in
+    _state_files_equal: the SAME mid-epoch SIGTERM + --resume auto flow,
+    but pure-DP (no FSDP).  Finding while building this: even pure-DP
+    multi-host state takes the SHARDED save path — the FIFO bank update
+    consumes the data-sharded batch features, so XLA leaves
+    state.bank.feat_* sharded over `data` across the processes and
+    state_needs_collective() is True in every multi-host run.  The test
+    therefore compares drift between DP (only the bank process-spanning)
+    and FSDP (params+moments too): params here are replicated end-to-end,
+    so any parameter drift in this variant is generic to multi-process
+    mid-epoch resume rather than to FSDP reassembly."""
+    import signal
+    import time
+
+    size = ("--synthetic_size", "32")
+    full = str(tmp_path / "full")
+    _run_duo(full, extra=("--epochs", "2", *size))
+    losses_full = _train_losses(full)
+    assert len(losses_full) == 8
+    final_full = os.path.join(full, "state_epoch1.npz")
+    assert os.path.exists(final_full)
+
+    part = str(tmp_path / "part")
+    procs = _spawn_duo(part, extra=("--epochs", "2", *size))
+    jsonl = os.path.join(part, "metrics.jsonl")
+    deadline = time.time() + 1500
+    seen_mid_epoch = False
+    while time.time() < deadline:
+        if os.path.exists(jsonl):
+            steps = []
+            with open(jsonl) as f:
+                for line in f:
+                    try:
+                        r = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    if r.get("kind") == "train":
+                        steps.append(r["step"])
+            if any(s >= 5 for s in steps):
+                seen_mid_epoch = True
+                break
+        if all(p.poll() is not None for p in procs):
+            break
+        time.sleep(0.1)
+    assert seen_mid_epoch, "epoch-1 first step never appeared"
+    for p in procs:
+        p.send_signal(signal.SIGTERM)
+    _wait_duo(procs)
+
+    # the bank's data-sharded leaves force the sharded save even for DP
+    assert os.path.exists(
+        os.path.join(part, "state_preempt.manifest.json")), \
+        "sharded preempt manifest missing"
+    assert not os.path.exists(os.path.join(part, "state_preempt.npz"))
+
+    _run_duo(part, extra=("--epochs", "2", "--resume", "auto", *size))
+    full_map = dict(losses_full)
+    for s, l in _train_losses(part):
+        np.testing.assert_allclose(l, full_map[s], rtol=1e-6, atol=0,
+                                   err_msg=f"step {s}")
+    _state_files_equal(os.path.join(part, "state_epoch1.npz"), final_full)
