@@ -337,13 +337,20 @@ def _to_npz_dtype(arr: np.ndarray) -> np.ndarray:
 
 
 def save_sharded_train_state(output_dir: str, state,
-                             tag: str = "state_preempt") -> str:
+                             tag: str = "state_preempt",
+                             force_sharded: bool = False) -> str:
     """Collective-free per-process save; every process MUST call this (each
     writes `{tag}.shard{p}.npz`; process 0 adds `{tag}.manifest.json`).
     Replicated / fully-addressable leaves go to process 0's file only;
     process-spanning leaves contribute their local replica-0 shards (data +
     global bounds) — the union across files tiles each global array exactly
-    once.  Returns this process's shard path."""
+    once.  Returns this process's shard path.
+
+    `force_sharded` routes non-replicated-but-fully-addressable leaves
+    through the per-shard extraction anyway — single-process tests use it
+    to exercise the exact shard-bounds + reassembly path at the bit level
+    (tests/test_checkpoint.py::test_forced_sharded_reassembly_is_bitwise);
+    production multi-host saves never need it."""
     import jax
 
     pidx, pcount = jax.process_index(), jax.process_count()
@@ -353,7 +360,7 @@ def save_sharded_train_state(output_dir: str, state,
         for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
             key = f"{name}{_SEP}{path_key(path)}"
             if (not isinstance(leaf, jax.Array) or leaf.is_fully_replicated
-                    or leaf.is_fully_addressable):
+                    or (leaf.is_fully_addressable and not force_sharded)):
                 if pidx == 0:        # replicated: local read, save once
                     payload[f"full{_SEP}{key}"] = _to_npz_dtype(
                         np.asarray(leaf))

@@ -371,3 +371,55 @@ def test_resolve_resume_auto_sharded_kind(tmp_path, monkeypatch):
                         lambda x: np.asarray((3, 0), np.int64))
     want = str(tmp_path / ("state_preempt" + ckpt.MANIFEST_SUFFIX))
     assert ckpt.resolve_resume_auto(str(tmp_path)) == want
+
+
+def test_forced_sharded_reassembly_is_bitwise(cfg, tmp_path, rng):
+    """Bit-level isolation of the shard-extraction + reassembly path: FSDP
+    state on the virtual 8-device mesh, saved with force_sharded=True (so
+    the sharded leaves go through per-shard bounds extraction instead of
+    the fully-addressable 'full' path), must reload BITWISE.  This pins
+    the reassembly machinery as exact — the rounding-level drift the
+    multi-host integration test documents (test_multiprocess.py::
+    _state_files_equal) therefore originates in the post-resume COMPUTE of
+    a fresh process pair, not in the checkpoint roundtrip."""
+    import jax.numpy as jnp
+
+    from neighborretr_tpu.parallel import mesh as pmesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh (tests/conftest.py)")
+    mesh = pmesh.make_mesh(num_devices=8)
+    params = pmesh.place_params(
+        model.init_params(jax.random.PRNGKey(0), cfg.model), mesh, fsdp=True)
+    bank = mb.create(cfg.train.memory_bank_capacity, W, F,
+                     cfg.model.clip.embed_dim)
+    bank = mb.MemoryBank(*pmesh.replicate_tree(tuple(bank), mesh))
+    batch = pmesh.shard_batch(
+        {k: np.asarray(v) for k, v in make_batch(rng, cfg, batch=B).items()},
+        mesh)
+    cfgf = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, fsdp=True))
+    state, _ = train_step(create_train_state(params, bank), batch,
+                          jax.random.PRNGKey(1), cfgf, 10, mesh=mesh)
+    # at least one leaf must actually be sharded or the test is vacuous
+    assert any(isinstance(x, jax.Array) and not x.sharding.is_fully_replicated
+               for x in jax.tree_util.tree_leaves(state.params))
+
+    ckpt.save_sharded_train_state(str(tmp_path), state, force_sharded=True)
+    with np.load(tmp_path / "state_preempt.shard0.npz") as d:
+        assert any(k.startswith("shdata") for k in d.files), \
+            "force_sharded did not route any leaf through the shard path"
+
+    like = create_train_state(
+        model.init_params(jax.random.PRNGKey(9), cfg.model),
+        mb.create(cfg.train.memory_bank_capacity, W, F,
+                  cfg.model.clip.embed_dim))
+    resumed = ckpt.load_sharded_train_state(
+        str(tmp_path / ("state_preempt" + ckpt.MANIFEST_SUFFIX)), like)
+
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(jax.device_get(state))[0],
+            jax.tree_util.tree_flatten_with_path(resumed)[0]):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b),
+            err_msg=ckpt.path_key(pa))

@@ -320,7 +320,11 @@ def _state_files_equal(a: str, b: str):
     activations (post-resume losses match to one fp32 ulp) — so
     rounding-noise equality (atol 1e-9, 5+ digits below any trained bias
     magnitude) is the contract here; the single-process mid-epoch resume
-    remains bitwise (test_train_loop.py::test_mid_epoch_resume_is_exact).
+    remains bitwise (test_train_loop.py::test_mid_epoch_resume_is_exact),
+    and the shard-extraction + reassembly machinery itself is PROVEN
+    bit-exact in isolation (test_checkpoint.py::
+    test_forced_sharded_reassembly_is_bitwise) — the drift originates in
+    the fresh process pair's post-resume compute, not the checkpoint.
     DERIVED state gets accumulator-class slack: the Adam moments (rtol
     1e-3 / atol 1e-7, observed max rel 1.1e-4 on tiny elements) are EMA
     accumulators of exactly the rounding-sensitive small-gradient sums
