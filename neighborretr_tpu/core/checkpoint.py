@@ -224,7 +224,7 @@ def latest_resumable(output_dir: str):
     # is present and step-consistent — _read_sharded_set validates that
     mpath = os.path.join(output_dir, "state_preempt" + MANIFEST_SUFFIX)
     if os.path.exists(mpath):
-        got = _read_sharded_set(mpath)
+        got = _read_sharded_set(mpath, materialize=False)
         if got is not None and got[0] >= best_step:
             best_path, best_step = mpath, got[0]
     return best_path
@@ -359,8 +359,17 @@ def save_sharded_train_state(output_dir: str, state,
                        ("opt_v", state.opt.v), ("bank", state.bank._asdict())):
         for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
             key = f"{name}{_SEP}{path_key(path)}"
+            # Multi-process: EVERY non-fully-replicated jax.Array goes
+            # through the per-shard branch.  `is_fully_addressable` is a
+            # per-process view — a leaf living entirely on one host's
+            # devices (e.g. pipeline-stage-local params) is fully
+            # addressable on its OWNER but pidx==0 is the only writer of
+            # 'full' payloads, so the owner would skip it and nobody would
+            # write the data.  The 'full' fast path is therefore reserved
+            # for replicated leaves and single-process runs; force_sharded
+            # remains the single-process test hook for the shard machinery.
             if (not isinstance(leaf, jax.Array) or leaf.is_fully_replicated
-                    or (leaf.is_fully_addressable and not force_sharded)):
+                    or (pcount == 1 and not force_sharded)):
                 if pidx == 0:        # replicated: local read, save once
                     payload[f"full{_SEP}{key}"] = _to_npz_dtype(
                         np.asarray(leaf))
@@ -379,21 +388,43 @@ def save_sharded_train_state(output_dir: str, state,
     shard_path = os.path.join(output_dir, f"{tag}.shard{pidx}.npz")
     _atomic_savez(shard_path, payload)
     if pidx == 0:
+        import glob as _glob
         import json
+        import re
         mpath = os.path.join(output_dir, tag + MANIFEST_SUFFIX)
         tmp = mpath + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"tag": tag, "step": int(np.asarray(state.step)),
                        "process_count": pcount}, f)
         os.replace(tmp, mpath)
+        # Topology-change hygiene: a preempted job rescheduled with FEWER
+        # processes would otherwise leave shard{>=pcount}.npz files from the
+        # earlier save on shared storage.  _read_sharded_set already ignores
+        # them (it opens exactly shard0..shard{pcount-1}), but stale
+        # gigabyte-scale shards should not accumulate across reschedules.
+        for fp in _glob.glob(os.path.join(output_dir, f"{tag}.shard*.npz")):
+            m = re.fullmatch(re.escape(tag) + r"\.shard(\d+)\.npz",
+                             os.path.basename(fp))
+            if m and int(m.group(1)) >= pcount:
+                try:
+                    os.remove(fp)
+                except OSError:
+                    pass
     return shard_path
 
 
-def _read_sharded_set(manifest_path: str):
+def _read_sharded_set(manifest_path: str, materialize: bool = True):
     """(step, flat dict of reassembled GLOBAL arrays) for a sharded save,
     or None if the set is incomplete/inconsistent (a skewed preemption can
-    leave processes at different steps — such a set must not resume)."""
-    import glob as _glob
+    leave processes at different steps — such a set must not resume).
+
+    materialize=False validates WITHOUT loading any tensor data: npz
+    members are read lazily on key access, so touching only step /
+    process_count / shape / shidx (all tiny int64 arrays) checks shard
+    presence, step consistency, and exact tiling coverage at ~zero I/O.
+    `latest_resumable` uses this for `--resume auto` resolution so a large
+    params+moments+bank set is not reassembled into host buffers twice
+    (once to learn the step, once to actually load)."""
     import json
 
     try:
@@ -404,8 +435,12 @@ def _read_sharded_set(manifest_path: str):
     except Exception:
         return None
     out_dir = os.path.dirname(manifest_path)
-    files = sorted(_glob.glob(os.path.join(out_dir, f"{tag}.shard*.npz")))
-    if len(files) != pcount:
+    # Exactly shard0..shard{pcount-1}: a topology change (reschedule with a
+    # different process count) can leave stale higher-index shards from an
+    # earlier save next to a fresh complete set — they must not poison it.
+    files = [os.path.join(out_dir, f"{tag}.shard{i}.npz")
+             for i in range(pcount)]
+    if pcount < 1 or not all(os.path.exists(fp) for fp in files):
         return None
     flat: Dict[str, np.ndarray] = {}
     shapes: Dict[str, np.ndarray] = {}
@@ -420,17 +455,19 @@ def _read_sharded_set(manifest_path: str):
                 for k in data.files:
                     kind, _, rest = k.partition(_SEP)
                     if kind == "full":
-                        flat[rest] = data[k]
+                        if materialize:
+                            flat[rest] = data[k]
                     elif kind == "shape":
                         shapes[rest] = data[k]
                     elif kind == "shdata":
                         base = rest.rsplit("@", 1)[0]
                         idx_key = f"shidx{_SEP}{rest}"
                         pieces.setdefault(base, []).append(
-                            (data[idx_key], data[k]))
+                            (data[idx_key],
+                             data[k] if materialize else None))
                     elif kind in ("shidx",):
                         pass
-                    else:
+                    elif materialize:
                         flat[k] = data[k]     # step/opt_step/process_count
     except Exception:
         return None
@@ -440,17 +477,24 @@ def _read_sharded_set(manifest_path: str):
         parts = pieces.get(key, [])
         if not parts:
             return None
-        buf = np.zeros(tuple(int(d) for d in shape), parts[0][1].dtype)
+        size = int(np.prod([int(d) for d in shape], dtype=np.int64))
         covered = 0
+        buf = None
         for bounds, arr in parts:
             sl = tuple(slice(int(a), int(b)) for a, b in bounds)
-            buf[sl] = arr
-            covered += arr.size
-        if covered != buf.size:     # replica-0 shards tile exactly once,
+            covered += int(np.prod([int(b) - int(a) for a, b in bounds],
+                                   dtype=np.int64))
+            if materialize:
+                if buf is None:
+                    buf = np.zeros(tuple(int(d) for d in shape), arr.dtype)
+                buf[sl] = arr
+        if covered != size:         # replica-0 shards tile exactly once,
             return None             # so covered size == global size
-        flat[key] = buf
+        if materialize:
+            flat[key] = buf
     flat.pop("process_count", None)
-    return steps.pop(), flat
+    step = steps.pop()
+    return (step, flat) if materialize else (step, None)
 
 
 def load_sharded_train_state(manifest_path: str, state_like):

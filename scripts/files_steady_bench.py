@@ -9,13 +9,19 @@ H2D protocol starves under GIL contention with the loader's producer thread
 busy; measured, PARITY "From-files").  Neither exists on a real TPU-VM host
 (local PCIe DMA, ≥28 cores/chip).
 
-This bench removes both artifacts without faking the work:
-  1. warms until the optimized executable is live (step < 0.6 s),
-  2. runs ONE pipeline thread that alternates batch assembly (packed read +
-     RandAugment) and the blocking device upload — serial on one thread, so
-     neither starves the other on a 1-core host,
-  3. chains donated train steps on the main thread, ONE loss fetch per
-     epoch (bench.py's measurement convention).
+Round 5 re-work (VERDICT r4 weak #3 + advisor low #4):
+  * The pipelined leg now drives the PRODUCTION overlap machinery — the
+    same ``BatchLoader(prefetch=…)`` + ``prefetch_to_device(size=2)`` pair
+    the training loop uses (train/loop.py:398) — so the overlapped pairs/s
+    is measured, not arithmetic substituting a fresh-process upload rate.
+  * A serialized leg (strict assemble → upload → step, host-blocked each
+    phase) decomposes the same epoch into per-phase costs; the two legs
+    together yield a measured overlap efficiency: the fraction of host
+    (assembly+upload) time hidden behind device compute.
+  * The synthetic comparison is configuration-matched: ``--mb_batch``
+    defaults to bench.py's MB_BATCH=4 (bank capacity mb_batch×batch), and
+    the bank capacity is recorded in the JSON, so vs_synthetic no longer
+    compares a 96-slot-bank run against a 384-slot-bank reference.
 
 Prints one JSON line.  Usage (after cli/pack_dataset.py on the tree built
 by files_throughput_drive.py):
@@ -25,9 +31,7 @@ by files_throughput_drive.py):
 import argparse
 import json
 import os
-import queue
 import sys
-import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -40,11 +44,18 @@ def main():
     ap.add_argument("--root", default="/tmp/nrtpu_files_drive")
     ap.add_argument("--packed", default="/tmp/nrtpu_files_drive/packed")
     ap.add_argument("--batch", type=int, default=96)
+    ap.add_argument("--mb_batch", type=int, default=4,
+                    help="memory-bank fill batches (bank = mb_batch*batch); "
+                         "default matches bench.py's MB_BATCH so "
+                         "vs_synthetic compares like with like")
     ap.add_argument("--augment", default="rand-m7-n4-mstd0.5-inc1")
+    ap.add_argument("--augment_backend", default="auto")
     ap.add_argument("--epochs", type=int, default=2,
-                    help="measured epochs after warm (median of per-epoch "
-                         "pairs/s)")
-    ap.add_argument("--synthetic_ref", type=float, default=346.2)
+                    help="measured epochs per leg after warm (median of "
+                         "per-epoch pairs/s)")
+    ap.add_argument("--synthetic_ref", type=float, default=346.2,
+                    help="bench.py pairs/s at the SAME mb_batch (346.2 is "
+                         "the MB_BATCH=4 flagship number)")
     args = ap.parse_args()
 
     from neighborretr_tpu.utils.cache import enable_compilation_cache
@@ -56,6 +67,7 @@ def main():
 
     from neighborretr_tpu.core.config import (Config, LossConfig,
                                               ModelConfig, TrainConfig)
+    from neighborretr_tpu.data.device_prefetch import prefetch_to_device
     from neighborretr_tpu.data.loader import BatchLoader
     from neighborretr_tpu.data.registry import build_dataset
     from neighborretr_tpu.data.tokenizer import ClipTokenizer
@@ -66,24 +78,29 @@ def main():
 
     mcfg = dataclasses.replace(ModelConfig(), remat=False, unroll_layers=True)
     cfg = Config(model=mcfg, loss=LossConfig(),
-                 train=TrainConfig(batch_size=args.batch, mb_batch=1))
+                 train=TrainConfig(batch_size=args.batch,
+                                   mb_batch=args.mb_batch))
     ds = build_dataset(
         "msrvtt", "train", os.path.join(args.root, "anns"),
         os.path.join(args.root, "videos"), ClipTokenizer(),
         max_words=24, max_frames=12, resolution=224, video_framerate=1,
         packed_dir=args.packed, is_train=True,
-        augment=args.augment or None, augment_backend="auto", seed=42)
+        augment=args.augment or None, augment_backend=args.augment_backend,
+        seed=42)
     dev0 = jax.devices()[0]
     print(f"# device: {dev0}", file=sys.stderr)
 
     params = model.init_params(jax.random.PRNGKey(0), mcfg)
-    bank = mb.create(args.batch, 24, 12, mcfg.clip.embed_dim)
+    bank = mb.create(cfg.train.memory_bank_capacity, 24, 12,
+                     mcfg.clip.embed_dim)
     warm_loader = BatchLoader(ds, args.batch, shuffle=True, drop_last=True,
                               workers=1, seed=7, prefetch=0)
     warm_loader.set_epoch(0)
     wb = {k: jax.device_put(jnp.asarray(v), dev0)
-          for k, v in next(iter(warm_loader)).items()}
-    bank = fill_bank_step(params, bank, wb, cfg, 0)
+          for k, v in next(iter(warm_loader)).items()
+          if k not in ("valid", "video_hash")}
+    for i in range(cfg.train.mb_batch):
+        bank = fill_bank_step(params, bank, wb, cfg, i * args.batch)
     state = create_train_state(params, bank)
 
     # 1. warm out of the tunnel's fallback-executable regime
@@ -99,63 +116,100 @@ def main():
     print(f"# warm: optimized executable after {warm_s:.0f}s", file=sys.stderr)
 
     drop = ("valid", "video_hash")
-    epoch_rates = []
-    host_ms_clip = []
-    for epoch in range(1, 1 + args.epochs):
+
+    def make_loader(epoch, prefetch):
         loader = BatchLoader(ds, args.batch, shuffle=True, drop_last=True,
-                             workers=1, seed=42, prefetch=0)
+                             workers=1, seed=42, prefetch=prefetch)
         loader.set_epoch(epoch)
+        return loader
 
-        # 2. one pipeline thread: assemble THEN upload, serially — the
-        # 1-core-honest overlap (it runs while the main thread waits on the
-        # chip); queue depth 2 = the same double buffering as production
-        q: queue.Queue = queue.Queue(maxsize=2)
-        t_host = [0.0]
-
-        def produce():
-            for host_b in loader:
-                h0 = time.perf_counter()
-                batch = {k: jax.device_put(jnp.asarray(v), dev0)
-                         for k, v in host_b.items() if k not in drop}
-                jax.block_until_ready(batch)
-                t_host[0] += time.perf_counter() - h0
-                q.put(batch)
-            q.put(None)
-
-        th = threading.Thread(target=produce, daemon=True)
+    # ---- Leg A: PIPELINED — the production loop verbatim ----------------
+    # BatchLoader prefetches assembly on its worker thread; prefetch_to_
+    # device keeps 2 uploads in flight; steps chain donated on the main
+    # thread with ONE loss fetch per epoch (bench.py's convention).
+    pipe_rates = []
+    for epoch in range(1, 1 + args.epochs):
+        loader = make_loader(epoch, prefetch=2)
         n = 0
         tic = time.perf_counter()
-        th.start()
-        while True:
-            batch = q.get()
-            if batch is None:
-                break
-            state, metrics = train_step(state, batch,
-                                        jax.random.PRNGKey(1000 * epoch + n),
-                                        cfg, 1000)
+        for batch in prefetch_to_device(loader, size=2):
+            state, metrics = train_step(
+                state, batch, jax.random.PRNGKey(1000 * epoch + n), cfg, 1000)
             n += 1
         loss = float(metrics["loss"])       # ONE sync per epoch
         dt = time.perf_counter() - tic
-        th.join()
         assert np.isfinite(loss)
-        epoch_rates.append(args.batch * n / dt)
-        host_ms_clip.append(t_host[0] / (n * args.batch) * 1000)
-        print(f"# epoch {epoch}: {n} steps in {dt:.1f}s = "
-              f"{epoch_rates[-1]:.2f} pairs/s "
-              f"(host+upload {host_ms_clip[-1]:.1f} ms/clip)", file=sys.stderr)
+        pipe_rates.append(args.batch * n / dt)
+        print(f"# pipelined epoch {epoch}: {n} steps in {dt:.1f}s = "
+              f"{pipe_rates[-1]:.2f} pairs/s", file=sys.stderr)
 
-    rate = float(np.median(epoch_rates))
+    # ---- Leg B: SERIALIZED — assemble → upload → step, each blocked -----
+    # Same corpus, same epochs seeds offset; decomposes per-phase cost so
+    # (T_serial - T_pipe) / (T_assemble + T_upload) is a measured overlap
+    # efficiency, not a substitution.
+    ser_rates, t_asm_l, t_up_l, t_step_l = [], [], [], []
+    for epoch in range(1, 1 + args.epochs):
+        loader = make_loader(epoch, prefetch=0)
+        it = iter(loader)
+        n, t_asm, t_up, t_step = 0, 0.0, 0.0, 0.0
+        tic = time.perf_counter()
+        while True:
+            a0 = time.perf_counter()
+            try:
+                host_b = next(it)
+            except StopIteration:
+                break
+            t_asm += time.perf_counter() - a0
+            u0 = time.perf_counter()
+            batch = {k: jax.device_put(jnp.asarray(v), dev0)
+                     for k, v in host_b.items() if k not in drop}
+            jax.block_until_ready(batch)
+            t_up += time.perf_counter() - u0
+            s0 = time.perf_counter()
+            state, metrics = train_step(
+                state, batch, jax.random.PRNGKey(5000 * epoch + n), cfg, 1000)
+            jax.block_until_ready(metrics["loss"])
+            t_step += time.perf_counter() - s0
+            n += 1
+        dt = time.perf_counter() - tic
+        ser_rates.append(args.batch * n / dt)
+        t_asm_l.append(t_asm / n)
+        t_up_l.append(t_up / n)
+        t_step_l.append(t_step / n)
+        print(f"# serialized epoch {epoch}: {n} steps in {dt:.1f}s = "
+              f"{ser_rates[-1]:.2f} pairs/s (asm {t_asm:.1f}s up {t_up:.1f}s "
+              f"step {t_step:.1f}s)", file=sys.stderr)
+
+    pipe = float(np.median(pipe_rates))
+    ser = float(np.median(ser_rates))
+    asm_s, up_s, step_s = (float(np.median(x))
+                           for x in (t_asm_l, t_up_l, t_step_l))
+    host_s = asm_s + up_s
+    # per-step: serialized spends host_s + step_s; pipelined spends
+    # batch/pipe.  Hidden fraction of host work = (serial - pipe) / host.
+    hidden = (((host_s + step_s) - args.batch / pipe) / host_s
+              if host_s > 0 else 0.0)
     print(json.dumps({
         "metric": ("from-files steady pairs/s (packed read + "
                    f"{'augment + ' if args.augment else ''}upload + step, "
-                   "1 host core, single final fetch/epoch)"),
-        "value": round(rate, 2),
+                   "1 host core, production prefetch_to_device(size=2))"),
+        "value": round(pipe, 2),
         "unit": "pairs/s",
-        "epoch_rates": [round(r, 2) for r in epoch_rates],
-        "host_upload_ms_per_clip_per_core": round(float(np.median(host_ms_clip)), 2),
+        "pipelined_epoch_rates": [round(r, 2) for r in pipe_rates],
+        "serialized_pairs_per_s": round(ser, 2),
+        "serialized_ms_per_step": {"assemble": round(asm_s * 1e3, 1),
+                                   "upload": round(up_s * 1e3, 1),
+                                   "step": round(step_s * 1e3, 1)},
+        "overlap_hidden_frac": round(max(0.0, min(1.0, hidden)), 3),
         "warm_s": round(warm_s, 1),
-        "vs_synthetic": round(rate / args.synthetic_ref, 3),
+        "mb_batch": args.mb_batch,
+        "bank_capacity": cfg.train.memory_bank_capacity,
+        "vs_synthetic": round(pipe / args.synthetic_ref, 3),
+        "synthetic_ref_note": ("bench.py flagship at the same mb_batch "
+                               f"({args.mb_batch}) / bank capacity "
+                               f"({cfg.train.memory_bank_capacity})"),
         "augment": args.augment or "off",
+        "augment_backend": args.augment_backend,
     }))
 
 

@@ -423,3 +423,137 @@ def test_forced_sharded_reassembly_is_bitwise(cfg, tmp_path, rng):
         np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b),
             err_msg=ckpt.path_key(pa))
+
+
+def test_multiprocess_routes_owner_local_leaves_through_shards(
+        cfg, tmp_path, rng, monkeypatch):
+    """Round-5 advisor fix: under jax.process_count() > 1, a leaf that is
+    fully addressable on its owning process but NOT replicated (e.g.
+    pipeline-stage params local to one host) must go through the per-shard
+    branch — the 'full' fast path is written by process 0 only, so routing
+    such a leaf there means NOBODY writes it and the whole set is rejected
+    at read time.  Simulated here by monkeypatching process_count to 2 on
+    the single-process 8-device mesh: FSDP-sharded leaves are fully
+    addressable locally yet must still produce shdata keys."""
+    from neighborretr_tpu.parallel import mesh as pmesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh (tests/conftest.py)")
+    mesh = pmesh.make_mesh(num_devices=8)
+    params = pmesh.place_params(
+        model.init_params(jax.random.PRNGKey(0), cfg.model), mesh, fsdp=True)
+    bank = mb.create(cfg.train.memory_bank_capacity, W, F,
+                     cfg.model.clip.embed_dim)
+    bank = mb.MemoryBank(*pmesh.replicate_tree(tuple(bank), mesh))
+    state = create_train_state(params, bank)
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    # process 0 leg
+    ckpt.save_sharded_train_state(str(tmp_path), state)
+    with np.load(tmp_path / "state_preempt.shard0.npz") as d:
+        keys0 = set(d.files)
+    assert any(k.startswith("shdata") for k in keys0), (
+        "multi-process save must route non-replicated leaves through the "
+        "shard branch even when they are locally fully addressable")
+    # the other process's leg: same state, pidx=1 — no 'full' keys at all
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    ckpt.save_sharded_train_state(str(tmp_path), state)
+    with np.load(tmp_path / "state_preempt.shard1.npz") as d:
+        keys1 = set(d.files)
+    assert not any(k.startswith("full") for k in keys1)
+    assert any(k.startswith("shdata") for k in keys1)
+
+
+def test_sharded_set_ignores_stale_higher_index_shards(tmp_path):
+    """Topology-change hygiene: shard files with index >= the manifest's
+    process_count (leftovers from an earlier save with more processes) must
+    not poison a fresh complete set, and a fresh save must delete them."""
+    import json as _json
+
+    d = tmp_path
+    key = "params//w"
+    full = np.arange(24, dtype=np.float32).reshape(6, 4)
+
+    def write(name, rows, step, pcount=2):
+        payload = {
+            f"shape//{key}": np.asarray(full.shape, np.int64),
+            "step": np.asarray(step, np.int64),
+            "opt_step": np.asarray(step, np.int64),
+            "process_count": np.asarray(pcount, np.int64),
+        }
+        for j, (a, b) in enumerate(rows):
+            payload[f"shdata//{key}@{j}"] = full[a:b]
+            payload[f"shidx//{key}@{j}"] = np.asarray(
+                [[a, b], [0, 4]], np.int64)
+        np.savez(d / name, **payload)
+
+    mpath = str(d / ("state_preempt" + ckpt.MANIFEST_SUFFIX))
+    with open(mpath, "w") as f:
+        _json.dump({"tag": "state_preempt", "step": 7, "process_count": 2}, f)
+    write("state_preempt.shard0.npz", [(0, 3)], step=7)
+    write("state_preempt.shard1.npz", [(3, 6)], step=7)
+    # stale leftovers from an earlier 4-process save, one step behind
+    write("state_preempt.shard2.npz", [(0, 6)], step=6, pcount=4)
+    write("state_preempt.shard3.npz", [], step=6, pcount=4)
+
+    got = ckpt._read_sharded_set(mpath)
+    assert got is not None, "stale shard{>=pcount} files poisoned the set"
+    step, flat = got
+    assert step == 7
+    np.testing.assert_array_equal(flat[key], full)
+
+    # validate-only mode agrees without materializing any data
+    step2, none = ckpt._read_sharded_set(mpath, materialize=False)
+    assert step2 == 7 and none is None
+
+
+def test_validate_only_rejects_what_materialize_rejects(tmp_path):
+    """materialize=False must reject incomplete/skewed/gapped sets exactly
+    like the materializing read — it is what --resume auto resolution uses,
+    so a false positive there would send resume into a ValueError instead
+    of falling back to the older epoch checkpoint."""
+    import json as _json
+
+    d = tmp_path
+    key = "params//w"
+    full = np.arange(24, dtype=np.float32).reshape(6, 4)
+
+    def write(name, rows, step, pcount=2):
+        payload = {
+            f"shape//{key}": np.asarray(full.shape, np.int64),
+            "step": np.asarray(step, np.int64),
+            "opt_step": np.asarray(step, np.int64),
+            "process_count": np.asarray(pcount, np.int64),
+        }
+        for j, (a, b) in enumerate(rows):
+            payload[f"shdata//{key}@{j}"] = full[a:b]
+            payload[f"shidx//{key}@{j}"] = np.asarray(
+                [[a, b], [0, 4]], np.int64)
+        np.savez(d / name, **payload)
+
+    mpath = str(d / ("state_preempt" + ckpt.MANIFEST_SUFFIX))
+    with open(mpath, "w") as f:
+        _json.dump({"tag": "state_preempt", "step": 7, "process_count": 2}, f)
+
+    write("state_preempt.shard0.npz", [(0, 3)], step=7)   # shard1 missing
+    assert ckpt._read_sharded_set(mpath, materialize=False) is None
+    write("state_preempt.shard1.npz", [(3, 6)], step=8)   # skewed step
+    assert ckpt._read_sharded_set(mpath, materialize=False) is None
+    write("state_preempt.shard1.npz", [(3, 5)], step=7)   # coverage gap
+    assert ckpt._read_sharded_set(mpath, materialize=False) is None
+    write("state_preempt.shard1.npz", [(3, 6)], step=7)   # now complete
+    assert ckpt._read_sharded_set(mpath, materialize=False) == (7, None)
+
+
+def test_save_cleans_stale_shards(cfg, tmp_path, rng):
+    """A fresh single-process save must delete shard files left by an
+    earlier save with a larger process count (index >= current pcount)."""
+    params = model.init_params(jax.random.PRNGKey(0), cfg.model)
+    bank = mb.create(cfg.train.memory_bank_capacity, W, F,
+                     cfg.model.clip.embed_dim)
+    state = create_train_state(params, bank)
+    stale = tmp_path / "state_preempt.shard3.npz"
+    np.savez(stale, step=np.asarray(0), process_count=np.asarray(4))
+    ckpt.save_sharded_train_state(str(tmp_path), state)
+    assert not stale.exists(), "stale shard3.npz not cleaned up"
+    assert (tmp_path / "state_preempt.shard0.npz").exists()
