@@ -121,10 +121,18 @@ def main():
     if BACKBONE != "vit_b_32":
         from neighborretr_tpu.core.config import ClipConfig
         mcfg = dataclasses.replace(mcfg, clip=getattr(ClipConfig, BACKBONE)())
-    from neighborretr_tpu.core.config import OptimizerConfig
+    from neighborretr_tpu.core.config import DataConfig, OptimizerConfig
+    # BENCH_AUGMENT=device adds the on-chip RandAugment stage to the step
+    # (ops/device_augment.py) — the A/B knob for its step-time cost; the
+    # default keeps the flagship step exactly as in prior rounds
+    aug_backend = os.environ.get("BENCH_AUGMENT", "")
     cfg = Config(model=mcfg, loss=LossConfig(),
                  optim=OptimizerConfig(moments_dtype=os.environ.get(
                      "BENCH_MOMENTS", "float32")),
+                 data=DataConfig(max_words=mcfg.max_words,
+                                 max_frames=mcfg.max_frames,
+                                 augment_backend=aug_backend or "auto",
+                                 train_augment=bool(aug_backend)),
                  train=TrainConfig(batch_size=BATCH, mb_batch=MB_BATCH,
                                    micro_batches=int(
                                        os.environ.get("BENCH_MICRO", "1"))))

@@ -100,6 +100,12 @@ def parse_args():
                    choices=["float32", "bfloat16"],
                    help="storage dtype for Adam moments (bfloat16 halves "
                         "optimizer HBM; update math stays fp32)")
+    p.add_argument("--opt_moments_placement", default="device",
+                   choices=["device", "host"],
+                   help="where the carried moments live between steps: "
+                        "'host' streams them through pinned host memory, "
+                        "freeing moments-sized HBM (~1.2 GB fp32 ViT-B) for "
+                        "activation headroom at a per-step PCIe round trip")
     p.add_argument("--micro_batches", type=int, default=1,
                    help="encode the global batch in N sequential microbatches "
                         "(jax.checkpoint) while the contrastive losses see "
@@ -142,11 +148,14 @@ def parse_args():
     p.add_argument("--augment", default="rand-m7-n4-mstd0.5-inc1",
                    help="train-time video RandAugment policy; '' disables")
     p.add_argument("--augment_backend", default="auto",
-                   choices=["auto", "native", "pil"],
+                   choices=["auto", "native", "pil", "device"],
                    help="augmentation kernels: 'native' = C++ ops "
                         "(data/native, byte-exact vs PIL, ~5x less host "
                         "CPU per clip), 'pil' = the PIL/numpy path, "
-                        "'auto' = native when a compiler is available")
+                        "'auto' = native when a compiler is available, "
+                        "'device' = jitted on-chip ops fused into the train "
+                        "step (max|delta|<=1 vs PIL per op; frees the host "
+                        "of the entire augment cost)")
     p.add_argument("--frame_order", type=int, default=0, choices=[0, 1, 2],
                    help="0 normal, 1 reverse, 2 random (rawvideo_util.py:331)")
     p.add_argument("--video_cache_size", type=int, default=0,
@@ -221,13 +230,15 @@ def main():
         optim=OptimizerConfig(lr=args.lr, coef_lr=args.coef_lr,
                               weight_decay=args.weight_decay,
                               warmup_proportion=args.warmup_proportion,
-                              moments_dtype=args.opt_moments_dtype),
+                              moments_dtype=args.opt_moments_dtype,
+                              moments_placement=args.opt_moments_placement),
         data=DataConfig(datatype=args.datatype, data_path=args.anno_path,
                         video_path=args.video_path, max_words=args.max_words,
                         max_frames=args.max_frames,
                         video_framerate=args.video_framerate,
                         workers=args.workers,
                         worker_mode=args.worker_mode,
+                        augment=args.augment or "",
                         augment_backend=args.augment_backend,
                         packed_dir=args.packed_dir),
         train=TrainConfig(epochs=args.epochs, batch_size=args.batch_size,

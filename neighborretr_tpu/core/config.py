@@ -259,6 +259,14 @@ class OptimizerConfig:
     # HBM (~3.4 GB → 1.7 GB for ViT-L/14) — the moment update itself always
     # runs in fp32 and only the carried state is rounded.
     moments_dtype: str = "float32"
+    # where the carried moments LIVE between steps: "device" (HBM) or
+    # "host" (pinned host memory; the step streams them in over PCIe, updates
+    # in fp32 on device, streams back).  "host" frees moments-sized HBM
+    # (~1.2 GB fp32 / 0.6 GB bf16 for ViT-B) for activation headroom — the
+    # long-token recipe's chunk-512 lever — at the cost of a per-step
+    # host↔device round trip that XLA's latency-hiding scheduler overlaps
+    # with compute.  Incompatible with fsdp (moments are dp-sharded there).
+    moments_placement: str = "device"
 
 
 @dataclass(frozen=True)
@@ -276,9 +284,17 @@ class DataConfig:
     # Python-level augment cost across cores — reference DataLoader model)
     worker_mode: str = "thread"
     train_augment: bool = True
-    # "auto" | "native" | "pil" — native = the C++ clip kernels in
-    # data/native (byte-exact vs PIL); recorded here so the run's config
-    # dump captures which backend produced the pixels
+    # the train-time RandAugment policy string (timm grammar,
+    # dataloader_retrieval.py:154-158); "" disables.  Lives in DataConfig so
+    # the DEVICE backend (ops/device_augment.py, applied inside the jitted
+    # train step) can read it from the step's static cfg.
+    augment: str = "rand-m7-n4-mstd0.5-inc1"
+    # "auto" | "native" | "pil" | "device" — native = the C++ clip kernels
+    # in data/native (byte-exact vs PIL); device = jitted JAX ops fused into
+    # the train step ahead of normalize_frames (ops/device_augment.py, every
+    # op within max|Δ|≤1 of PIL), freeing the host of the ~14 ms/clip/core
+    # augment cost; recorded here so the run's config dump captures which
+    # backend produced the pixels
     augment_backend: str = "auto"
     # packed pre-decoded corpus directory (cli/pack_dataset.py /
     # data/packed.py); "" = decode from video files per epoch
@@ -448,3 +464,20 @@ def validate(cfg: Config, num_devices: int) -> None:
                 f"data×pipeline_microbatches = {num_devices}×{m} so "
                 "text/temporal rows split into whole microbatches per "
                 "data shard")
+    if cfg.optim.moments_placement not in ("device", "host"):
+        raise ValueError(
+            f"unknown moments_placement '{cfg.optim.moments_placement}' "
+            "(device | host)")
+    if cfg.optim.moments_placement == "host" and cfg.train.fsdp:
+        raise ValueError(
+            "moments_placement='host' assumes replicated moments; fsdp "
+            "shards them over the data axis — the dp-sharded moments are "
+            "already ~dp× smaller, drop one of the two")
+    if cfg.data.augment_backend not in ("auto", "native", "pil", "device"):
+        raise ValueError(
+            f"unknown augment_backend '{cfg.data.augment_backend}' "
+            "(auto | native | pil | device)")
+    if cfg.data.augment_backend == "device" and cfg.data.augment:
+        # fail at validate time, not at first-step trace time
+        from ..ops.device_augment import DeviceAugmentPolicy
+        DeviceAugmentPolicy.parse(cfg.data.augment)

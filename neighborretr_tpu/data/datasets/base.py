@@ -127,9 +127,13 @@ class RetrievalDataset:
         self.frame_order = frame_order
         self.seed = seed
         self._epoch = 0
+        # backend "device" moves the RandAugment into the jitted train step
+        # (ops/device_augment.py) — the host then emits raw uint8 frames and
+        # this dataset applies no pixel-level augment at all
         self._augment = (create_random_augment(augment,
                                                backend=augment_backend)
-                         if (is_train and augment) else None)
+                         if (is_train and augment
+                             and augment_backend != "device") else None)
         self._clip_cache = ClipLRUCache(cache_capacity)
         # packed pre-decoded corpus (data/packed.py): clip reads become
         # page-cached memcpys; misses fall back to cv2 decode.  The reader

@@ -177,18 +177,19 @@ def _affine_matrices(op_idx, fire, level, neg, H: int, W: int):
     d = jnp.where(act("ShearY"), shear, d)
     c = jnp.where(act("TranslateX"), trans * W, c)
     f = jnp.where(act("TranslateY"), trans * H, f)
-    # PIL rotate(θ CCW): inverse map about the image center (W/2, H/2) in
-    # pre-shift coords — src = center + R(θ)·(dst − center) with image-axis
-    # y down (validated against the host backend in tests).
+    # PIL rotate(θ CCW): inverse map about the image center (W/2, H/2) —
+    # PIL builds [cos(−θ), sin(−θ); −sin(−θ), cos(−θ)] and re-centers, i.e.
+    # b = −sin θ, d = +sin θ with image-axis y down (probed against
+    # Image.rotate internals; tests pin the convention per level/sign)
     rot = act("Rotate")
     cos, sin = jnp.cos(theta), jnp.sin(theta)
     cx, cy = W / 2.0, H / 2.0
     a = jnp.where(rot, cos, a)
-    b = jnp.where(rot, sin, b)
-    c = jnp.where(rot, cx - cos * cx - sin * cy, c)
-    d = jnp.where(rot, -sin, d)
+    b = jnp.where(rot, -sin, b)
+    c = jnp.where(rot, cx - cos * cx + sin * cy, c)
+    d = jnp.where(rot, sin, d)
     e = jnp.where(rot, cos, e)
-    f = jnp.where(rot, cy + sin * cx - cos * cy, f)
+    f = jnp.where(rot, cy - sin * cx - cos * cy, f)
     return jnp.stack([a, b, c, d, e, f], axis=-1)
 
 
@@ -206,14 +207,19 @@ def _warp_u8(x_u8: jnp.ndarray, coeff: jnp.ndarray) -> jnp.ndarray:
     valid = ((src_x >= 0) & (src_x < W) & (src_y >= 0) & (src_y < H))
     gx = src_x - 0.5
     gy = src_y - 0.5
-    x0 = jnp.floor(gx)
-    y0 = jnp.floor(gy)
-    fx = (gx - x0)[..., None]                                   # [B,H,W,1]
-    fy = (gy - y0)[..., None]
-    x0 = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
-    y0 = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
-    x1 = jnp.minimum(x0 + 1, W - 1)
-    y1 = jnp.minimum(y0 + 1, H - 1)
+    x0f = jnp.floor(gx)
+    y0f = jnp.floor(gy)
+    fx = (gx - x0f)[..., None]                                  # [B,H,W,1]
+    fy = (gy - y0f)[..., None]
+    # clamp each tap independently from the UNCLIPPED floor: when the floor
+    # itself is out of range (x0f = −1 at the left border) both taps must
+    # collapse onto column 0 — clipping x0 first and adding 1 would pull the
+    # interior neighbor in with weight fx (PIL single-taps the border column
+    # there; probed on Pillow 12.1.0)
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, W - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, H - 1)
+    x1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, W - 1)
+    y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, H - 1)
 
     flat = x_u8.reshape(B, F, H * W, C)
 
@@ -315,6 +321,11 @@ def _layer(x: jnp.ndarray, op_idx, fire, level, neg,
     lin_a = jnp.where(a_ac, ac_scale, lin_a)
     lin_b = jnp.where(a_ac, ac_off, lin_b)
     xf = lin_a[:, :, None, None, :] * xf + lin_b[:, :, None, None, :]
+    # PIL materializes uint8 after every op, so an enhance factor > 1
+    # saturates at 255 — without this clip a brightened pixel ≥ 256 would
+    # fall through the (inactive) solarize reflection below and come out
+    # near-black
+    xf = jnp.clip(xf, 0.0, 255.0)
 
     # ---- 5. solarize family (Invert = threshold 0) ----------------------
     thresh = jnp.full((B,), 256.0)
@@ -368,3 +379,17 @@ def apply_randaugment(video_u8: jnp.ndarray, key: jax.Array,
         x = _layer(x, op_idx[:, layer], fire[:, layer], level[:, layer],
                    neg[:, layer], policy)
     return x
+
+
+def augment_batch(video_u8: jnp.ndarray, video_mask: jnp.ndarray,
+                  key: jax.Array,
+                  policy: "DeviceAugmentPolicy | str") -> jnp.ndarray:
+    """Masked batch augment: padding frames stay EXACTLY zero.
+
+    The host pipeline augments only the valid prefix and leaves the zero
+    padding untouched (datasets/base.py::video_item); whole-batch device ops
+    would corrupt it (Invert maps 0 → 255, SolarizeAdd 0 → add), so the
+    augmented frames are re-masked with `video_mask` [B, F]."""
+    out = apply_randaugment(video_u8, key, policy)
+    keep = (video_mask > 0)[:, :, None, None, None]
+    return jnp.where(keep, out, jnp.zeros_like(out))

@@ -117,6 +117,41 @@ def clip_effective_norm(grads) -> jnp.ndarray:
         for path, g in flat if not is_frozen(_path_keys(path))))
 
 
+def host_offload_supported() -> bool:
+    """TPU/GPU backends carry pinned_host buffers across donated steps; the
+    CPU backend normalizes output memory kinds back to 'device', which
+    aborts the next donated call on a kind mismatch (probed jax 0.9)."""
+    return jax.devices()[0].platform in ("tpu", "gpu")
+
+
+def moments_sharding(memory_kind: str, mesh=None):
+    """Replicated sharding in the given memory space: the carrier for
+    host-offloaded moments (cfg.moments_placement='host').  With a mesh the
+    moments replicate over it (the pure-DP layout; fsdp is rejected at
+    validate time), else they pin to the default device."""
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        return NamedSharding(mesh, PartitionSpec(), memory_kind=memory_kind)
+    from jax.sharding import SingleDeviceSharding
+    return SingleDeviceSharding(jax.devices()[0], memory_kind=memory_kind)
+
+
+def place_moments(state: "BertAdamState", placement: str,
+                  mesh=None) -> "BertAdamState":
+    """Move the carried m/v to their configured home (no-op for 'device' —
+    the default placement rules already put them in HBM)."""
+    if placement != "host":
+        return state
+    if not host_offload_supported():
+        raise ValueError(
+            "moments_placement='host' needs a TPU/GPU backend (the CPU "
+            "backend cannot round-trip pinned_host buffers through donated "
+            "steps — it would abort mid-training)")
+    s = moments_sharding("pinned_host", mesh)
+    put = lambda t: jax.tree.map(lambda x: jax.device_put(x, s), t)
+    return state._replace(m=put(state.m), v=put(state.v))
+
+
 def bert_adam_init(params: Params,
                    moments_dtype: str = "float32") -> BertAdamState:
     dt = jnp.dtype(moments_dtype)
@@ -131,8 +166,19 @@ def bert_adam_update(
     params: Params,
     cfg: OptimizerConfig,
     t_total: int,
+    mesh=None,
 ) -> Tuple[Params, BertAdamState]:
-    """Returns (new_params, new_state).  Applies both clip stages internally."""
+    """Returns (new_params, new_state).  Applies both clip stages internally.
+
+    With cfg.moments_placement='host' the carried m/v arrive in pinned host
+    memory: each leaf streams to device for the fp32 update and the new
+    moments stream back (the update math itself is placement-independent —
+    tests pin the two trajectories bitwise-equal).  `mesh` only selects the
+    replicated-sharding carrier for those transfers."""
+    host_moments = cfg.moments_placement == "host"
+    if host_moments:
+        dev_s = moments_sharding("device", mesh)
+        host_s = moments_sharding("pinned_host", mesh)
     sched = SCHEDULES[cfg.schedule]
     progress = state.step.astype(jnp.float32) / float(t_total)
     lr_mult = sched(progress, cfg.warmup_proportion)
@@ -163,6 +209,9 @@ def bert_adam_update(
 
     def leaf_update(path, g, sq_l, m, v, p):
         keys = _path_keys(path)
+        if host_moments:
+            m = jax.device_put(m, dev_s)
+            v = jax.device_put(v, dev_s)
         g = g.astype(jnp.float32)
         scale = coef
         if cfg.max_grad_norm > 0:                 # stage 2 (optimization.py:181)
@@ -179,8 +228,12 @@ def bert_adam_update(
             update = update + cfg.weight_decay * p
         lr = cfg.lr * (cfg.coef_lr if is_clip_branch(keys) else 1.0)
         new_p = p - lr * lr_mult * update
-        return (new_p.astype(p.dtype), new_m.astype(m.dtype),
-                new_v.astype(v.dtype))
+        new_m = new_m.astype(m.dtype)
+        new_v = new_v.astype(v.dtype)
+        if host_moments:
+            new_m = jax.device_put(new_m, host_s)
+            new_v = jax.device_put(new_v, host_s)
+        return new_p.astype(p.dtype), new_m, new_v
 
     new_p, new_m, new_v = [], [], []
     for (path, g), sq_l, fz, m, v, p in zip(flat, sq, frozen, m_leaves,

@@ -24,6 +24,7 @@ from ..data.loader import BatchLoader
 from ..models import neighborretr as model
 from ..parallel import mesh as pmesh
 from ..utils.logging import JsonlMetricsWriter, MetricLogger, setup_logger
+from . import bertadam
 from . import memory_bank as mb
 from .evaluate import evaluate
 from .metrics import BestMetricsTracker
@@ -74,14 +75,21 @@ class PreemptionGuard:
 
 
 def fill_memory_bank(params, cfg: Config, bank_loader: BatchLoader,
-                     bank: mb.MemoryBank, mesh=None) -> mb.MemoryBank:
-    """Epoch-start fill: encode min(mb_batch, len(loader)) batches."""
+                     bank: mb.MemoryBank, mesh=None,
+                     key=None) -> mb.MemoryBank:
+    """Epoch-start fill: encode min(mb_batch, len(loader)) batches.  `key`
+    (device augment backend only) seeds the on-chip RandAugment of the fill
+    batches; each fill batch folds its index so clips draw independently."""
     import itertools
+    if cfg.data.augment_backend != "device":
+        key = None       # keep the 5-arg jit signature for host backends
     n_fill = min(cfg.train.mb_batch, len(bank_loader))
     batches = itertools.islice(iter(bank_loader), n_fill)
     for i, batch in enumerate(prefetch_to_device(batches, size=2, mesh=mesh)):
         bank = fill_bank_step(params, bank, batch, cfg,
-                              i * cfg.train.batch_size)
+                              i * cfg.train.batch_size,
+                              key=None if key is None
+                              else jax.random.fold_in(key, i))
     return bank
 
 
@@ -141,7 +149,9 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
         bank = mb.MemoryBank(*pmesh.replicate_tree(tuple(bank), mesh))
 
     state = create_train_state(params, bank,
-                               moments_dtype=cfg.optim.moments_dtype)
+                               moments_dtype=cfg.optim.moments_dtype,
+                               moments_placement=cfg.optim.moments_placement,
+                               mesh=mesh)
     tracker = BestMetricsTracker()
     best_path = os.path.join(cfg.train.output_dir, "best.npz")
     best_host = None     # host copy of the best params, held by EVERY process
@@ -166,14 +176,20 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
             state = state._replace(
                 params=pmesh.place_params(state.params, mesh,
                                           fsdp=cfg.train.fsdp),
-                opt=state.opt._replace(
+                opt=bertadam.place_moments(state.opt._replace(
                     step=jax.device_put(state.opt.step, pmesh.replicated(mesh)),
                     m=pmesh.place_params(state.opt.m, mesh,
                                          fsdp=cfg.train.fsdp),
                     v=pmesh.place_params(state.opt.v, mesh,
                                          fsdp=cfg.train.fsdp)),
+                    cfg.optim.moments_placement, mesh),
                 bank=jax.device_put(state.bank, pmesh.replicated(mesh)),
                 step=jax.device_put(state.step, pmesh.replicated(mesh)))
+        else:
+            # meshless resume: re-home the moments (host placement is not
+            # recorded in the npz — the run config decides)
+            state = state._replace(opt=bertadam.place_moments(
+                state.opt, cfg.optim.moments_placement))
         global_step = int(state.step)
         start_epoch = min(global_step // max(steps_per_epoch, 1),
                           cfg.train.epochs)
@@ -384,8 +400,13 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
             if mesh is not None:
                 empty = mb.MemoryBank(*pmesh.replicate_tree(tuple(empty),
                                                             mesh))
+            # fill-augment key: derived from (run key, epoch) on a stream
+            # disjoint from the step keys (which fold global_step), so an
+            # epoch-boundary resume re-fills with identical draws
             state = state._replace(bank=fill_memory_bank(
-                state.params, cfg, bank_loader, empty, mesh))
+                state.params, cfg, bank_loader, empty, mesh,
+                key=jax.random.fold_in(jax.random.fold_in(key, 0xBAFF),
+                                       epoch)))
             logger.info("Epoch %d: memory bank filled in %.1fs", epoch,
                         time.time() - tic)
         if guard.requested:     # SIGTERM during the (minutes-long) bank fill

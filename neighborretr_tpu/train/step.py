@@ -36,11 +36,35 @@ class TrainState(NamedTuple):
 
 
 def create_train_state(params: Params, bank: MemoryBank,
-                       moments_dtype: str = "float32") -> TrainState:
-    return TrainState(
-        params=params,
-        opt=bertadam.bert_adam_init(params, moments_dtype=moments_dtype),
-        bank=bank, step=jnp.zeros((), jnp.int32))
+                       moments_dtype: str = "float32",
+                       moments_placement: str = "device",
+                       mesh=None) -> TrainState:
+    opt = bertadam.bert_adam_init(params, moments_dtype=moments_dtype)
+    opt = bertadam.place_moments(opt, moments_placement, mesh)
+    return TrainState(params=params, opt=opt, bank=bank,
+                      step=jnp.zeros((), jnp.int32))
+
+
+def _maybe_device_augment(cfg: Config, batch: Dict[str, jnp.ndarray],
+                          key: jax.Array) -> Dict[str, jnp.ndarray]:
+    """On-chip RandAugment ahead of normalize_frames when
+    --augment_backend device: the host then ships raw packed bytes and the
+    augment math rides the accelerator (ops/device_augment.py).  The augment
+    key folds from the step key, so resumes replay the same draws and the
+    cluster-noise stream below is untouched."""
+    if (cfg.data.augment_backend != "device" or not cfg.data.train_augment
+            or not cfg.data.augment):
+        return batch
+    from ..ops.device_augment import augment_batch
+    if batch["video"].dtype != jnp.uint8:
+        raise TypeError(
+            "--augment_backend device needs uint8 frames from the loader "
+            f"(got {batch['video'].dtype}); the host pipeline must not "
+            "normalize or augment first")
+    video = augment_batch(batch["video"], batch["video_mask"],
+                          jax.random.fold_in(key, 0x41554721),
+                          cfg.data.augment)
+    return dict(batch, video=video)
 
 
 def _microbatched_features(params: Params, mcfg, batch: Dict[str, jnp.ndarray],
@@ -184,6 +208,7 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
     """One optimizer step.  `mesh` (static): when provided together with
     cfg.train.explicit_spmd, the loss runs through the shard_map row-sharded
     path (parallel/spmd.py); otherwise GSPMD partitions the gathered form."""
+    batch = _maybe_device_augment(cfg, batch, key)
     if mesh is not None and cfg.train.explicit_spmd and mesh.devices.size > 1:
         from ..parallel.spmd import compute_losses_spmd
         loss_fn = functools.partial(compute_losses_spmd, mesh=mesh,
@@ -208,7 +233,7 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                 state.params, cfg, batch, state.bank, key)
 
     new_params, new_opt = bertadam.bert_adam_update(
-        grads, state.opt, state.params, cfg.optim, t_total)
+        grads, state.opt, state.params, cfg.optim, t_total, mesh=mesh)
     new_params = model.clamp_logit_scale(new_params, cfg.loss.max_logit_scale)
 
     # FIFO bank refresh with the freshly encoded batch (modeling.py:309-310)
@@ -232,12 +257,17 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    donate_argnames=("bank",))
 def fill_bank_step(params: Params, bank: MemoryBank,
                    batch: Dict[str, jnp.ndarray], cfg: Config,
-                   offset) -> MemoryBank:
+                   offset, key=None) -> MemoryBank:
     """Epoch-start bank fill: encode one batch, write at `offset`
     (utils/memory_bank.py:124-211).  `offset` is a TRACED scalar —
     write_slice is a dynamic_update_slice — so the mb_batch fill batches
-    share ONE compiled program instead of recompiling per offset."""
+    share ONE compiled program instead of recompiling per offset.  `key`
+    (optional) enables the device augment backend for the fill batches —
+    the reference's bank loader IS a train loader, so its clips are
+    augmented too (memory_bank.py:49-78)."""
     from .memory_bank import write_slice
+    if key is not None:
+        batch = _maybe_device_augment(cfg, batch, key)
     text_feat, video_feat = model.get_text_video_feat(
         params, cfg.model, batch["text_ids"], batch["text_mask"],
         batch["video"], batch["video_mask"])

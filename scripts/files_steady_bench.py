@@ -65,7 +65,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from neighborretr_tpu.core.config import (Config, LossConfig,
+    from neighborretr_tpu.core.config import (Config, DataConfig, LossConfig,
                                               ModelConfig, TrainConfig)
     from neighborretr_tpu.data.device_prefetch import prefetch_to_device
     from neighborretr_tpu.data.loader import BatchLoader
@@ -77,7 +77,11 @@ def main():
                                              fill_bank_step, train_step)
 
     mcfg = dataclasses.replace(ModelConfig(), remat=False, unroll_layers=True)
+    # DataConfig carries the augment backend/policy into the jitted step —
+    # that is how --augment_backend device moves the RandAugment on-chip
     cfg = Config(model=mcfg, loss=LossConfig(),
+                 data=DataConfig(augment=args.augment or "",
+                                 augment_backend=args.augment_backend),
                  train=TrainConfig(batch_size=args.batch,
                                    mb_batch=args.mb_batch))
     ds = build_dataset(

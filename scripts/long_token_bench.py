@@ -46,7 +46,9 @@ def main():
     from neighborretr_tpu.core.config import OptimizerConfig
     cfg = Config(model=mcfg, loss=LossConfig(),
                  optim=OptimizerConfig(moments_dtype=os.environ.get(
-                     "BENCH_MOMENTS", "float32")),
+                     "BENCH_MOMENTS", "float32"),
+                     moments_placement=os.environ.get(
+                         "BENCH_PLACEMENT", "device")),
                  train=TrainConfig(batch_size=BATCH, mb_batch=MB_BATCH,
                                    bank_dtype=os.environ.get(
                                        "BENCH_BANK_DTYPE", "float32"),
@@ -75,7 +77,8 @@ def main():
     for i in range(cfg.train.mb_batch):
         bank = fill_bank_step(params, bank, batch, cfg, i * BATCH)
     state = create_train_state(params, bank,
-                               moments_dtype=cfg.optim.moments_dtype)
+                               moments_dtype=cfg.optim.moments_dtype,
+                               moments_placement=cfg.optim.moments_placement)
 
     # Warm until the step time STABILIZES (two consecutive fetch-synced
     # steps within 20%): the axon tunnel serves a new process from a slow

@@ -185,3 +185,111 @@ def test_max_grad_norm_nonpositive_disables_both_clip_stages():
         assert np.abs(unclipped[k]).min() > 0
         # and the huge unclipped gradients drive a step at least as large
         assert np.all(np.abs(unclipped[k]) >= np.abs(clipped[k]) - 1e-12)
+
+
+def test_host_moments_rejected_on_cpu_backend():
+    """The CPU backend can't round-trip pinned_host buffers through donated
+    steps (jaxlib aborts on the memory-kind mismatch at the second call) —
+    place_moments must refuse with a clear error instead.  The numerics
+    identity + placement itself run on the real chip
+    (scripts/host_moments_check.py, recorded in PARITY)."""
+    import pytest
+    if BA.host_offload_supported():
+        pytest.skip("accelerator backend: host offload is supported here")
+    params = {"x": {"w": jnp.ones((3,))}}
+    with pytest.raises(ValueError, match="TPU/GPU"):
+        BA.place_moments(BA.bert_adam_init(params), "host")
+
+
+def test_host_moments_placement_trajectory_identical(rng):
+    """moments_placement='host' streams m/v through pinned host memory but
+    must not change a single bit of the update math — multi-step trajectory
+    pinned equal to the device-resident run.  Skipped on the CPU suite
+    (backend can't host-offload); scripts/host_moments_check.py runs this
+    same check on the real chip (PARITY records the result)."""
+    import pytest
+    if not BA.host_offload_supported():
+        pytest.skip("CPU backend cannot host-offload (see "
+                    "test_host_moments_rejected_on_cpu_backend)")
+    cfg_dev = OptimizerConfig()
+    cfg_host = dataclasses.replace(cfg_dev, moments_placement="host")
+    params = {"clip": {"w": jnp.asarray(rng.normal(size=(4, 4)), jnp.float32)},
+              "head": {"b": jnp.asarray(rng.normal(size=(4,)), jnp.float32)}}
+    s_dev = BA.bert_adam_init(params)
+    s_host = BA.place_moments(BA.bert_adam_init(params), "host")
+    p_dev, p_host = params, params
+    for i in range(3):
+        grads = jax.tree.map(
+            lambda p: jnp.asarray(rng.normal(size=p.shape), jnp.float32),
+            params)
+        p_dev, s_dev = BA.bert_adam_update(grads, s_dev, p_dev, cfg_dev, 10)
+        p_host, s_host = BA.bert_adam_update(grads, s_host, p_host, cfg_host,
+                                             10)
+    for a, b in zip(jax.tree.leaves(p_dev), jax.tree.leaves(p_host)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(s_dev.m), jax.tree.leaves(s_host.m)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_host_moments_in_jitted_train_step():
+    """The full donated train_step runs with host placement and matches the
+    device-placement loss/params (integration over train/step.py's threading
+    of mesh + cfg.optim).  Accelerator-only, like the trajectory test."""
+    import pytest
+    if not BA.host_offload_supported():
+        pytest.skip("CPU backend cannot host-offload")
+    from neighborretr_tpu.core.config import (Config, DataConfig, LossConfig,
+                                              ModelConfig, TrainConfig)
+    from neighborretr_tpu.data.datasets.synthetic import SyntheticDataset
+    from neighborretr_tpu.models import neighborretr as model
+    from neighborretr_tpu.train import memory_bank as mb
+    from neighborretr_tpu.train.step import create_train_state, train_step
+
+    def cfg_with(placement):
+        return Config(
+            model=ModelConfig.tiny(max_words=8, max_frames=4),
+            loss=LossConfig(num_neighbors=3),
+            optim=OptimizerConfig(moments_placement=placement),
+            data=DataConfig(max_words=8, max_frames=4),
+            train=TrainConfig(epochs=1, batch_size=8, mb_batch=1, seed=0))
+
+    ds = SyntheticDataset(n=8, max_words=8, max_frames=4, resolution=32,
+                          vocab_size=512, seed=3)
+    items = [ds.item(i) for i in range(8)]
+    batch = {k: jnp.asarray(np.stack([it[k] for it in items]))
+             for k in items[0]}
+    key = jax.random.PRNGKey(0)
+
+    losses = {}
+    steps = {}
+    for placement in ("device", "host"):
+        cfg = cfg_with(placement)
+        params = model.init_params(jax.random.PRNGKey(1), cfg.model)
+        bank = mb.create(cfg.train.memory_bank_capacity, 8, 4,
+                         cfg.model.clip.embed_dim)
+        state = create_train_state(params, bank, moments_placement=placement)
+        state, metrics = train_step(state, batch, key, cfg, 10)
+        state, metrics = train_step(state, batch, key, cfg, 10)
+        losses[placement] = float(metrics["loss"])
+        steps[placement] = int(state.step)
+    assert steps == {"device": 2, "host": 2}
+    assert np.isfinite(losses["device"])
+    assert losses["device"] == losses["host"]
+
+
+def test_validate_rejects_host_moments_with_fsdp():
+    import pytest
+
+    from neighborretr_tpu.core.config import (Config, DataConfig, LossConfig,
+                                              ModelConfig, TrainConfig,
+                                              validate)
+    cfg = Config(
+        model=ModelConfig.tiny(max_words=8, max_frames=4),
+        loss=LossConfig(num_neighbors=3),
+        optim=OptimizerConfig(moments_placement="host"),
+        data=DataConfig(max_words=8, max_frames=4),
+        train=TrainConfig(batch_size=8, fsdp=True))
+    with pytest.raises(ValueError):
+        validate(cfg, 1)
+    cfg = dataclasses.replace(cfg, train=TrainConfig(batch_size=8))
+    validate(cfg, 1)

@@ -1,0 +1,321 @@
+"""Device-side RandAugment (ops/device_augment.py) vs the host backend.
+
+The device backend moves the reference's train-time RandAugment policy
+(dataloader_retrieval.py:154-158, rand_augment.py) onto the accelerator as
+jitted ops fused ahead of normalize_frames.  Bit parity with PIL is not a
+spec requirement (SURVEY §7), but the implementation lands far closer than
+"distribution-level": every op within max|Δ| ≤ 1 of the host PIL path, with
+the LUT/threshold family byte-exact.  These tests pin that contract, the
+policy grammar, the padding invariant, and the train-step integration.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from neighborretr_tpu.data import augment as HA
+from neighborretr_tpu.ops import device_augment as DA
+
+# byte-exact vs PIL on the probe image (LUT / threshold / linear ops whose
+# host path has no float blend); the rest are ≤1 from rounding conventions
+EXACT_OPS = frozenset({
+    "AutoContrast", "Equalize", "Invert", "Identity", "Posterize",
+    "Solarize", "SolarizeAdd",
+})
+
+_POL_EXACT = DA.DeviceAugmentPolicy(hist_stride=1)
+
+
+@pytest.fixture(scope="module")
+def clip():
+    """Natural-ish 4-frame clip: smooth gradients + noise (flat frames would
+    make several ops trivially identical)."""
+    rng = np.random.default_rng(7)
+    H = W = 64
+    yy, xx = np.mgrid[0:H, 0:W]
+    base = np.stack([xx * 255 / W, yy * 255 / H,
+                     (xx + yy) * 255 / (H + W)], axis=-1)
+    return np.clip(base[None] + rng.normal(0, 20, (4, H, W, 3)),
+                   0, 255).astype(np.uint8)
+
+
+@jax.jit
+def _device_layer(clip_b, op, fire, level, neg):
+    return DA._layer(clip_b, op, fire, level, neg, _POL_EXACT)
+
+
+def _device_single(clip, name, level, neg):
+    """One forced op through a device layer (per-clip params [1])."""
+    out = _device_layer(
+        jnp.asarray(clip[None]),
+        jnp.full((1,), DA._OP[name], jnp.int32),
+        jnp.ones((1,), bool),
+        jnp.full((1,), level, jnp.float32),
+        jnp.full((1,), bool(neg), bool))
+    return np.asarray(out)[0]
+
+
+def _host_single(clip, name, level, neg):
+    """The same op through the host PIL path (augment.py::_RAND_OPS)."""
+    fn, level_fn, signed = HA._RAND_OPS[name]
+    if level_fn is None:
+        args = ()
+    else:
+        args = level_fn(level)
+        if signed and neg:
+            args = tuple(-a if isinstance(a, float) else a for a in args)
+            if name in HA._ENHANCE_OPS:
+                args = (2.0 - level_fn(level)[0],)
+    return np.stack([fn(clip[i], *args) for i in range(clip.shape[0])])
+
+
+# ---------------------------------------------------------------------------
+# per-op parity
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name", DA.OP_NAMES)
+def test_op_parity_vs_host(clip, name):
+    if not HA._HAS_PIL:
+        pytest.skip("PIL unavailable")
+    worst = 0
+    for level in (3.0, 7.0, 10.0):
+        for neg in (False, True):
+            d = _device_single(clip, name, level, neg).astype(np.int32)
+            h = _host_single(clip, name, level, neg).astype(np.int32)
+            worst = max(worst, int(np.abs(d - h).max()))
+    limit = 0 if name in EXACT_OPS else 1
+    assert worst <= limit, f"{name}: max|Δ| {worst} > {limit}"
+
+
+def test_equalize_subsampled_histogram_close(clip):
+    """The production default subsamples the equalize histogram (stride 4) —
+    a documented deviation; the cumulative LUT keeps the error small."""
+    if not HA._HAS_PIL:
+        pytest.skip("PIL unavailable")
+    pol = DA.DeviceAugmentPolicy(hist_stride=4)
+    out = DA._layer(jnp.asarray(clip[None]),
+                    jnp.full((1,), DA._OP["Equalize"], jnp.int32),
+                    jnp.ones((1,), bool), jnp.full((1,), 7.0, jnp.float32),
+                    jnp.zeros((1,), bool), pol)
+    h = np.stack([HA._equalize(clip[i]) for i in range(clip.shape[0])])
+    diff = np.abs(np.asarray(out)[0].astype(int) - h.astype(int))
+    assert diff.mean() < 8.0 and diff.max() < 32
+
+
+def test_op_table_matches_host():
+    """Both backends sample the same 16-op categorical (same names)."""
+    assert set(DA.OP_NAMES) == set(HA._RAND_OPS)
+    assert len(DA.OP_NAMES) == len(HA._RAND_OPS)
+
+
+# ---------------------------------------------------------------------------
+# policy grammar + sampling
+# ---------------------------------------------------------------------------
+
+def test_policy_parse_matches_host_grammar():
+    pol = DA.DeviceAugmentPolicy.parse("rand-m9-n2-mstd1.0-inc1")
+    host = HA.RandAugment.from_config_str("rand-m9-n2-mstd1.0-inc1",
+                                          backend="pil")
+    assert (pol.magnitude, pol.num_layers, pol.magnitude_std, pol.prob) == (
+        host.magnitude, host.num_layers, host.magnitude_std, host.prob)
+    # the production policy string
+    pol = DA.DeviceAugmentPolicy.parse("rand-m7-n4-mstd0.5-inc1")
+    assert (pol.magnitude, pol.num_layers) == (7, 4)
+    with pytest.raises(ValueError):
+        DA.DeviceAugmentPolicy.parse("rand-m7-w0.5")   # unknown segment
+    with pytest.raises(ValueError):
+        DA.DeviceAugmentPolicy.parse("augmix-m3")      # not rand-*
+
+
+def test_sample_policy_shapes_and_ranges():
+    pol = DA.DeviceAugmentPolicy()
+    op, fire, level, neg = DA.sample_policy(jax.random.PRNGKey(3), 64, pol)
+    assert op.shape == fire.shape == level.shape == neg.shape == (64, 4)
+    assert int(op.min()) >= 0 and int(op.max()) < len(DA.OP_NAMES)
+    assert float(level.min()) >= 0.0 and float(level.max()) <= 10.0
+    # prob=0.5 → roughly half fire (64·4 = 256 draws)
+    frac = float(fire.mean())
+    assert 0.3 < frac < 0.7
+
+
+# ---------------------------------------------------------------------------
+# whole-policy properties
+# ---------------------------------------------------------------------------
+
+def test_prob_zero_is_exact_identity(clip):
+    pol = DA.DeviceAugmentPolicy(prob=0.0)
+    out = DA.apply_randaugment(jnp.asarray(clip[None]),
+                               jax.random.PRNGKey(0), pol)
+    np.testing.assert_array_equal(np.asarray(out)[0], clip)
+
+
+def test_deterministic_per_key(clip):
+    batch = jnp.asarray(np.stack([clip, clip[::-1]]))
+    a = DA.apply_randaugment(batch, jax.random.PRNGKey(5),
+                             "rand-m7-n4-mstd0.5-inc1")
+    b = DA.apply_randaugment(batch, jax.random.PRNGKey(5),
+                             "rand-m7-n4-mstd0.5-inc1")
+    c = DA.apply_randaugment(batch, jax.random.PRNGKey(6),
+                             "rand-m7-n4-mstd0.5-inc1")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.abs(np.asarray(a).astype(int)
+                  - np.asarray(c).astype(int)).max() > 0
+
+
+def test_frames_share_clip_draws(clip):
+    """Temporal consistency: all frames of a clip see the SAME sampled ops
+    (rawvideo_util.py:291-293) — identical frames stay identical after
+    augmentation."""
+    same = np.stack([clip[0]] * 4)       # 4 identical frames
+    out = np.asarray(DA.apply_randaugment(
+        jnp.asarray(same[None]), jax.random.PRNGKey(11),
+        "rand-m7-n4-mstd0.5-inc1"))[0]
+    for f in range(1, 4):
+        np.testing.assert_array_equal(out[f], out[0])
+
+
+def test_rejects_float_frames(clip):
+    with pytest.raises(TypeError):
+        DA.apply_randaugment(jnp.asarray(clip[None], jnp.float32),
+                             jax.random.PRNGKey(0), "rand-m7-n4-mstd0.5-inc1")
+
+
+def test_augment_batch_keeps_padding_zero(clip):
+    """Padded frames must stay exactly zero for EVERY key (Invert would map
+    0 → 255 unmasked)."""
+    video = np.stack([clip, clip])                    # [B=2, F=4, H, W, 3]
+    video[:, 2:] = 0                                  # frames 2,3 = padding
+    mask = np.zeros((2, 4), np.float32)
+    mask[:, :2] = 1
+    for seed in range(8):
+        out = np.asarray(DA.augment_batch(
+            jnp.asarray(video), jnp.asarray(mask),
+            jax.random.PRNGKey(seed), "rand-m7-n4-mstd0.5-inc1"))
+        assert out[:, 2:].max() == 0
+        assert out.dtype == np.uint8
+
+
+def test_distribution_shift_comparable_to_host(clip):
+    """Full-policy sanity: over many keys/clips the device policy moves
+    pixel statistics by about as much as the host policy does — catches a
+    policy-level wiring error (e.g. all ops firing, double strength) that
+    per-op parity can't see."""
+    if not HA._HAS_PIL:
+        pytest.skip("PIL unavailable")
+    n = 24
+    rng = np.random.default_rng(0)
+    clips = np.stack([np.roll(clip, int(rng.integers(0, 64)), axis=1)
+                      for _ in range(n)])             # [n, F, H, W, 3]
+    dev = np.asarray(DA.apply_randaugment(
+        jnp.asarray(clips), jax.random.PRNGKey(1), "rand-m7-n4-mstd0.5-inc1"))
+    host_aug = HA.create_random_augment("rand-m7-n4-mstd0.5-inc1",
+                                        backend="pil")
+    host = np.stack([host_aug(clips[i], rng=np.random.default_rng(100 + i))
+                     for i in range(n)])
+    d_shift = np.abs(dev.astype(np.float32) - clips).mean()
+    h_shift = np.abs(host.astype(np.float32) - clips).mean()
+    assert h_shift > 0 and 0.4 < d_shift / h_shift < 2.5, (d_shift, h_shift)
+
+
+# ---------------------------------------------------------------------------
+# train-step integration (--augment_backend device)
+# ---------------------------------------------------------------------------
+
+def _tiny_cfg(backend="device"):
+    from neighborretr_tpu.core.config import (Config, DataConfig, LossConfig,
+                                              ModelConfig, OptimizerConfig,
+                                              TrainConfig)
+    return Config(
+        model=ModelConfig.tiny(max_words=8, max_frames=4),
+        loss=LossConfig(num_neighbors=3),
+        optim=OptimizerConfig(),
+        data=DataConfig(max_words=8, max_frames=4, augment_backend=backend),
+        train=TrainConfig(epochs=1, batch_size=8, mb_batch=1, seed=0),
+    )
+
+
+def _batch(cfg, seed=0):
+    from neighborretr_tpu.data.datasets.synthetic import SyntheticDataset
+    ds = SyntheticDataset(n=8, max_words=8, max_frames=4, resolution=32,
+                          vocab_size=cfg.model.clip.vocab_size, seed=seed)
+    items = [ds.item(i) for i in range(8)]
+    return {k: jnp.asarray(np.stack([it[k] for it in items]))
+            for k in items[0]}
+
+
+def test_train_step_device_backend():
+    """The step runs with on-chip augment, is deterministic, and actually
+    changes the pixels the encoder sees (loss differs from the no-augment
+    config on the same batch/state)."""
+    from neighborretr_tpu.models import neighborretr as model
+    from neighborretr_tpu.train import memory_bank as mb
+    from neighborretr_tpu.train.step import create_train_state, train_step
+
+    cfg = _tiny_cfg("device")
+    batch = _batch(cfg)
+    key = jax.random.PRNGKey(0)
+
+    def fresh_state():
+        params = model.init_params(jax.random.PRNGKey(1), cfg.model)
+        bank = mb.create(cfg.train.memory_bank_capacity, 8, 4,
+                         cfg.model.clip.embed_dim)
+        return create_train_state(params, bank)
+
+    _, m1 = train_step(fresh_state(), batch, key, cfg, 10)
+    _, m2 = train_step(fresh_state(), batch, key, cfg, 10)
+    assert np.isfinite(float(m1["loss"]))
+    assert float(m1["loss"]) == float(m2["loss"])      # same key → same draws
+
+    cfg_off = _tiny_cfg("auto")                         # host path: loader
+    _, m3 = train_step(fresh_state(), batch, key, cfg_off, 10)
+    assert float(m1["loss"]) != float(m3["loss"])       # pixels were changed
+
+
+def test_fill_bank_step_device_backend():
+    """Bank-fill augment (the reference's bank loader IS a train loader):
+    passing a key changes the encoded features under the device backend."""
+    from neighborretr_tpu.models import neighborretr as model
+    from neighborretr_tpu.train import memory_bank as mb
+    from neighborretr_tpu.train.step import fill_bank_step
+
+    cfg = _tiny_cfg("device")
+    batch = _batch(cfg)
+    params = model.init_params(jax.random.PRNGKey(1), cfg.model)
+
+    def fill(key):
+        bank = mb.create(cfg.train.memory_bank_capacity, 8, 4,
+                         cfg.model.clip.embed_dim)
+        return fill_bank_step(params, bank, batch, cfg, 0, key=key)
+
+    plain = fill(None)
+    seeded = fill(jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(plain.feat_v), np.asarray(seeded.feat_v))
+
+
+def test_dataset_skips_host_augment_for_device_backend():
+    """RetrievalDataset(augment_backend='device') must not run the host
+    RandAugment — the step does it on chip."""
+    from neighborretr_tpu.data.datasets.base import RetrievalDataset
+    ds = RetrievalDataset.__new__(RetrievalDataset)
+    RetrievalDataset.__init__(
+        ds, pairs=[], video_paths={}, tokenizer=None, is_train=True,
+        augment="rand-m7-n4-mstd0.5-inc1", augment_backend="device")
+    assert ds._augment is None
+
+
+def test_validate_rejects_bad_backend_and_policy():
+    import dataclasses
+
+    from neighborretr_tpu.core.config import validate
+    cfg = _tiny_cfg("device")
+    bad = dataclasses.replace(cfg, data=dataclasses.replace(
+        cfg.data, augment_backend="gpu"))
+    with pytest.raises(ValueError):
+        validate(bad, 1)
+    bad = dataclasses.replace(cfg, data=dataclasses.replace(
+        cfg.data, augment="rand-m7-bogus9"))
+    with pytest.raises(ValueError):
+        validate(bad, 1)
+    validate(cfg, 1)                                   # the good one passes
