@@ -225,6 +225,11 @@ def main():
     p.add_argument("--num_hidden_layers", type=int, default=4,
                    help="temporal transformer depth (must match the "
                         "checkpoint; args_parser.py:137)")
+    p.add_argument("--reload_stage_rows", type=int, default=512,
+                   help="POST /reload uploads the fresh corpus in row slabs "
+                        "of this size so in-flight searches interleave with "
+                        "the transfer instead of queueing behind one "
+                        "monolithic H2D (0 = single put)")
     args = p.parse_args()
 
     from neighborretr_tpu.utils.cache import enable_compilation_cache
@@ -268,7 +273,8 @@ def main():
         weights/config — the old corpus keeps serving on failure."""
         fresh_index = serving.load_index(args.index)
         fresh = serving.Searcher(params, cfg, fresh_index, ClipTokenizer(),
-                                 query_batch=args.query_batch, mesh=mesh)
+                                 query_batch=args.query_batch, mesh=mesh,
+                                 staged_upload_rows=args.reload_stage_rows)
         fresh.warmup()      # pay compiles before the swap, not on a request
         if dispatcher is not None:
             # a changed corpus size recompiles per merged bucket too —

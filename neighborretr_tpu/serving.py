@@ -24,6 +24,7 @@ from __future__ import annotations
 import functools
 import hashlib
 import json
+import time
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -78,12 +79,59 @@ def quantize_features(v: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return q, scale[..., 0].astype(np.float16)
 
 
-def index_video_features(index: Dict[str, np.ndarray]) -> jnp.ndarray:
-    """Device fp32 view of the stored features, dequantizing int8 indexes."""
+@functools.partial(jax.jit, donate_argnums=0)
+def _write_rows(buf: jnp.ndarray, chunk: jnp.ndarray, off) -> jnp.ndarray:
+    """Donated row-slab write (`off` traced → ONE compiled program serves
+    every chunk of a staged upload)."""
+    return jax.lax.dynamic_update_slice(
+        buf, chunk, (off,) + (0,) * (buf.ndim - 1))
+
+
+def staged_device_put(a: np.ndarray, rows: int,
+                      yield_fn=None) -> jnp.ndarray:
+    """H2D upload in row slabs instead of one monolithic transfer.
+
+    A live /reload of a ~100 MB corpus as a single device_put occupies the
+    transfer path for seconds (notably over throttled links), and every
+    in-flight search queues behind it — the round-4 SLO table's 6 s p99
+    excursion.  Slabbed, each transfer is a few MB; search programs
+    submitted by other threads interleave between slabs, so the tail cost
+    of a reload drops to ~one slab.  `yield_fn` (default: a GIL yield) runs
+    between slabs.  rows<=0 or a single-slab fit falls back to one put."""
+    n = a.shape[0]
+    if rows <= 0 or rows >= n:
+        return jnp.asarray(a)
+    buf = jnp.zeros(a.shape, a.dtype)           # device alloc, no transfer
+    offsets = list(range(0, n - rows + 1, rows))
+    if offsets[-1] + rows < n:
+        offsets.append(n - rows)                # overlap tail, same shape
+    for off in offsets:
+        chunk = jnp.asarray(np.ascontiguousarray(a[off:off + rows]))
+        buf = _write_rows(buf, chunk, off)
+        if yield_fn is not None:
+            yield_fn()
+        else:
+            time.sleep(0)
+    return buf
+
+
+@jax.jit
+def _dequant_f32(q: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    return q.astype(jnp.float32) * scale.astype(jnp.float32)[..., None]
+
+
+def index_video_features(index: Dict[str, np.ndarray],
+                         staged_rows: int = 0,
+                         yield_fn=None) -> jnp.ndarray:
+    """Device fp32 view of the stored features, dequantizing int8 indexes.
+
+    The upload crosses in the STORED dtype (fp16/int8 — half/quarter the
+    transfer of a host-side fp32 convert) and widens on device; with
+    staged_rows > 0 it goes up in row slabs (see staged_device_put)."""
+    q = staged_device_put(np.asarray(index["v_feat"]), staged_rows, yield_fn)
     if "v_scale" in index:
-        return (jnp.asarray(index["v_feat"], jnp.float32)
-                * jnp.asarray(index["v_scale"], jnp.float32)[..., None])
-    return jnp.asarray(index["v_feat"], jnp.float32)
+        return _dequant_f32(q, jnp.asarray(index["v_scale"]))
+    return jax.jit(lambda a: a.astype(jnp.float32))(q)
 
 
 def build_video_index(params: Params, cfg: Config, loader,
@@ -285,7 +333,8 @@ class Searcher:
 
     def __init__(self, params: Params, cfg: Config,
                  index: Dict[str, np.ndarray], tokenizer,
-                 query_batch: int = 8, mesh=None):
+                 query_batch: int = 8, mesh=None,
+                 staged_upload_rows: int = 0):
         if query_batch < 1:
             raise ValueError(f"query_batch must be >= 1, got {query_batch}")
         check_meta(index, cfg, params)
@@ -295,7 +344,11 @@ class Searcher:
         self._mesh = mesh
         if mesh is None:
             self._params_sim, self._cfg_sim = params, cfg
-            self._v_feat = index_video_features(index)
+            # staged_upload_rows > 0: slab the corpus H2D so a live /reload
+            # doesn't park in-flight searches behind one monolithic transfer
+            # (see staged_device_put; used by the reload path)
+            self._v_feat = index_video_features(
+                index, staged_rows=staged_upload_rows)
             self._v_mask = jnp.asarray(index["v_mask"], jnp.float32)
             self._replicate = None
         else:

@@ -167,9 +167,12 @@ def main():
 
     def reload_fn():
         # mirrors cli/serve.py: fresh Searcher from disk, compiles pre-paid
-        # BEFORE the swap so requests never stall behind program builds
+        # BEFORE the swap so requests never stall behind program builds;
+        # staged_upload_rows slabs the corpus H2D so live searches
+        # interleave with the transfer (round-5 fix for the 6 s p99)
         fresh = serving.Searcher(params, cfg, serving.load_index(idx_path),
-                                 ClipTokenizer(), query_batch=Q)
+                                 ClipTokenizer(), query_batch=Q,
+                                 staged_upload_rows=512)
         fresh.warmup()
         fresh.search(["warmup"], topk=5)
         return fresh

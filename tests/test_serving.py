@@ -749,3 +749,31 @@ def test_http_reload_swaps_index_live(setup, tmp_path):
         server.shutdown()
         server.server_close()
         dispatcher.close()
+
+
+def test_staged_device_put_matches_monolithic():
+    """Row-slabbed H2D (the live-reload path) reproduces the array exactly,
+    including non-divisible row counts (overlap tail) and tiny inputs."""
+    rng = np.random.default_rng(0)
+    for n, rows in ((37, 8), (16, 16), (5, 64), (24, 7), (3, 0)):
+        a = rng.normal(size=(n, 4, 6)).astype(np.float16)
+        out = np.asarray(serving.staged_device_put(a, rows))
+        np.testing.assert_array_equal(out, a)
+
+
+def test_searcher_staged_upload_scores_identical(setup):
+    """Searcher(staged_upload_rows=...) must serve byte-identical
+    similarities to the monolithic-upload Searcher, fp16 and int8 indexes
+    alike (the reload path swaps in a staged instance)."""
+    cfg, ds, params, index = setup
+    tok = _StubTokenizer()
+    q8 = dict(index)
+    q8["v_feat"], q8["v_scale"] = serving.quantize_features(
+        np.asarray(index["v_feat"], np.float32))
+    for idx in (index, q8):
+        base = serving.Searcher(params, cfg, idx, tok, query_batch=4)
+        staged = serving.Searcher(params, cfg, idx, tok, query_batch=4,
+                                  staged_upload_rows=3)
+        queries = ["a dog clip", "another caption"]
+        np.testing.assert_array_equal(base.similarities(queries),
+                                      staged.similarities(queries))
