@@ -120,37 +120,44 @@ def sample_policy(key: jax.Array, batch: int, pol: DeviceAugmentPolicy):
 
 
 # ---------------------------------------------------------------------------
-# Per-family building blocks (all shapes [B, F, H, W, 3] unless noted)
+# Per-family building blocks.
+#
+# LAYOUT CONTRACT: the layer body works CHANNEL-MAJOR — [B, F, C, H, W] —
+# because TPU tiles the two minor dims to (8, 128): any gather intermediate
+# whose minor dims are (.., 3) or (.., 3, 1) pads ~42-5000× in HBM (a
+# [96,12,50176,3,1] s32 warp index materialized as 29.6 GB on v5e).
+# Channel-major keeps every gather's minor dimension at H·W or 256, where
+# the tiling is dense.  apply_randaugment transposes once per layer edge.
 # ---------------------------------------------------------------------------
 
 def _grayscale_i32(x_i32: jnp.ndarray) -> jnp.ndarray:
-    """PIL 'L' conversion on int32 pixels: (19595r+38470g+7471b+0x8000)>>16
-    (probed Pillow 12.1.0 semantics — data/native/augment.cpp)."""
-    r, g, b = x_i32[..., 0], x_i32[..., 1], x_i32[..., 2]
+    """PIL 'L' conversion on int32 pixels [.., C, H, W] → [.., H, W]:
+    (19595r+38470g+7471b+0x8000)>>16 (probed Pillow 12.1.0 semantics —
+    data/native/augment.cpp)."""
+    r, g, b = x_i32[..., 0, :, :], x_i32[..., 1, :, :], x_i32[..., 2, :, :]
     return (19595 * r + 38470 * g + 7471 * b + 0x8000) >> 16
 
 
 def _smooth_u8(x_u8: jnp.ndarray) -> jnp.ndarray:
-    """PIL ImageFilter.SMOOTH: 3×3 kernel (center 5, ring 1)/13, +0.5 floor,
-    border pixels copied from the input (filter runs on the interior only)."""
+    """PIL ImageFilter.SMOOTH on [.., H, W]-minor layouts: 3×3 kernel
+    (center 5, ring 1)/13, +0.5 floor, border pixels copied from the input
+    (the filter runs on the interior only)."""
     x = x_u8.astype(jnp.float32)
-    c = x[..., 1:-1, 1:-1, :]
+    h, w = x.shape[-2], x.shape[-1]
+    c = x[..., 1:-1, 1:-1]
     acc = 5.0 * c
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             if dy == 0 and dx == 0:
                 continue
-            acc = acc + x[..., 1 + dy:x.shape[-3] - 1 + dy,
-                          1 + dx:x.shape[-2] - 1 + dx, :]
+            acc = acc + x[..., 1 + dy:h - 1 + dy, 1 + dx:w - 1 + dx]
     interior = jnp.floor(acc * (1.0 / 13.0) + 0.5)
-    sm = jnp.pad(interior,
-                 [(0, 0)] * (x.ndim - 3) + [(1, 1), (1, 1), (0, 0)])
-    h, w = x.shape[-3], x.shape[-2]
+    sm = jnp.pad(interior, [(0, 0)] * (x.ndim - 2) + [(1, 1), (1, 1)])
     row = jnp.arange(h)
     col = jnp.arange(w)
     border = ((row[:, None] == 0) | (row[:, None] == h - 1)
               | (col[None, :] == 0) | (col[None, :] == w - 1))
-    return jnp.where(border[..., None], x, sm).astype(jnp.uint8)
+    return jnp.where(border, x, sm).astype(jnp.uint8)
 
 
 def _affine_matrices(op_idx, fire, level, neg, H: int, W: int):
@@ -193,47 +200,102 @@ def _affine_matrices(op_idx, fire, level, neg, H: int, W: int):
     return jnp.stack([a, b, c, d, e, f], axis=-1)
 
 
-def _warp_u8(x_u8: jnp.ndarray, coeff: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear affine warp, per-clip coeff [B,6], frames share the mapping.
-    Taps clamp to the edge; output is zero-filled where the PRE-shift source
-    coordinate leaves [0, size) (the probed PIL fill convention —
-    data/native/augment.cpp).  +0.5-floor back to uint8."""
-    B, F, H, W, C = x_u8.shape
-    xs = jnp.arange(W, dtype=jnp.float32) + 0.5
+def _interp_matrix(pos: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Two-tap interpolation matrices from continuous sample positions.
+
+    pos [..., n_out] are PIL-convention positions (pixel i spans [i, i+1),
+    center i+0.5).  Returns S [..., size(src), n_out] bf16 with
+    S[..., s, o] = (1−f)·[s == clip(floor(pos−.5))] + f·[s == clip(+1)],
+    zeroed where pos leaves [0, size) (PIL center-validity fill).  Taps
+    clamp from the UNCLIPPED floor — at the border both taps collapse onto
+    the edge texel, the probed Pillow 12.1.0 single-tap behavior.
+
+    Applying a 1-D resample then becomes a matmul with S — the TPU-native
+    carrier for per-element sampling: this hardware has no per-lane gather
+    (XLA lowers one to a ~100× slower scalar loop; Mosaic's dynamic_gather
+    does not compile on this toolchain), but banded interpolation matrices
+    ride the MXU at memory-bound speed."""
+    valid = (pos >= 0) & (pos < size)
+    g = pos - 0.5
+    t0f = jnp.floor(g)
+    f = (g - t0f).astype(jnp.float32)
+    t0 = jnp.clip(t0f.astype(jnp.int32), 0, size - 1)
+    t1 = jnp.clip(t0f.astype(jnp.int32) + 1, 0, size - 1)
+    src = jax.lax.broadcasted_iota(jnp.int32, (size, 1), 0)   # [size, 1]
+    shape = pos.shape[:-1] + (size, pos.shape[-1])
+    s = ((src == t0[..., None, :]) * (1.0 - f[..., None, :])
+         + (src == t1[..., None, :]) * f[..., None, :])
+    s = jnp.where(valid[..., None, :], s, 0.0)
+    return jnp.broadcast_to(s, shape).astype(jnp.bfloat16)
+
+
+def _warp_affine_cm(x_u8: jnp.ndarray, coeff: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear affine warp on CHANNEL-MAJOR frames [B, F, C, H, W];
+    per-clip inverse map coeff [B, 6] (a,b,c,d,e,f as _affine_matrices).
+
+    Two-pass separable resampling (classic two-pass warping): a horizontal
+    pass whose per-row sample positions are pre-composed with the vertical
+    map's inverse — X1'(r, x) = (a − bd/e)·x + (b/e)·r + (c − bf/e) — then
+    a vertical pass at Y2(y, x) = d·x + e·y + f.  Each pass is a batched
+    [K, n]×[n, n] matmul against a two-tap interpolation matrix
+    (_interp_matrix), so the whole warp is MXU work + ~4×image of HBM
+    traffic instead of per-pixel gathers.
+
+    Exactness: single-axis ops (shear/translate X or Y) leave one pass an
+    identity, reproducing PIL's transform within ±1; rotations genuinely
+    interpolate twice (documented deviation — the sample lattice of the
+    second pass differs from one-pass 2-D bilinear by up to ~|b/e| px).
+    |e| is clamped away from 0 (only reachable by freak multi-rotation
+    compositions summing to ±90°, measure-zero in the sampled policy)."""
+    B, F, C, H, W = x_u8.shape
+    K = F * C
+    a, b, c, d, e, f = (coeff[:, i] for i in range(6))
+    e_safe = jnp.where(jnp.abs(e) < 0.05,
+                       jnp.where(e < 0, -0.05, 0.05), e)
+    a1 = (a - b * d / e_safe)[:, None, None]
+    b1 = (b / e_safe)[:, None, None]
+    c1 = (c - b * f / e_safe)[:, None, None]
+
+    xs = jnp.arange(W, dtype=jnp.float32) + 0.5     # center coords
     ys = jnp.arange(H, dtype=jnp.float32) + 0.5
-    a, b, c, d, e, f = (coeff[:, i].reshape(B, 1, 1) for i in range(6))
-    src_x = a * xs[None, None, :] + b * ys[None, :, None] + c   # [B,H,W]
-    src_y = d * xs[None, None, :] + e * ys[None, :, None] + f
-    valid = ((src_x >= 0) & (src_x < W) & (src_y >= 0) & (src_y < H))
-    gx = src_x - 0.5
-    gy = src_y - 0.5
-    x0f = jnp.floor(gx)
-    y0f = jnp.floor(gy)
-    fx = (gx - x0f)[..., None]                                  # [B,H,W,1]
-    fy = (gy - y0f)[..., None]
-    # clamp each tap independently from the UNCLIPPED floor: when the floor
-    # itself is out of range (x0f = −1 at the left border) both taps must
-    # collapse onto column 0 — clipping x0 first and adding 1 would pull the
-    # interior neighbor in with weight fx (PIL single-taps the border column
-    # there; probed on Pillow 12.1.0)
-    x0 = jnp.clip(x0f.astype(jnp.int32), 0, W - 1)
-    y0 = jnp.clip(y0f.astype(jnp.int32), 0, H - 1)
-    x1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, W - 1)
-    y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, H - 1)
+    # pass 1: horizontal — rows r are SOURCE rows; positions [B, H(r), W(x)]
+    pos1 = a1 * xs[None, None, :] + b1 * ys[None, :, None] + c1
+    s1 = _interp_matrix(pos1, W)                    # [B, H, W(src), W(out)]
+    img = x_u8.reshape(B, K, H, W).astype(jnp.bfloat16)
+    # [B, r, K, w] × [B, r, w, x] → [B, r, K, x]
+    mid = jnp.einsum("bkrw,brwx->brkx", img, s1,
+                     preferred_element_type=jnp.float32).astype(jnp.bfloat16)
 
-    flat = x_u8.reshape(B, F, H * W, C)
+    # pass 2: vertical — positions [B, W(x), H(y)]
+    pos2 = (d[:, None, None] * xs[None, :, None]
+            + e[:, None, None] * ys[None, None, :] + f[:, None, None])
+    s2 = _interp_matrix(pos2, H)                    # [B, W, H(src), H(out)]
+    # [B, x, K, r] × [B, x, r, y] → [B, x, K, y]
+    out = jnp.einsum("brkx,bxry->bxky", mid, s2,
+                     preferred_element_type=jnp.float32)
+    out = jnp.clip(jnp.floor(out + 0.5), 0.0, 255.0)
+    return out.transpose(0, 2, 3, 1).reshape(B, F, C, H, W).astype(jnp.uint8)
 
-    def tap(yi, xi):
-        idx = (yi * W + xi).reshape(B, 1, H * W, 1)
-        g = jnp.take_along_axis(flat, jnp.broadcast_to(idx, (B, F, H * W, C)),
-                                axis=2)
-        return g.reshape(B, F, H, W, C).astype(jnp.float32)
 
-    top = tap(y0, x0) * (1 - fx)[:, None] + tap(y0, x1) * fx[:, None]
-    bot = tap(y1, x0) * (1 - fx)[:, None] + tap(y1, x1) * fx[:, None]
-    out = top * (1 - fy)[:, None] + bot * fy[:, None]
-    out = jnp.where(valid[:, None, :, :, None], jnp.floor(out + 0.5), 0.0)
-    return out.astype(jnp.uint8)
+def compose_affine(mats: jnp.ndarray) -> jnp.ndarray:
+    """Compose per-layer inverse maps [B, N, 6] → one [B, 6]: the overall
+    inverse map of ops applied in layer order is M_1 ∘ M_2 ∘ … ∘ M_N
+    (first op outermost — img_after = img0[m_a(m_b(p))] for op a then b)."""
+    B, N, _ = mats.shape
+
+    def to3(m):
+        a, b, c, d, e, f = (m[..., i] for i in range(6))
+        z = jnp.zeros_like(a)
+        o = jnp.ones_like(a)
+        return jnp.stack([jnp.stack([a, b, c], -1),
+                          jnp.stack([d, e, f], -1),
+                          jnp.stack([z, z, o], -1)], -2)   # [..., 3, 3]
+
+    m = to3(mats[:, 0])
+    for i in range(1, N):
+        m = jnp.einsum("bij,bjk->bik", m, to3(mats[:, i]))
+    return jnp.stack([m[:, 0, 0], m[:, 0, 1], m[:, 0, 2],
+                      m[:, 1, 0], m[:, 1, 1], m[:, 1, 2]], -1)
 
 
 def _equalize_lut(hist: jnp.ndarray, scale: float) -> Tuple[jnp.ndarray,
@@ -258,10 +320,14 @@ def _equalize_lut(hist: jnp.ndarray, scale: float) -> Tuple[jnp.ndarray,
     return jnp.clip(lut, 0.0, 255.0), ident
 
 
-def _layer(x: jnp.ndarray, op_idx, fire, level, neg,
-           pol: DeviceAugmentPolicy) -> jnp.ndarray:
-    """One RandAugment layer on uint8 [B,F,H,W,3]; per-clip params [B]."""
-    B, F, H, W, C = x.shape
+def _value_layer_cm(x: jnp.ndarray, op_idx, fire, level, neg,
+                    pol: DeviceAugmentPolicy) -> jnp.ndarray:
+    """One RandAugment layer's VALUE ops on channel-major uint8
+    [B, F, C, H, W]; per-clip params [B].  Geometric ops and Equalize are
+    handled outside the layer loop (composed warp / single LUT apply) —
+    their per-pixel sampling is the expensive part on this hardware, so
+    they run once per clip instead of once per layer."""
+    B, F, C, H, W = x.shape
 
     def act(name):
         return fire & (op_idx == _OP[name])
@@ -270,37 +336,43 @@ def _layer(x: jnp.ndarray, op_idx, fire, level, neg,
     enh = 1.0 + 0.9 * frac
     enh = jnp.where(neg, 2.0 - enh, enh)        # enhance mirror, not negate
 
+    m = _active_slots(B)
+
     # ---- stats on the layer INPUT (valid: stats ops are exclusive) ------
-    xi = x.astype(jnp.int32)
-    stride = max(1, min(pol.hist_stride, H // 8 or 1, W // 8 or 1))
-    sub = xi[:, :, ::stride, ::stride, :]
-    hist = jnp.sum(
-        (sub[..., None] == jnp.arange(256, dtype=jnp.int32)).astype(
-            jnp.float32),
-        axis=(2, 3))                                        # [B,F,3,256]
-    eq_lut, eq_ident = _equalize_lut(hist, float(stride * stride))
-    lo = jnp.min(xi, axis=(2, 3)).astype(jnp.float32)       # [B,F,3]
-    hi = jnp.max(xi, axis=(2, 3)).astype(jnp.float32)
-    gray_mean = jnp.mean(_grayscale_i32(xi).astype(jnp.float32),
-                         axis=(2, 3))                       # [B,F]
+    # Reductions run only over the clips whose ops read them
+    # (AutoContrast: lo/hi; Contrast: gray mean) — unselected entries keep
+    # placeholders that the act()-gated selects below never read.
+    stat_idx, _ = _take_active(act("AutoContrast") | act("Contrast"), m)
+    xsub = jnp.take(x, stat_idx, axis=0).astype(jnp.int32)
+    lo = jnp.zeros((B, F, C), jnp.float32).at[stat_idx].set(
+        jnp.min(xsub, axis=(3, 4)).astype(jnp.float32))
+    hi = jnp.full((B, F, C), 255.0).at[stat_idx].set(
+        jnp.max(xsub, axis=(3, 4)).astype(jnp.float32))
     # PIL ImageEnhance.Contrast: mean = int(mean_L + 0.5)
-    gray_mean = jnp.floor(gray_mean + 0.5)
+    gray_mean = jnp.zeros((B, F), jnp.float32).at[stat_idx].set(jnp.floor(
+        jnp.mean(_grayscale_i32(xsub).astype(jnp.float32), axis=(2, 3))
+        + 0.5))
 
-    # ---- 1. geometric warp ---------------------------------------------
-    coeff = _affine_matrices(op_idx, fire, level, neg, H, W)
-    x = _warp_u8(x, coeff)
-
-    # ---- 2. sharpness: blend towards SMOOTH(x) --------------------------
-    f_sharp = jnp.where(act("Sharpness"), enh, 1.0).reshape(B, 1, 1, 1, 1)
-    sm = _smooth_u8(x).astype(jnp.float32)
+    # ---- sharpness: blend towards SMOOTH(x), active subset only ---------
+    # (for an unselected clip f_sharp = 1 → the blend is an exact identity,
+    # so skipping it changes nothing; the SMOOTH filter is ~16 HBM passes
+    # and must not run for all B clips)
     xf = x.astype(jnp.float32)
-    xf = sm + f_sharp * (xf - sm)
+    shp_idx, _ = _take_active(act("Sharpness"), m)
+    sub_u8 = jnp.take(x, shp_idx, axis=0)
+    sm = _smooth_u8(sub_u8).astype(jnp.float32)
+    f_sharp = jnp.where(act("Sharpness"), enh, 1.0)[shp_idx].reshape(
+        m, 1, 1, 1, 1)
+    xf = xf.at[shp_idx].set(sm + f_sharp * (sub_u8.astype(jnp.float32) - sm))
 
-    # ---- 3. color (saturation): blend towards grayscale -----------------
-    f_color = jnp.where(act("Color"), enh, 1.0).reshape(B, 1, 1, 1, 1)
-    g = _grayscale_i32(jnp.clip(xf, 0, 255).astype(jnp.int32)).astype(
-        jnp.float32)[..., None]
-    xf = g + f_color * (xf - g)
+    # ---- color (saturation): blend towards grayscale, active subset -----
+    col_idx, _ = _take_active(act("Color"), m)
+    sub = jnp.take(xf, col_idx, axis=0)
+    g = _grayscale_i32(jnp.clip(sub, 0, 255).astype(jnp.int32)).astype(
+        jnp.float32)[:, :, None, :, :]
+    f_color = jnp.where(act("Color"), enh, 1.0)[col_idx].reshape(
+        m, 1, 1, 1, 1)
+    xf = xf.at[col_idx].set(g + f_color * (sub - g))
 
     # ---- 4. per-channel linear: contrast / brightness / autocontrast ----
     lin_a = jnp.ones((B, F, C), jnp.float32)
@@ -320,7 +392,7 @@ def _layer(x: jnp.ndarray, op_idx, fire, level, neg,
     a_ac = act("AutoContrast")[:, None, None]
     lin_a = jnp.where(a_ac, ac_scale, lin_a)
     lin_b = jnp.where(a_ac, ac_off, lin_b)
-    xf = lin_a[:, :, None, None, :] * xf + lin_b[:, :, None, None, :]
+    xf = lin_a[:, :, :, None, None] * xf + lin_b[:, :, :, None, None]
     # PIL materializes uint8 after every op, so an enhance factor > 1
     # saturates at 255 — without this clip a brightened pixel ≥ 256 would
     # fall through the (inactive) solarize reflection below and come out
@@ -346,39 +418,112 @@ def _layer(x: jnp.ndarray, op_idx, fire, level, neg,
     xf = jnp.floor(xf / pstep) * pstep
     # the floor above doubles as the layer-end float→integer rounding
     # (PIL truncates after blends); clip to the pixel range
-    idx = jnp.clip(xf, 0.0, 255.0).astype(jnp.int32)
+    return jnp.clip(xf, 0.0, 255.0).astype(jnp.uint8)
 
-    # ---- 7. equalize LUT (identity ramp when inactive) ------------------
-    ident_ramp = jnp.arange(256, dtype=jnp.float32)
-    use_eq = (act("Equalize")[:, None, None] & ~eq_ident)[..., None]
-    lut = jnp.where(use_eq, eq_lut, ident_ramp)             # [B,F,3,256]
-    # gather: flatten (value, channel) so one take_along_axis serves all
-    # channels — out[..., c] = lut[b, f, c, idx]
-    lut_flat = lut.transpose(0, 1, 3, 2).reshape(B, F, 256 * C)
-    gidx = (idx * C + jnp.arange(C, dtype=jnp.int32)).reshape(B, F, H * W * C)
-    out = jnp.take_along_axis(lut_flat, gidx, axis=2).reshape(B, F, H, W, C)
-    return out.astype(jnp.uint8)
+
+def _active_slots(batch: int) -> int:
+    """Fixed per-batch processing slots for the rare expensive ops.
+
+    Equalize/Sharpness/stats ops each fire for ~B/32 clips per layer (and
+    ~B/8 across 4 layers), but a static program would pay their per-pixel
+    cost for every clip.  Instead the pipeline gathers up to this many
+    ACTIVE clips, runs the expensive math on the subset, and scatters back.
+    With slots = max(8, ⌈B/6⌉) the probability that active clips exceed
+    the slots (and silently skip the op — a stochastic-policy deviation,
+    never a wrong pixel) is <1e-3 per batch at the rand-m7-n4 rates."""
+    return batch if batch <= 8 else max(8, -(-batch // 6))
+
+
+def _take_active(active_b: jnp.ndarray, m: int):
+    """Indices of up to m active clips (actives first, stable order) and
+    their activity flags."""
+    order = jnp.argsort(~active_b)          # stable: False(=active) first
+    idx = order[:m]
+    return idx, active_b[idx]
+
+
+def _equalize_apply_cm(x: jnp.ndarray, eq_act: jnp.ndarray,
+                       pol: DeviceAugmentPolicy) -> jnp.ndarray:
+    """Apply ImageOps.equalize to the clips where `eq_act` [B] is set
+    (channel-major uint8 in/out).
+
+    The histogram reads a stride-subsampled grid (documented deviation;
+    the LUT is an integral so the noise smooths out).  The per-pixel LUT
+    application is gather-free — per-lane gathers don't exist on this
+    hardware (XLA's lowering measured ~2 s/batch; Mosaic's dynamic_gather
+    doesn't compile on this toolchain) — so it runs as a 256-bin
+    compare-select REDUCTION that XLA fuses into one pass, and only over
+    the gathered active-clip subset (_active_slots)."""
+    B, F, C, H, W = x.shape
+    m = _active_slots(B)
+    idx, act = _take_active(eq_act, m)
+    xs = jnp.take(x, idx, axis=0)                           # [m,F,C,H,W]
+    xi = xs.astype(jnp.int32)
+    stride = max(1, min(pol.hist_stride, H // 8 or 1, W // 8 or 1))
+    sub = xi[:, :, :, ::stride, ::stride]
+    bins = jnp.arange(256, dtype=jnp.int32)
+    hist = jnp.sum((sub[..., None] == bins).astype(jnp.float32),
+                   axis=(3, 4))                             # [m,F,C,256]
+    lut, ident = _equalize_lut(hist, float(stride * stride))
+    use = act[:, None, None] & ~ident                       # [m,F,C]
+    ramp = jnp.arange(256, dtype=jnp.float32)
+    table = jnp.where(use[..., None], lut, ramp)            # [m,F,C,256]
+    out = jnp.sum((xi[..., None] == bins)
+                  * table[:, :, :, None, None, :], axis=-1)
+    return x.at[idx].set(out.astype(jnp.uint8))
+
+
+def _layer(x_hwc: jnp.ndarray, op_idx, fire, level, neg,
+           pol: DeviceAugmentPolicy) -> jnp.ndarray:
+    """ONE full layer in HWC (parity tests drive single ops through this):
+    value ops → equalize → warp.  Production (apply_randaugment) hoists the
+    warp/equalize stages out of the layer loop — for a single active op the
+    two paths coincide exactly."""
+    x = x_hwc.transpose(0, 1, 4, 2, 3)
+    x = _value_layer_cm(x, op_idx, fire, level, neg, pol)
+    x = _equalize_apply_cm(x, fire & (op_idx == _OP["Equalize"]), pol)
+    x = _warp_affine_cm(x, _affine_matrices(op_idx, fire, level, neg,
+                                            x.shape[3], x.shape[4]))
+    return x.transpose(0, 1, 3, 4, 2)
 
 
 def apply_randaugment(video_u8: jnp.ndarray, key: jax.Array,
                       policy: "DeviceAugmentPolicy | str") -> jnp.ndarray:
     """uint8 [B, F, H, W, 3] → augmented uint8, jittable.  `key` is the
     per-step PRNG (train_step folds the global step in, so every step and
-    every resume sees the same draws).  N layers applied in sampled order
-    (layer l uses column l of the per-clip draws)."""
+    every resume sees the same draws).
+
+    Stage order (a deliberate TPU-first reordering of PIL's op-sequential
+    application; single-op clips are unaffected, multi-op compositions
+    deviate at distribution level — documented):
+      1. each layer's VALUE ops, in layer order (exact per-op PIL parity);
+      2. ONE equalize where any layer fired it (LUT from the post-value
+         state; multi-equalize clips collapse to one — p < 0.2%);
+      3. ONE bilinear warp of the COMPOSED affine of every fired geometric
+         op, in layer order.
+    Per-pixel sampling (warp taps, LUT reads) is what costs on a TPU, so it
+    runs once per clip instead of once per layer."""
     if isinstance(policy, str):
         policy = DeviceAugmentPolicy.parse(policy)
     if video_u8.dtype != jnp.uint8:
         raise TypeError(
             f"device augment expects uint8 frames, got {video_u8.dtype} "
             "(is the host pipeline already normalizing?)")
-    B = video_u8.shape[0]
+    B, F, H, W, C = video_u8.shape
     op_idx, fire, level, neg = sample_policy(key, B, policy)
-    x = video_u8
+    x = video_u8.transpose(0, 1, 4, 2, 3)       # → channel-major (layout
+    # contract above; one transpose pair for the whole policy)
+    eq_any = jnp.zeros((B,), bool)
+    mats = []
     for layer in range(policy.num_layers):      # unrolled: N is static
-        x = _layer(x, op_idx[:, layer], fire[:, layer], level[:, layer],
-                   neg[:, layer], policy)
-    return x
+        o, fi, lv, ng = (op_idx[:, layer], fire[:, layer],
+                         level[:, layer], neg[:, layer])
+        x = _value_layer_cm(x, o, fi, lv, ng, policy)
+        eq_any = eq_any | (fi & (o == _OP["Equalize"]))
+        mats.append(_affine_matrices(o, fi, lv, ng, H, W))
+    x = _equalize_apply_cm(x, eq_any, policy)
+    x = _warp_affine_cm(x, compose_affine(jnp.stack(mats, axis=1)))
+    return x.transpose(0, 1, 3, 4, 2)
 
 
 def augment_batch(video_u8: jnp.ndarray, video_mask: jnp.ndarray,
