@@ -165,14 +165,17 @@ def main():
     idx_path = os.path.join(tempfile.mkdtemp(), "reload_index.npz")
     np.savez(idx_path, **index)
 
+    # RELOAD_STAGE_ROWS env: 0 = monolithic corpus device_put, N = slabbed
+    # staged upload (see serving.staged_device_put) — the A/B knob for the
+    # reload-under-load leg
+    stage_rows = int(os.environ.get("RELOAD_STAGE_ROWS", "512"))
+
     def reload_fn():
         # mirrors cli/serve.py: fresh Searcher from disk, compiles pre-paid
-        # BEFORE the swap so requests never stall behind program builds;
-        # staged_upload_rows slabs the corpus H2D so live searches
-        # interleave with the transfer (round-5 fix for the 6 s p99)
+        # BEFORE the swap so requests never stall behind program builds
         fresh = serving.Searcher(params, cfg, serving.load_index(idx_path),
                                  ClipTokenizer(), query_batch=Q,
-                                 staged_upload_rows=512)
+                                 staged_upload_rows=stage_rows)
         fresh.warmup()
         fresh.search(["warmup"], topk=5)
         return fresh
