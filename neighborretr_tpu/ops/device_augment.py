@@ -356,23 +356,30 @@ def _value_layer_cm(x: jnp.ndarray, op_idx, fire, level, neg,
     # ---- sharpness: blend towards SMOOTH(x), active subset only ---------
     # (for an unselected clip f_sharp = 1 → the blend is an exact identity,
     # so skipping it changes nothing; the SMOOTH filter is ~16 HBM passes
-    # and must not run for all B clips)
-    xf = x.astype(jnp.float32)
+    # and must not run for all B clips.)  One op fires per clip-layer, so
+    # the blend result rounds straight back to uint8 — the remaining stages
+    # are exact identities on integer pixels for this clip — keeping the
+    # whole inter-stage carry at 1 byte/px instead of an f32 tensor.
     shp_idx, _ = _take_active(act("Sharpness"), m)
     sub_u8 = jnp.take(x, shp_idx, axis=0)
     sm = _smooth_u8(sub_u8).astype(jnp.float32)
     f_sharp = jnp.where(act("Sharpness"), enh, 1.0)[shp_idx].reshape(
         m, 1, 1, 1, 1)
-    xf = xf.at[shp_idx].set(sm + f_sharp * (sub_u8.astype(jnp.float32) - sm))
+    blended = sm + f_sharp * (sub_u8.astype(jnp.float32) - sm)
+    x = x.at[shp_idx].set(
+        jnp.floor(jnp.clip(blended, 0.0, 255.0)).astype(jnp.uint8))
 
     # ---- color (saturation): blend towards grayscale, active subset -----
     col_idx, _ = _take_active(act("Color"), m)
-    sub = jnp.take(xf, col_idx, axis=0)
-    g = _grayscale_i32(jnp.clip(sub, 0, 255).astype(jnp.int32)).astype(
+    sub = jnp.take(x, col_idx, axis=0).astype(jnp.float32)
+    g = _grayscale_i32(sub.astype(jnp.int32)).astype(
         jnp.float32)[:, :, None, :, :]
     f_color = jnp.where(act("Color"), enh, 1.0)[col_idx].reshape(
         m, 1, 1, 1, 1)
-    xf = xf.at[col_idx].set(g + f_color * (sub - g))
+    x = x.at[col_idx].set(jnp.floor(jnp.clip(
+        g + f_color * (sub - g), 0.0, 255.0)).astype(jnp.uint8))
+
+    xf = x.astype(jnp.float32)
 
     # ---- 4. per-channel linear: contrast / brightness / autocontrast ----
     lin_a = jnp.ones((B, F, C), jnp.float32)
