@@ -100,6 +100,12 @@ def parse_args():
                    choices=["float32", "bfloat16"],
                    help="storage dtype for Adam moments (bfloat16 halves "
                         "optimizer HBM; update math stays fp32)")
+    p.add_argument("--bank_placement", default="device",
+                   choices=["device", "host"],
+                   help="where the memory bank lives between steps: 'host' "
+                        "parks it in pinned host memory (frees bank-sized "
+                        "HBM for activations at a per-step PCIe round "
+                        "trip); TPU/GPU backends only")
     p.add_argument("--opt_moments_placement", default="device",
                    choices=["device", "host"],
                    help="where the carried moments live between steps: "
@@ -245,6 +251,7 @@ def main():
                           batch_size_val=args.batch_size_val,
                           mb_batch=args.mb_batch, seed=args.seed,
                           bank_dtype=args.bank_dtype,
+                          bank_placement=args.bank_placement,
                           n_display=args.n_display,
                           output_dir=args.output_dir,
                           init_checkpoint=args.init_checkpoint,

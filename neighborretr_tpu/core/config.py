@@ -312,6 +312,13 @@ class TrainConfig:
     # — the bank is no_grad state refreshed every step, so quantization
     # never accumulates; masks/ids stay exact.
     bank_dtype: str = "float32"
+    # where the bank LIVES between steps: "device" (HBM) or "host"
+    # (pinned host memory; the step streams it in and writes the FIFO
+    # result back).  "host" frees bank-sized HBM (~252 MB bf16 at the
+    # ActivityNet bank-1920/64f shape) for activation headroom at a
+    # ~0.5 GB/step PCIe round trip.  TPU/GPU backends only (see
+    # bertadam.host_offload_supported).
+    bank_placement: str = "device"
     seed: int = 42
     n_display: int = 50
     output_dir: str = "outputs"
@@ -467,6 +474,10 @@ def validate(cfg: Config, num_devices: int) -> None:
     if cfg.optim.moments_placement not in ("device", "host"):
         raise ValueError(
             f"unknown moments_placement '{cfg.optim.moments_placement}' "
+            "(device | host)")
+    if cfg.train.bank_placement not in ("device", "host"):
+        raise ValueError(
+            f"unknown bank_placement '{cfg.train.bank_placement}' "
             "(device | host)")
     if cfg.optim.moments_placement == "host" and cfg.train.fsdp:
         raise ValueError(

@@ -137,16 +137,22 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
             logger=logger)
         logger.info("Warm-started from %s", cfg.train.init_checkpoint)
 
-    bank = mb.create(cfg.train.memory_bank_capacity, cfg.model.max_words,
-                     cfg.model.max_frames, cfg.model.clip.embed_dim,
-                     feat_dtype=cfg.train.bank_dtype)
+    def make_bank():
+        fresh = mb.create(cfg.train.memory_bank_capacity,
+                          cfg.model.max_words, cfg.model.max_frames,
+                          cfg.model.clip.embed_dim,
+                          feat_dtype=cfg.train.bank_dtype)
+        if mesh is not None:
+            fresh = mb.MemoryBank(*pmesh.replicate_tree(tuple(fresh), mesh))
+        return mb.place_bank(fresh, cfg.train.bank_placement, mesh)
+
+    bank = make_bank()
 
     if mesh is not None:
         # params: replicated on DP meshes, Megatron-sharded when the mesh
         # has a `model` axis (--tensor_parallel), FSDP data-axis-sharded
-        # under --fsdp; bank always replicates
+        # under --fsdp; bank always replicates (make_bank already placed it)
         params = pmesh.place_params(params, mesh, fsdp=cfg.train.fsdp)
-        bank = mb.MemoryBank(*pmesh.replicate_tree(tuple(bank), mesh))
 
     state = create_train_state(params, bank,
                                moments_dtype=cfg.optim.moments_dtype,
@@ -183,13 +189,18 @@ def run_training(cfg: Config, train_ds, test_ds, logger=None,
                     v=pmesh.place_params(state.opt.v, mesh,
                                          fsdp=cfg.train.fsdp)),
                     cfg.optim.moments_placement, mesh),
-                bank=jax.device_put(state.bank, pmesh.replicated(mesh)),
+                bank=mb.place_bank(
+                    mb.MemoryBank(*(jax.device_put(x, pmesh.replicated(mesh))
+                                    for x in state.bank)),
+                    cfg.train.bank_placement, mesh),
                 step=jax.device_put(state.step, pmesh.replicated(mesh)))
         else:
-            # meshless resume: re-home the moments (host placement is not
-            # recorded in the npz — the run config decides)
-            state = state._replace(opt=bertadam.place_moments(
-                state.opt, cfg.optim.moments_placement))
+            # meshless resume: re-home the moments and bank (placement is
+            # not recorded in the npz — the run config decides)
+            state = state._replace(
+                opt=bertadam.place_moments(state.opt,
+                                           cfg.optim.moments_placement),
+                bank=mb.place_bank(state.bank, cfg.train.bank_placement))
         global_step = int(state.step)
         start_epoch = min(global_step // max(steps_per_epoch, 1),
                           cfg.train.epochs)
@@ -400,6 +411,7 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
             if mesh is not None:
                 empty = mb.MemoryBank(*pmesh.replicate_tree(tuple(empty),
                                                             mesh))
+            empty = mb.place_bank(empty, cfg.train.bank_placement, mesh)
             # fill-augment key: derived from (run key, epoch) on a stream
             # disjoint from the step keys (which fold global_step), so an
             # epoch-boundary resume re-fills with identical draws
@@ -523,13 +535,15 @@ def _train_epochs(cfg, state, tracker, guard, train_loader, bank_loader,
             return preempt_exit()
 
         # epoch-end bank clear (main.py:368-374): re-created next epoch
-        state = state._replace(bank=mb.create(
+        cleared = mb.create(
             cfg.train.memory_bank_capacity, cfg.model.max_words,
             cfg.model.max_frames, cfg.model.clip.embed_dim,
-            feat_dtype=cfg.train.bank_dtype))
+            feat_dtype=cfg.train.bank_dtype)
         if mesh is not None:
-            state = state._replace(
-                bank=mb.MemoryBank(*pmesh.replicate_tree(tuple(state.bank), mesh)))
+            cleared = mb.MemoryBank(*pmesh.replicate_tree(tuple(cleared),
+                                                          mesh))
+        state = state._replace(
+            bank=mb.place_bank(cleared, cfg.train.bank_placement, mesh))
 
     # a window whose stop step exceeds total steps still writes its trace
     stop_profiler("stopped at end of training")

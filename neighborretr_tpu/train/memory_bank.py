@@ -80,3 +80,29 @@ def write_slice(bank: MemoryBank, offset: int, ind, feat_t, feat_v,
         mask_t=wr(bank.mask_t, mask_t),
         mask_v=wr(bank.mask_v, mask_v),
     )
+
+
+def place_bank(bank: MemoryBank, placement: str, mesh=None) -> MemoryBank:
+    """Move the carried bank to its configured home between steps
+    (cfg.train.bank_placement; no-op for 'device').  'host' parks the bank
+    in pinned host memory — bank-sized HBM becomes activation headroom and
+    the train step streams it through PCIe (bertadam.place_moments is the
+    sibling for optimizer moments; same backend support rules)."""
+    if placement != "host":
+        return bank
+    from .bertadam import host_offload_supported, moments_sharding
+    if not host_offload_supported():
+        raise ValueError(
+            "bank_placement='host' needs a TPU/GPU backend (the CPU "
+            "backend cannot round-trip pinned_host buffers through "
+            "donated steps)")
+    s = moments_sharding("pinned_host", mesh)
+    return MemoryBank(*(jax.device_put(x, s) for x in bank))
+
+
+def bank_to_memory(bank: MemoryBank, kind: str, mesh=None) -> MemoryBank:
+    """In-jit transfer of every bank leaf to the given memory kind
+    ('device' before compute, 'pinned_host' before carrying out)."""
+    from .bertadam import moments_sharding
+    s = moments_sharding(kind, mesh)
+    return MemoryBank(*(jax.device_put(x, s) for x in bank))

@@ -209,6 +209,13 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
     cfg.train.explicit_spmd, the loss runs through the shard_map row-sharded
     path (parallel/spmd.py); otherwise GSPMD partitions the gathered form."""
     batch = _maybe_device_augment(cfg, batch, key)
+    host_bank = cfg.train.bank_placement == "host"
+    if host_bank:
+        # bank parked in pinned host memory between steps: stream it to
+        # HBM for the loss, push the FIFO result back out below
+        from .memory_bank import bank_to_memory
+        state = state._replace(bank=bank_to_memory(state.bank, "device",
+                                                   mesh))
     if mesh is not None and cfg.train.explicit_spmd and mesh.devices.size > 1:
         from ..parallel.spmd import compute_losses_spmd
         loss_fn = functools.partial(compute_losses_spmd, mesh=mesh,
@@ -242,6 +249,9 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
         aux.pop("text_feat"), aux.pop("video_feat"),
         batch["text_mask"].astype(jnp.float32),
         batch["video_mask"].astype(jnp.float32))
+    if host_bank:
+        from .memory_bank import bank_to_memory
+        new_bank = bank_to_memory(new_bank, "pinned_host", mesh)
 
     metrics = dict(aux)
     # clip-effective norm (frozen patch_embed excluded), so the logged value
@@ -265,14 +275,18 @@ def fill_bank_step(params: Params, bank: MemoryBank,
     (optional) enables the device augment backend for the fill batches —
     the reference's bank loader IS a train loader, so its clips are
     augmented too (memory_bank.py:49-78)."""
-    from .memory_bank import write_slice
+    from .memory_bank import bank_to_memory, write_slice
     if key is not None:
         batch = _maybe_device_augment(cfg, batch, key)
+    host_bank = cfg.train.bank_placement == "host"
+    if host_bank:
+        bank = bank_to_memory(bank, "device")
     text_feat, video_feat = model.get_text_video_feat(
         params, cfg.model, batch["text_ids"], batch["text_mask"],
         batch["video"], batch["video_mask"])
-    return write_slice(
+    out = write_slice(
         bank, offset, batch["idx"].astype(jnp.int32),
         text_feat, video_feat,
         batch["text_mask"].astype(jnp.float32),
         batch["video_mask"].astype(jnp.float32))
+    return bank_to_memory(out, "pinned_host") if host_bank else out

@@ -52,6 +52,8 @@ def main():
                  train=TrainConfig(batch_size=BATCH, mb_batch=MB_BATCH,
                                    bank_dtype=os.environ.get(
                                        "BENCH_BANK_DTYPE", "float32"),
+                                   bank_placement=os.environ.get(
+                                       "BENCH_BANK_PLACEMENT", "device"),
                                    micro_batches=int(os.environ.get(
                                        "BENCH_MICRO", "1"))))
     print(f"# device: {jax.devices()[0]}  batch={BATCH} bank="
@@ -74,6 +76,10 @@ def main():
     params = model.init_params(jax.random.PRNGKey(0), mcfg)
     bank = mb.create(cfg.train.memory_bank_capacity, W, F,
                      mcfg.clip.embed_dim, feat_dtype=cfg.train.bank_dtype)
+    # carried state must START in its configured home: a device-resident
+    # bank entering the host-placement program lowers to an hbm→hbm DMA
+    # the AOT compiler rejects
+    bank = mb.place_bank(bank, cfg.train.bank_placement)
     for i in range(cfg.train.mb_batch):
         bank = fill_bank_step(params, bank, batch, cfg, i * BATCH)
     state = create_train_state(params, bank,

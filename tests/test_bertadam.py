@@ -293,3 +293,34 @@ def test_validate_rejects_host_moments_with_fsdp():
         validate(cfg, 1)
     cfg = dataclasses.replace(cfg, train=TrainConfig(batch_size=8))
     validate(cfg, 1)
+
+
+def test_validate_rejects_bad_bank_placement():
+    import pytest
+
+    from neighborretr_tpu.core.config import (Config, DataConfig, LossConfig,
+                                              ModelConfig, TrainConfig,
+                                              validate)
+    cfg = Config(
+        model=ModelConfig.tiny(max_words=8, max_frames=4),
+        loss=LossConfig(num_neighbors=3),
+        optim=OptimizerConfig(),
+        data=DataConfig(max_words=8, max_frames=4),
+        train=TrainConfig(batch_size=8, bank_placement="hbm2"))
+    with pytest.raises(ValueError):
+        validate(cfg, 1)
+    validate(dataclasses.replace(
+        cfg, train=TrainConfig(batch_size=8, bank_placement="host")), 1)
+
+    # the CPU backend refuses the actual placement with a clear error
+    from neighborretr_tpu.train import bertadam as BA2
+    from neighborretr_tpu.train import memory_bank as mb
+    bank = mb.create(4, 8, 4, 16)
+    if BA2.host_offload_supported():
+        out = mb.place_bank(bank, "host")
+        assert out.feat_t.shape == bank.feat_t.shape
+    else:
+        with pytest.raises(ValueError, match="TPU/GPU"):
+            mb.place_bank(bank, "host")
+    # 'device' placement is a no-op everywhere
+    assert mb.place_bank(bank, "device") is bank
